@@ -1,0 +1,411 @@
+"""clean_html — the flagship per-row extraction function, reimplemented from
+scratch on the stdlib.
+
+Reference semantics (/root/reference/data_ops/step_03_clean_html.py:10-74):
+
+1. Parse HTML into a DOM (bs4 ``html.parser`` treebuilder there; stdlib
+   ``html.parser.HTMLParser`` into our own mini-DOM here — bs4/lxml are not
+   available offline, SURVEY.md §7.3.1).
+2. Remove tags + content for: link style svg a nav img figure ins iframe
+   tickaroo-liveblog astro-island (:15-27, :30-31).
+3. Remove every ``<script>`` whose ``type`` attr (lowercased) does not contain
+   ``application/ld+json`` (:34-37).
+4. Remove ``div``/``section`` whose class contains any of
+   {ad, advertisement, sponsored} as a *case-insensitive substring* — note
+   ``class="radar"`` matches via "ad" (:40-43) — and whose id contains
+   {ad, sponsored} (:45-46).
+5. Delete all inline ``style`` attributes (:49-50).
+6. For each HTML comment: regex-strip the step-2 tags (full pair then
+   open/self-closing) inside the comment text (:53-63). Because ``re.sub``
+   returns a plain ``str`` (verified: never the original Comment object), the
+   reference's ``comment.replace_with(modified)`` *always* converts a
+   surviving comment into a plain text node; comments that strip to blank are
+   removed entirely (:65-69). No comment survives as a comment.
+7. Re-serialize with ``soup.prettify()`` and ``.strip()`` (:72-74).
+
+Byte-identity contract (BASELINE.json ``metric``/``input_hint``): this module
+is the *single* implementation used by both the sequential oracle path and the
+distributed Arrow-UDF path; committed golden files (tests/golden/) pin the
+exact bytes, and pytest asserts the distributed output is byte-identical per
+url at any parallelism.
+
+Prettify format (canonical for this engine, bs4-compatible in structure):
+one node per line, indented one space per depth level, text nodes
+edge-stripped, minimal entity escaping (&, <, > in text; &, " in attributes),
+void elements serialized as ``<name .../>``.
+"""
+
+from __future__ import annotations
+
+import re
+from html import escape as _html_escape
+from html.parser import HTMLParser
+from typing import Iterator
+
+TAGS_TO_REMOVE = (
+    "link",
+    "style",
+    "svg",
+    "a",
+    "nav",
+    "img",
+    "figure",
+    "ins",
+    "iframe",
+    "tickaroo-liveblog",
+    "astro-island",
+)
+
+_AD_CLASS_MARKERS = ("ad", "advertisement", "sponsored")
+_AD_ID_MARKERS = ("ad", "sponsored")
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Precompiled comment-cleaning regexes, in the reference's exact order:
+# per tag, full pair first, then open/self-closing (step_03:57-63).
+_COMMENT_PATTERNS: list[re.Pattern[str]] = []
+for _tag in TAGS_TO_REMOVE:
+    _COMMENT_PATTERNS.append(re.compile(rf"<{_tag}[^>]*>.*?</{_tag}>", re.DOTALL))
+    _COMMENT_PATTERNS.append(re.compile(rf"<{_tag}[^>]*/?>", re.DOTALL))
+
+
+# --------------------------------------------------------------------------
+# Mini-DOM
+# --------------------------------------------------------------------------
+
+class _Node:
+    __slots__ = ("parent",)
+
+    def __init__(self) -> None:
+        self.parent: _Element | None = None
+
+
+class _Text(_Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+
+class _Comment(_Node):
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+
+class _Decl(_Node):
+    """Doctype / markup declaration, passed through verbatim."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data: str) -> None:
+        super().__init__()
+        self.data = data
+
+
+class _Element(_Node):
+    __slots__ = ("name", "attrs", "children", "void", "_detached")
+
+    def __init__(self, name: str, attrs: list[tuple[str, str | None]], void: bool = False) -> None:
+        super().__init__()
+        self.name = name
+        # attrs as ordered list of (key, value); duplicate keys keep first
+        # occurrence for get() semantics (html.parser emits them in order).
+        self.attrs = attrs
+        self.children: list[_Node] = []
+        self.void = void
+        self._detached = False
+
+    def get_attr(self, key: str) -> str | None:
+        for k, v in self.attrs:
+            if k == key:
+                return v if v is not None else ""
+        return None
+
+    def del_attr(self, key: str) -> None:
+        self.attrs = [(k, v) for k, v in self.attrs if k != key]
+
+    def append(self, node: _Node) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def remove_child(self, node: _Node) -> None:
+        try:
+            self.children.remove(node)
+        except ValueError:
+            pass
+        node.parent = None
+
+
+class _Root(_Element):
+    def __init__(self) -> None:
+        super().__init__("[document]", [])
+
+
+class _DomParser(HTMLParser):
+    """Build the mini-DOM. CDATA content elements (script/style) arrive via
+    handle_data already; entity refs are unescaped by convert_charrefs=True
+    (matching bs4's html.parser treebuilder default)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Root()
+        self._stack: list[_Element] = [self.root]
+
+    # -- helpers
+    @property
+    def _top(self) -> _Element:
+        return self._stack[-1]
+
+    # -- tags
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        el = _Element(tag, list(attrs), void=tag in VOID_ELEMENTS)
+        self._top.append(el)
+        if not el.void:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        el = _Element(tag, list(attrs), void=True)
+        self._top.append(el)
+
+    def handle_endtag(self, tag: str) -> None:
+        # Pop to the nearest matching open element; ignore unmatched closers
+        # (html.parser treebuilder behavior for malformed input).
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].name == tag:
+                del self._stack[i:]
+                return
+
+    # -- leaves
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top.append(_Text(data))
+
+    def handle_comment(self, data: str) -> None:
+        self._top.append(_Comment(data))
+
+    def handle_decl(self, decl: str) -> None:
+        self._top.append(_Decl(decl))
+
+    def unknown_decl(self, data: str) -> None:
+        self._top.append(_Decl(data))
+
+    def handle_pi(self, data: str) -> None:
+        # processing instructions serialized as-is inside <? ... >
+        self._top.append(_Decl("?" + data))
+
+
+def _parse(html: str) -> _Root:
+    p = _DomParser()
+    p.feed(html)
+    p.close()
+    return p.root
+
+
+# --------------------------------------------------------------------------
+# Traversal / mutation (find_all + decompose semantics)
+# --------------------------------------------------------------------------
+
+def _iter_elements(root: _Element) -> Iterator[_Element]:
+    """Pre-order document traversal over elements (bs4 find_all order)."""
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, _Element):
+            yield node
+            stack.extend(reversed(node.children))
+
+
+def _iter_comments(root: _Element) -> Iterator[_Comment]:
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, _Comment):
+            yield node
+        elif isinstance(node, _Element):
+            stack.extend(reversed(node.children))
+
+
+def _is_attached(node: _Node, root: _Element) -> bool:
+    cur: _Node | None = node
+    while cur is not None:
+        if cur is root:
+            return True
+        cur = cur.parent
+    return False
+
+
+def _decompose(node: _Node) -> None:
+    if node.parent is not None:
+        node.parent.remove_child(node)
+
+
+# --------------------------------------------------------------------------
+# The clean transform
+# --------------------------------------------------------------------------
+
+def _matches_marker(value: str | None, markers: tuple[str, ...]) -> bool:
+    if not value:
+        return False
+    low = value.lower()
+    return any(m in low for m in markers)
+
+
+def clean_html(html: str) -> str:
+    """Reference-semantics HTML cleaner; returns prettified cleaned markup.
+
+    Pure function of its input — safe to call from any partition at any
+    parallelism; this is what the byte-identity invariant rides on.
+    """
+    root = _parse(html)
+
+    # 1. unwanted tags and their content (step_03:30-31)
+    doomed = [el for el in _iter_elements(root) if el.name in TAGS_TO_REMOVE]
+    for el in doomed:
+        if _is_attached(el, root):
+            _decompose(el)
+
+    # 2. JavaScript <script> tags (step_03:34-37)
+    doomed = []
+    for el in _iter_elements(root):
+        if el.name == "script":
+            script_type = (el.get_attr("type") or "").lower()
+            if not script_type or "application/ld+json" not in script_type:
+                doomed.append(el)
+    for el in doomed:
+        if _is_attached(el, root):
+            _decompose(el)
+
+    # 3. ad-related class on div/section (step_03:40-43)
+    doomed = [
+        el
+        for el in _iter_elements(root)
+        if el.name in ("div", "section") and _matches_marker(el.get_attr("class"), _AD_CLASS_MARKERS)
+    ]
+    for el in doomed:
+        if _is_attached(el, root):
+            _decompose(el)
+
+    # 4. ad-related id on div/section (step_03:45-46)
+    doomed = [
+        el
+        for el in _iter_elements(root)
+        if el.name in ("div", "section") and _matches_marker(el.get_attr("id"), _AD_ID_MARKERS)
+    ]
+    for el in doomed:
+        if _is_attached(el, root):
+            _decompose(el)
+
+    # 5. inline styles (step_03:49-50)
+    for el in _iter_elements(root):
+        if el.get_attr("style") is not None:
+            el.del_attr("style")
+
+    # 6. comments (step_03:53-69): strip removable tags inside the comment
+    # text; a surviving comment is ALWAYS converted to a plain text node
+    # (re.sub yields a plain str → bs4 replace_with makes a NavigableString);
+    # blank results are removed entirely.
+    for comment in list(_iter_comments(root)):
+        modified = comment.data
+        for pat in _COMMENT_PATTERNS:
+            modified = pat.sub("", modified)
+        parent = comment.parent
+        if parent is None:
+            continue
+        if modified.strip():
+            idx = parent.children.index(comment)
+            text = _Text(modified)
+            text.parent = parent
+            parent.children[idx] = text
+        else:
+            parent.remove_child(comment)
+
+    # 7. prettify + strip (step_03:72-74)
+    return _prettify(root).strip()
+
+
+# --------------------------------------------------------------------------
+# Prettify serializer
+# --------------------------------------------------------------------------
+
+def _escape_text(s: str) -> str:
+    return _html_escape(s, quote=False)  # & < > only (minimal formatter)
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _attr_string(attrs: list[tuple[str, str | None]]) -> str:
+    parts = []
+    for k, v in attrs:
+        parts.append(f'{k}="{_escape_attr(v if v is not None else "")}"')
+    return (" " + " ".join(parts)) if parts else ""
+
+
+_RAW_TEXT_ELEMENTS = frozenset({"script", "style", "pre", "textarea"})
+
+
+def _prettify(root: _Root) -> str:
+    out: list[str] = []
+
+    def emit(node: _Node, depth: int) -> None:
+        pad = " " * depth
+        if isinstance(node, _Text):
+            stripped = node.data.strip()
+            if stripped:
+                parent = node.parent
+                raw = parent is not None and parent.name in _RAW_TEXT_ELEMENTS
+                out.append(pad + (stripped if raw else _escape_text(stripped)) + "\n")
+        elif isinstance(node, _Comment):
+            out.append(pad + f"<!--{node.data}-->" + "\n")
+        elif isinstance(node, _Decl):
+            out.append(pad + f"<!{node.data}>" + "\n")
+        elif isinstance(node, _Element):
+            if node.void:
+                out.append(pad + f"<{node.name}{_attr_string(node.attrs)}/>" + "\n")
+            else:
+                out.append(pad + f"<{node.name}{_attr_string(node.attrs)}>" + "\n")
+                for child in node.children:
+                    emit(child, depth + 1)
+                out.append(pad + f"</{node.name}>" + "\n")
+
+    for child in root.children:
+        emit(child, 0)
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# Plaintext extraction (for downstream analytics: lang-id, tokenization)
+# --------------------------------------------------------------------------
+
+def extract_plaintext(html: str) -> str:
+    """All text content of the *cleaned* DOM, space-joined in document order.
+
+    Engine addition (no reference analog — the reference gets plaintext from
+    Fundus, crawl_articles.py:105); used by quality/lang-id operators.
+    """
+    root = _parse(html)
+    doomed = [el for el in _iter_elements(root) if el.name in TAGS_TO_REMOVE or el.name == "script"]
+    for el in doomed:
+        if _is_attached(el, root):
+            _decompose(el)
+    pieces: list[str] = []
+
+    def walk(node: _Node) -> None:
+        if isinstance(node, _Text):
+            s = node.data.strip()
+            if s:
+                pieces.append(s)
+        elif isinstance(node, _Element):
+            for c in node.children:
+                walk(c)
+
+    for child in root.children:
+        walk(child)
+    return " ".join(pieces)

@@ -1,0 +1,59 @@
+"""SparkSession factory for the engine.
+
+One place to encode the execution-model decisions that matter at 100 TB:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing).
+- Arrow on (every Python stage in this engine is a vectorized pandas UDF /
+  mapInPandas; per-row Python is banned per BASELINE.json ``input_hint``).
+- ``maxRecordsPerBatch`` sized for ~100 KB-1 MB HTML rows so a single Arrow
+  batch stays in the low hundreds of MB.
+- Shuffle partitions default to the core count locally; on a real cluster this
+  is overridden to ~2-3x total cores (AQE coalesces the excess).
+
+Reference analog: none — the reference is a single sequential Python process
+(/root/reference/data_extraction/crawl_articles.py:45-118).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "news-crawler-slm-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for this engine.
+
+    ``cores`` maps to ``local[cores]`` in the sandbox; on a real cluster the
+    master/executor topology comes from spark-submit and ``cores`` is ignored
+    by Spark (kept here so bench.py can run the identical job at N and 4N
+    parallelism for the scaling-efficiency evidence).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

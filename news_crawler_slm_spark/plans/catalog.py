@@ -1,0 +1,491 @@
+"""Query catalog: every SURVEY.md §2 operator as a (PySpark builder,
+DuckDB oracle SQL) pair, registered by name. ``__spark_entry__.py`` exposes
+this registry to the driver's correctness gate.
+
+Cross-engine numeric identity conventions (the driver hash-compares values):
+
+- Sums of doubles are order-dependent in IEEE float — so money sums use the
+  integer-cents trick: per-row ``floor(x*100 + 0.5)`` (deterministic,
+  identical in both engines) → exact BIGINT sum → one final ``/100.0``.
+- avg/stddev over arbitrary doubles are rounded to 6 decimals (accumulated
+  error ~1e-12 ≪ 5e-7 rounding granularity).
+- avg over integer-valued columns is exact (< 2^53) and left unrounded.
+- DuckDB ``sum(INTEGER)`` yields HUGEINT — oracle SQL casts to BIGINT.
+- All computed columns are lowercase-aliased identically on both sides.
+- Every LIMIT is preceded by a total deterministic ORDER BY.
+
+Scale notes: these run at sf0.01 for the gate and sf0.1 for bench, but each
+plan is written for the 100 TB shape — aggregates are partial+final (no
+collect), top-k per group is window-over-partition (no global sort), small
+dimensions are broadcast, and max-with-ties joins against a 1-row aggregate
+instead of an all-rows window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col: F.Column) -> F.Column:
+    """Deterministic order-independent money accumulator: see module doc."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# SQL twin of ``cents`` for the oracle.
+def _sql_cents(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 100 + 0.5) AS BIGINT)"
+
+
+# ws token count — matches functions.text.ws_token_count for non-empty text.
+_TOK_SPARK = "size(split(trim(text), '\\\\s+'))"
+_TOK_DUCK = "length(regexp_split_to_array(trim(text), '\\s+'))"
+
+
+# ===========================================================================
+# A. Aggregations over the documents table (reference compute_statistics/*)
+# ===========================================================================
+
+@register(
+    "count_per_source",
+    "SELECT source, count(*) AS n FROM documents GROUP BY source",
+)
+def count_per_source(spark, sf_dir):
+    """A1 — sample count per split (count_dataset_samples.py:22-24)."""
+    return _t(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("n"))
+
+
+@register(
+    "lang_distribution",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def lang_distribution(spark, sf_dir):
+    """A2 — language distribution (get_language_distribution.py:24-27)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n"))
+
+
+@register(
+    "token_count_distribution",
+    f"SELECT {_TOK_DUCK} AS token_count, count(*) AS n FROM documents GROUP BY 1",
+)
+def token_count_distribution(spark, sf_dir):
+    """A3 — Counter(token_counts) (step_04:49); whitespace tokenizer twin."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.expr(_TOK_SPARK).alias("token_count"))
+        .groupBy("token_count")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "token_stats_summary",
+    f"""
+    SELECT lang,
+           min(tc) AS min_tokens, max(tc) AS max_tokens,
+           round(avg(tc), 6) AS mean_tokens,
+           round(median(tc), 6) AS median_tokens
+    FROM (SELECT lang, {_TOK_DUCK} AS tc FROM documents) GROUP BY lang
+    """,
+)
+def token_stats_summary(spark, sf_dir):
+    """A4-A6 — min/max/mean/median token counts (step_04:50-54); exact
+    median (numpy semantics), not percentile_approx."""
+    d = _t(spark, sf_dir, "documents").select("lang", F.expr(_TOK_SPARK).alias("tc"))
+    return d.groupBy("lang").agg(
+        F.min("tc").alias("min_tokens"),
+        F.max("tc").alias("max_tokens"),
+        F.round(F.avg("tc"), 6).alias("mean_tokens"),
+        F.round(F.median("tc"), 6).alias("median_tokens"),
+    )
+
+
+@register(
+    "max_tokens_with_ties",
+    f"""
+    WITH tc AS (SELECT doc_id, {_TOK_DUCK} AS token_count FROM documents)
+    SELECT doc_id, token_count FROM tc
+    WHERE token_count = (SELECT max(token_count) FROM tc)
+    """,
+)
+def max_tokens_with_ties(spark, sf_dir):
+    """A7 — all rows attaining the max (get_max_tokens.py:26-38). Joins a
+    1-row broadcast aggregate instead of a global window: no single-partition
+    sort at scale."""
+    tc = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOK_SPARK).alias("token_count")
+    )
+    mx = tc.agg(F.max("token_count").alias("token_count"))
+    return tc.join(F.broadcast(mx), "token_count").select("doc_id", "token_count")
+
+
+@register(
+    "count_over_limit",
+    f"SELECT count(*) AS n_over FROM documents WHERE {_TOK_DUCK} > 80",
+)
+def count_over_limit(spark, sf_dir):
+    """A8/P8 — samples over the token limit
+    (count_samples_over_token_limit.py:53)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.expr(_TOK_SPARK) > 80).agg(F.count("*").alias("n_over"))
+
+
+@register(
+    "value_stats_pop",
+    """
+    SELECT event_type,
+           round(avg(value), 6) AS mean_value,
+           round(stddev_pop(value), 6) AS std_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_stats_pop(spark, sf_dir):
+    """A9 — mean + POPULATION std (np.std ddof=0, evaluate_model.py:384-395;
+    stddev would silently mismatch)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+    )
+
+
+@register(
+    "prf1_rollup",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click')    AS tp,
+             count(*) FILTER (WHERE event_type = 'view')     AS fp,
+             count(*) FILTER (WHERE event_type = 'purchase') AS fn
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS precision,
+             CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS recall
+      FROM per_user
+    )
+    SELECT round(avg(precision), 6) AS mean_precision,
+           round(stddev_pop(precision), 6) AS std_precision,
+           round(avg(recall), 6) AS mean_recall,
+           round(avg(CASE WHEN precision + recall > 0
+                     THEN 2 * precision * recall / (precision + recall)
+                     ELSE 0.0 END), 6) AS mean_f1
+    FROM scored
+    """,
+)
+def prf1_rollup(spark, sf_dir):
+    """A10 — per-row P/R/F1 with 0-division guards, then mean + stddev_pop
+    roll-up (evaluate_model.py:228-266)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("tp"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("fp"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("fn"),
+    )
+    scored = per_user.select(
+        F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp")))
+        .otherwise(0.0)
+        .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn")))
+        .otherwise(0.0)
+        .alias("recall"),
+    )
+    f1 = (
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+        )
+        .otherwise(0.0)
+    )
+    return scored.agg(
+        F.round(F.avg("precision"), 6).alias("mean_precision"),
+        F.round(F.stddev_pop("precision"), 6).alias("std_precision"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.avg(f1), 6).alias("mean_f1"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 5) AS BIGINT) AS bin, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """A11 — histogram binning as floor-div groupBy
+    (plot_token_distribution.py:18)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 5).cast("long").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "distinct_sources",
+    "SELECT DISTINCT source FROM documents",
+)
+def distinct_sources(spark, sf_dir):
+    """A12 — distinct publishers (step_02:21), deterministic (engine adds
+    sorting downstream where order matters)."""
+    return _t(spark, sf_dir, "documents").select("source").distinct()
+
+
+# ===========================================================================
+# B. Reference pipeline operators (split / filter / shrink / ordinals)
+# ===========================================================================
+
+_SPLIT_ORACLE = """
+WITH srcs AS (SELECT DISTINCT source FROM documents),
+ranked AS (
+  SELECT source,
+         row_number() OVER (ORDER BY md5(source)) AS rn,
+         count(*) OVER () AS n
+  FROM srcs
+), sized AS (
+  SELECT source, rn, n,
+         CAST(round(0.8 * n, 0) AS BIGINT) AS ts0,
+         n - CAST(round(0.8 * n, 0) AS BIGINT) AS rem
+  FROM ranked
+), final AS (
+  SELECT source, rn,
+         ts0 + (rem % 2) AS train_n,
+         rem // 2 AS val_n
+  FROM sized
+)
+SELECT source,
+       CASE WHEN rn <= train_n THEN 'train'
+            WHEN rn <= train_n + val_n THEN 'val'
+            ELSE 'test' END AS split
+FROM final
+"""
+
+
+@register("split_assign", _SPLIT_ORACLE)
+def split_assign(spark, sf_dir):
+    """J2/P5 — publisher-isolated train/val/test split with the reference's
+    exact size arithmetic (step_02:28-38: round(0.8*n), remainder split
+    evenly, odd remainder to train). The reference's ordering is
+    irreproducible (list(set()) + shuffle); the engine pins a deterministic
+    pseudorandom permutation: order by md5(publisher) (SURVEY.md §1.4-2)."""
+    srcs = _t(spark, sf_dir, "documents").select("source").distinct()
+    w = Window.orderBy(F.md5(F.col("source")))
+    ranked = srcs.select(
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sized = ranked.withColumn("ts0", F.round(0.8 * F.col("n"), 0).cast("long")).withColumn(
+        "rem", F.col("n") - F.col("ts0")
+    )
+    final = sized.withColumn("train_n", F.col("ts0") + F.col("rem") % 2).withColumn(
+        "val_n", F.floor(F.col("rem") / 2)
+    )
+    return final.select(
+        "source",
+        F.when(F.col("rn") <= F.col("train_n"), "train")
+        .when(F.col("rn") <= F.col("train_n") + F.col("val_n"), "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "split_sizes",
+    f"WITH assign AS ({_SPLIT_ORACLE}) "
+    "SELECT a.split, count(*) AS n FROM documents d "
+    "JOIN assign a ON d.source = a.source GROUP BY a.split",
+)
+def split_sizes(spark, sf_dir):
+    """A1 over the split assignment — broadcast semi-join of the (tiny)
+    assignment table onto the fact table (J2)."""
+    docs = _t(spark, sf_dir, "documents")
+    assign = split_assign(spark, sf_dir)
+    return (
+        docs.join(F.broadcast(assign), "source")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "token_filter",
+    f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source, lang, {_TOK_DUCK} AS tc FROM documents
+    ) WHERE NOT (tc > CASE WHEN lang = 'en' THEN 90 ELSE 70 END)
+    """,
+)
+def token_filter(spark, sf_dir):
+    """P6/P7 — drop rows whose token count exceeds a per-column threshold
+    (step_05:37-52; thresholds config.json:21-22, scaled to this corpus).
+    The reference's text-file round-trip becomes a plain predicate; the
+    anti-join form is exercised in tests/test_pipeline.py."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.expr(_TOK_SPARK).alias("tc")
+    )
+    thr = F.when(F.col("lang") == "en", 90).otherwise(70)
+    return d.where(~(F.col("tc") > thr)).select("doc_id", "source")
+
+
+@register(
+    "shrink_first_n",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def shrink_first_n(spark, sf_dir):
+    """W2/A13 — first N samples per publisher in stable order
+    (step_06:13-19): windowed top-k, no global sort, no driver dict."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "source_ordinals",
+    """
+    SELECT source, row_number() OVER (ORDER BY source) AS ordinal
+    FROM (SELECT DISTINCT source FROM documents)
+    """,
+)
+def source_ordinals(spark, sf_dir):
+    """W4 — publisher ordinal (the reference loop counter i,
+    crawl_articles.py:46-47) as a window over the seed dimension (tiny: a
+    single-partition window over hosts is fine even at 10^10 URLs — hosts
+    number ~10^7, and this runs on the dim table only)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select("source", F.row_number().over(Window.orderBy("source")).alias("ordinal"))
+    )
+
+
+@register(
+    "complete_sources",
+    """
+    SELECT source, count(*) AS n FROM documents
+    GROUP BY source HAVING count(*) = 25
+    """,
+)
+def complete_sources(spark, sf_dir):
+    """P4/S6/J4 — shards with exactly N rows (create_dataset.py:58-62's
+    double file scan becomes one aggregate)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") == 25)
+    )
+
+
+@register(
+    "repetition_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, len(t) - 3 + 1 AS total,
+             unnest(list_transform(generate_series(1, len(t) - 3 + 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), cnts AS (
+      SELECT doc_id, total, g, count(*) AS c FROM grams GROUP BY doc_id, total, g
+    ), ratios AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) / CAST(max(total) AS DOUBLE), 6) AS rep_ratio
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, rep_ratio FROM ratios WHERE rep_ratio < 0.2
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """P9/F5 — repeated-n-gram severity ratio (omit_degeneration.py:13-30,
+    n=3 for this corpus) and threshold filter (:60-68), expressed natively:
+    explode n-grams → per-doc counts → ratio. Stays JVM-side end-to-end."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    n = 3
+    d = d.where(F.size("t") >= n).select(
+        "doc_id",
+        (F.size("t") - n + 1).alias("total"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+            )
+        ).alias("g"),
+    )
+    cnts = d.groupBy("doc_id", "total", "g").agg(F.count("*").alias("c"))
+    ratios = cnts.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            / F.max("total").cast("double"),
+            6,
+        ).alias("rep_ratio")
+    )
+    return ratios.where(F.col("rep_ratio") < 0.2)
+
+
+@register(
+    "quality_features",
+    f"""
+    SELECT doc_id,
+           {_TOK_DUCK} AS n_tokens,
+           length(text) AS n_chars,
+           round(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it')))
+                 / CAST({_TOK_DUCK} AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def quality_features(spark, sf_dir):
+    """Text-quality scoring (engine addition; C4/Gopher-style heuristics):
+    token count, char count, punctuation ratio, stopword ratio — all as
+    built-in Column expressions (no Python in the hot path)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[\w\s]", "")) / F.length("text").cast("double"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(stop)))
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("stopword_ratio"),
+    )

@@ -1,0 +1,246 @@
+"""Join/aggregation plans over the TPC-H-ish star schema (J1-J7 analogs,
+SURVEY.md §2.3) plus windowed/ordering plans over ``events`` (§2.6-2.7).
+
+Shuffle discipline: dimension tables (region/nation/customer/supplier) are
+broadcast; only fact-fact joins (orders⋈lineitem) shuffle, on their join key.
+Money aggregates use the integer-cents trick (see catalog.py module doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _sql_cents, _t, cents, register
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_sql_cents('l_quantity')}) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(sum({_sql_cents('l_extendedprice')}) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum({_sql_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) / 100.0 AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy partial+final agg; the filter and the
+    4-column projection must push into the parquet scan (checked in
+    tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT o.o_orderkey AS orderkey,
+           CAST(sum({_sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT) / 100.0 AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact join;
+    top-10 with a total deterministic ORDER BY (revenue, orderdate, key)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderkey").alias("orderkey"), F.col("o_orderdate").alias("orderdate"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(sum({_sql_cents('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT) / 100.0 AS revenue
+    FROM region r JOIN nation n   ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o   ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join — all dims broadcast, single fact-fact
+    shuffle on orderkey; Catalyst/AQE pick the join order."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "orders_without_lineitems",
+    """
+    SELECT o.o_orderkey AS orderkey FROM orders o
+    WHERE o.o_orderstatus = 'F'
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    """,
+)
+def orders_without_lineitems(spark, sf_dir):
+    """J3/P6 analog — LEFT ANTI JOIN (the engine's replacement for every
+    "not in python-set" filter in the reference, step_05:50-52)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT nation, custkey, acctbal FROM (
+      SELECT n.n_name AS nation, c.c_custkey AS custkey, c.c_acctbal AS acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3
+    """,
+)
+def top_customers_per_nation(spark, sf_dir):
+    """W2/W5 shape — per-group top-k via window with deterministic tiebreak;
+    Catalyst rewrites the rank-filter into per-partition top-k."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("nation").orderBy(F.desc("acctbal"), "custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("nation", "custkey", "acctbal")
+    )
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+           round(avg(value), 6) AS mean_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_counts(spark, sf_dir):
+    """Tumbling-window aggregation (batch twin of the Structured-Streaming
+    windowed agg; §2.9) — date_trunc bucketing, partial+final agg."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization via lag() (the batch twin of
+    applyInPandasWithState session windows): a new session starts after a
+    >30 min silence per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        lag_ts.isNull() | (F.col("ts") > lag_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@register(
+    "events_running_rank",
+    """
+    SELECT event_id, user_id, value FROM (
+      SELECT event_id, user_id, value,
+             rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r
+      FROM events WHERE event_type = 'purchase'
+    ) WHERE r = 1
+    """,
+)
+def events_running_rank(spark, sf_dir):
+    """W3 — max-with-ties per group via rank()==1 (get_max_tokens.py:30-38)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.select("event_id", "user_id", "value", F.rank().over(w).alias("r"))
+        .where(F.col("r") == 1)
+        .select("event_id", "user_id", "value")
+    )

@@ -1,0 +1,103 @@
+"""Mirror of the driver's correctness gate: run every catalog query on Spark
+AND its DuckDB oracle twin at sf0.01, compare row count + schema-insensitive
+sorted value hash (SURVEY.md §5.2-3). Also plan-shape assertions
+(pushdown / broadcast) for the scale-critical queries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # driver-style tolerant float normalization
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _value_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
+ALL_QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(entry_mod.oracle_sql()[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sm = _value_multiset(scols, srows)
+    dm = _value_multiset(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+    assert sm == dm, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+@pytest.mark.parametrize("name", [n for n in ALL_QUERIES if n not in ORACLE_QUERIES])
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+# ---------------------------------------------------------------- plan shape
+
+def test_q1_pushdown(spark):
+    """Filter + projection must reach the parquet scan."""
+    plan = entry_mod.queries()["q1_pricing_summary"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the needed columns are read
+    assert "l_comment" not in plan
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = entry_mod.queries()["q3_shipping_priority"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_no_global_sort(spark):
+    """Per-group top-k must not introduce a global Sort over all rows."""
+    df = entry_mod.queries()["top_customers_per_nation"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" not in plan

@@ -1,0 +1,312 @@
+"""Distributed frontier operations: pop (salted two-phase top-k under the
+politeness budget), robots gating, link discovery, and the bloom-prefiltered
+exact seen-set update.
+
+Column-expression twins of ``crawl/semantics.py`` — the two files must stay
+in lockstep (equivalence is asserted against the sequential simulator in
+tests/test_crawl.py at multiple parallelism levels).
+
+Scale design (SURVEY.md §4.3):
+- frontier/seen shuffle on (bucket, url_hash, priority) — raw URLs stay in
+  their partition files; nothing here shuffles html.
+- hot hosts are salted: phase 1 takes the per-(host,salt) top-b, phase 2
+  reduces to the exact per-host top-b — associative, exact, and the skew
+  lands on S× more shuffle partitions.
+- the per-round global fetch sequence is a single-partition window over the
+  *popped set only* (bounded by Σ host budgets per round, orders of
+  magnitude smaller than the frontier).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from .bloom import BloomFilter
+from .semantics import DEFAULT_CRAWL_DELAY, CrawlParams
+
+# --------------------------------------------------------------------------
+# Column twins of semantics.py helpers
+# --------------------------------------------------------------------------
+
+def path_col(url: F.Column) -> F.Column:
+    """Path component incl. leading slash ('/' for bare host)."""
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    return F.when(rest == "", "/").otherwise(
+        F.when(rest.startswith("/"), rest).otherwise(F.concat(F.lit("/"), rest))
+    )
+
+
+def is_fetchable_col(url: F.Column) -> F.Column:
+    return url.startswith("http://") | url.startswith("https://")
+
+
+def disallowed_col(url: F.Column, disallow: F.Column) -> F.Column:
+    p = path_col(url)
+    return F.when(disallow.isNull(), F.lit(False)).otherwise(
+        F.exists(disallow, lambda d: p.startswith(d))
+    )
+
+
+def budget_col(crawl_delay: F.Column, round_budget: float, remaining: F.Column) -> F.Column:
+    delay = F.when(
+        crawl_delay.isNull() | (crawl_delay <= 0), F.lit(DEFAULT_CRAWL_DELAY)
+    ).otherwise(crawl_delay)
+    b = F.greatest(F.lit(1).cast("long"), F.floor(F.lit(round_budget) / delay))
+    return F.greatest(F.lit(0).cast("long"), F.least(b, remaining))
+
+
+# --------------------------------------------------------------------------
+# Frontier construction / insertion
+# --------------------------------------------------------------------------
+
+def frontier_from_seeds(seeds: DataFrame, robots: DataFrame, params: CrawlParams) -> DataFrame:
+    """Init: skip deprecated (P3), canonicalize (F16), robots gate at insert,
+    dedup by canonical url keeping max priority."""
+    s = (
+        seeds.where(~F.coalesce(F.col("deprecated"), F.lit(False)))
+        .select(
+            U.canonical_url(F.col("url")).alias("url"),
+            F.col("priority").cast("double").alias("priority"),
+        )
+        .where(is_fetchable_col(F.col("url")))
+        .withColumn("host", U.host_of(F.col("url")))
+    )
+    s = s.join(F.broadcast(robots.select("host", "disallow")), "host", "left").where(
+        ~disallowed_col(F.col("url"), F.col("disallow"))
+    )
+    return (
+        s.groupBy("url", "host")
+        .agg(F.max("priority").alias("priority"))
+        .select(
+            U.host_bucket(F.col("host"), params.n_buckets).alias("bucket"),
+            U.url_salt(F.col("url"), params.n_salts).alias("salt"),
+            "host",
+            "url",
+            F.xxhash64(F.col("url")).alias("url_hash"),
+            "priority",
+            F.lit(0).alias("depth"),
+            F.lit(0).alias("discovered_round"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pop
+# --------------------------------------------------------------------------
+
+def pop_round(
+    frontier: DataFrame,
+    robots: DataFrame,
+    host_counts: DataFrame,
+    params: CrawlParams,
+) -> DataFrame:
+    """W5 — per-host top-budget pop with global deterministic sequence.
+
+    Returns columns: seq, url, url_hash, bucket, host, priority, depth.
+    """
+    budgets = (
+        frontier.select("host")
+        .distinct()
+        .join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+        .join(F.broadcast(host_counts), "host", "left")
+        .select(
+            "host",
+            budget_col(
+                F.col("crawl_delay"),
+                params.round_budget,
+                F.lit(params.max_articles).cast("long")
+                - F.coalesce(F.col("fetched"), F.lit(0)).cast("long"),
+            ).alias("budget"),
+        )
+        .where(F.col("budget") > 0)
+    )
+
+    cand = frontier.join(F.broadcast(budgets), "host")
+
+    order = [F.desc("priority"), F.asc("discovered_round"), F.asc("url")]
+    w_salt = Window.partitionBy("host", "salt").orderBy(*order)
+    w_host = Window.partitionBy("host").orderBy(*order)
+
+    # phase 1: per-(host,salt) top-b — spreads hot hosts over S partitions;
+    # phase 2: exact per-host top-b over the ≤ S*b survivors.
+    phase1 = cand.withColumn("rn1", F.row_number().over(w_salt)).where(
+        F.col("rn1") <= F.col("budget")
+    )
+    phase2 = phase1.withColumn("rn2", F.row_number().over(w_host)).where(
+        F.col("rn2") <= F.col("budget")
+    )
+
+    w_global = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
+    return phase2.select(
+        (F.row_number().over(w_global) - 1).alias("seq"),
+        "url",
+        "url_hash",
+        "bucket",
+        "host",
+        "priority",
+        "depth",
+    )
+
+
+# --------------------------------------------------------------------------
+# Discovery
+# --------------------------------------------------------------------------
+
+def discover_links(fetched: DataFrame, robots: DataFrame, params: CrawlParams, rnd: int) -> DataFrame:
+    """New frontier candidates from this round's successful fetches.
+
+    fetched needs: url, priority, depth, out_links. Order-free semantics:
+    child priority = max(parent)-1, depth = min(parent)+1 (semantics.py).
+    Result NOT yet deduplicated against seen/frontier.
+    """
+    links = fetched.select(
+        F.col("priority").alias("parent_priority"),
+        F.col("depth").alias("parent_depth"),
+        F.explode_outer("out_links").alias("raw"),
+    ).where(F.col("raw").isNotNull())
+    links = links.select(
+        U.canonical_url(F.col("raw")).alias("url"), "parent_priority", "parent_depth"
+    ).where(is_fetchable_col(F.col("url")))
+    links = links.withColumn("host", U.host_of(F.col("url")))
+    links = links.join(F.broadcast(robots.select("host", "disallow")), "host", "left").where(
+        ~disallowed_col(F.col("url"), F.col("disallow"))
+    )
+    return (
+        links.groupBy("url", "host")
+        .agg(
+            (F.max("parent_priority") - 1.0).alias("priority"),
+            (F.min("parent_depth") + 1).alias("depth"),
+        )
+        .select(
+            U.host_bucket(F.col("host"), params.n_buckets).alias("bucket"),
+            U.url_salt(F.col("url"), params.n_salts).alias("salt"),
+            "host",
+            "url",
+            F.xxhash64(F.col("url")).alias("url_hash"),
+            "priority",
+            "depth",
+            F.lit(rnd).alias("discovered_round"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom store: per-bucket blobs on shared storage, executor-side update/probe
+# --------------------------------------------------------------------------
+
+class BloomStore:
+    """Per-bucket bloom blobs under <root>/bloom/snap-<id>/bucket-<i>.bin.
+
+    update(): incremental — each bucket's blob is loaded, new url_hashes
+    OR-ed in, written to the new snapshot dir, all inside applyInPandas on
+    executors (no driver collect of blobs). Unchanged buckets are carried
+    over. probe(): mapInPandas with a per-worker blob cache keyed by path —
+    a partition only ever loads the buckets present in its own batch.
+    """
+
+    def __init__(self, root: str, params: CrawlParams, bits_per_bucket: int = 1 << 20):
+        self.root = root
+        self.params = params
+        self.bits = bits_per_bucket
+
+    def _dir(self, snap: int) -> str:
+        return os.path.join(self.root, "bloom", f"snap-{snap}")
+
+    def update(self, new_seen: DataFrame, prev_snap: int | None, snap: int) -> None:
+        prev_dir = self._dir(prev_snap) if prev_snap is not None else None
+        new_dir = self._dir(snap)
+        os.makedirs(new_dir, exist_ok=True)
+        bits = self.bits
+
+        def build(key, pdf):
+            (bucket,) = key
+            prev_path = (
+                os.path.join(prev_dir, f"bucket-{bucket}.bin") if prev_dir else None
+            )
+            if prev_path and os.path.exists(prev_path):
+                with open(prev_path, "rb") as f:
+                    bf = BloomFilter.from_bytes(f.read())
+            else:
+                bf = BloomFilter(n_expected=1, m_bits=bits)
+            bf.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
+            tmp = os.path.join(new_dir, f".bucket-{bucket}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bf.to_bytes())
+            os.replace(tmp, os.path.join(new_dir, f"bucket-{bucket}.bin"))
+            return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+
+        (
+            new_seen.select("bucket", "url_hash")
+            .groupBy("bucket")
+            .applyInPandas(build, "bucket int, n long")
+            .collect()  # action: drives the executor-side writes
+        )
+        # carry over untouched buckets
+        if prev_dir and os.path.isdir(prev_dir):
+            for fn in os.listdir(prev_dir):
+                dst = os.path.join(new_dir, fn)
+                if fn.endswith(".bin") and not os.path.exists(dst):
+                    with open(os.path.join(prev_dir, fn), "rb") as fsrc, open(dst, "wb") as fdst:
+                        fdst.write(fsrc.read())
+
+    def probe(self, candidates: DataFrame, snap: int) -> DataFrame:
+        """Adds ``maybe_seen`` boolean. Zero false negatives by construction
+        (property-tested)."""
+        snap_dir = self._dir(snap)
+        schema = T.StructType(
+            candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+
+        def run(batches):
+            cache: dict[int, BloomFilter | None] = {}
+            for pdf in batches:
+                out = np.zeros(len(pdf), dtype=bool)
+                for bucket, idx in pdf.groupby("bucket").groups.items():
+                    if bucket not in cache:
+                        path = os.path.join(snap_dir, f"bucket-{bucket}.bin")
+                        if os.path.exists(path):
+                            with open(path, "rb") as f:
+                                cache[bucket] = BloomFilter.from_bytes(f.read())
+                        else:
+                            cache[bucket] = None
+                    bf = cache[bucket]
+                    if bf is not None:
+                        sel = pdf.loc[idx, "url_hash"].to_numpy(dtype=np.int64)
+                        out[pdf.index.get_indexer(idx)] = bf.contains_many(sel)
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = out
+                yield pdf
+
+        return candidates.repartition("bucket").mapInPandas(run, schema)
+
+
+def dedup_new_urls(
+    candidates: DataFrame,
+    seen: DataFrame,
+    frontier: DataFrame,
+    bloom: BloomStore | None,
+    bloom_snap: int | None,
+) -> DataFrame:
+    """J6 — exact seen-set dedup with bloom prefilter.
+
+    definitely-new (bloom says no) skip the anti-join entirely; maybe-seen
+    go through the exact url_hash anti-join (FPs survive correctly). Always
+    anti-joined against the current frontier (already-enqueued URLs)."""
+    if bloom is not None and bloom_snap is not None:
+        probed = bloom.probe(candidates, bloom_snap)
+        fresh = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = maybe.join(
+            seen.select("url_hash").distinct(), "url_hash", "left_anti"
+        )
+        novel = fresh.unionByName(confirmed_new)
+    else:
+        novel = candidates.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+    return novel.join(frontier.select("url_hash").distinct(), "url_hash", "left_anti")

@@ -1,0 +1,91 @@
+"""Canonical crawl semantics — the single definition both the sequential
+simulator (oracle) and the distributed engine implement. Any change here is
+a semantic version bump.
+
+The reference's crawl ordering is publisher-collection iteration order with
+skip rules (/root/reference/data_extraction/crawl_articles.py:45-70) and a
+per-publisher article cap (:93-100). That order depends on live library
+state, so the engine pins a deterministic total order with the same
+*structure* (priority-ranked sources, per-source budget, finished-set skip)
+— SURVEY.md §1.4-4:
+
+  - frontier pop per host:   (priority DESC, discovered_round ASC, url ASC)
+  - global fetch order:      (priority DESC, host ASC, url ASC)
+  - politeness budget:       max(1, floor(round_budget / crawl_delay)),
+                             further capped by remaining max_articles
+  - seen:                    every popped URL (success or failure), exactly once
+  - discovery:               child priority = max(parent priority) - 1,
+                             depth = min(parent depth) + 1, order-free per round
+  - robots:                  disallowed URLs never enter the frontier
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+DEFAULT_CRAWL_DELAY = 1.0
+
+_SCHEME_HOST = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)")
+_HTTPS_443 = re.compile(r"^(https://[^/:]+):443(/|$)")
+_HTTP_80 = re.compile(r"^(http://[^/:]+):80(/|$)")
+_TRAILING = re.compile(r"(.+[^/])/$")
+_HOST = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)")
+
+
+def canonical_url(url: str) -> str:
+    """Python twin of functions.urls.canonical_url (must stay in lockstep —
+    cross-checked property test in tests/test_crawl.py)."""
+    c = url.strip()
+    c = re.sub(r"#.*$", "", c)
+    m = _SCHEME_HOST.match(c)
+    if m:
+        c = m.group(1).lower() + c[m.end() :]
+    c = _HTTPS_443.sub(r"\1\2", c)
+    c = _HTTP_80.sub(r"\1\2", c)
+    c = _TRAILING.sub(r"\1", c)
+    return c
+
+
+def host_of(url: str) -> str:
+    m = _HOST.match(url)
+    return m.group(1).lower() if m else ""
+
+
+def is_fetchable(url: str) -> bool:
+    return url.startswith("http://") or url.startswith("https://")
+
+
+def path_of(url: str) -> str:
+    m = _SCHEME_HOST.match(url)
+    rest = url[m.end() :] if m else url
+    return rest if rest.startswith("/") else "/" + rest if rest else "/"
+
+
+def is_disallowed(url: str, disallow_prefixes: list[str] | None) -> bool:
+    if not disallow_prefixes:
+        return False
+    p = path_of(url)
+    return any(p.startswith(d) for d in disallow_prefixes)
+
+
+def host_budget(crawl_delay: float | None, round_budget: float, remaining_cap: int) -> int:
+    """Politeness budget for one host in one round. Deterministic budget
+    clock: counts, not wall time (SURVEY.md §4.2). At least one fetch per
+    round (liveness) unless the article cap is exhausted."""
+    delay = crawl_delay if crawl_delay and crawl_delay > 0 else DEFAULT_CRAWL_DELAY
+    b = max(1, int(round_budget // delay))
+    return max(0, min(b, remaining_cap))
+
+
+def child_priority(parent_priority: float) -> float:
+    return parent_priority - 1.0
+
+
+@dataclass(frozen=True)
+class CrawlParams:
+    round_budget: float = 10.0  # politeness budget units per round
+    max_articles: int = 1000  # per-host success cap (config.json:5 analog)
+    max_rounds: int = 100
+    n_buckets: int = 8
+    n_salts: int = 4

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 class Snapshot:
     snapshot_id: int
     parent_id: int | None
-    tables: dict[str, str]  # table name -> data path
+    tables: dict[str, list[str]]  # table name -> ordered list of data paths
     row_counts: dict[str, int]
     counters: dict[str, Any] = field(default_factory=dict)
 
@@ -58,10 +58,13 @@ class Snapshot:
     @staticmethod
     def from_json(s: str) -> "Snapshot":
         d = json.loads(s)
+        tables = {
+            t: (p if isinstance(p, list) else [p]) for t, p in d["tables"].items()
+        }
         return Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d["parent_id"],
-            tables=d["tables"],
+            tables=tables,
             row_counts=d["row_counts"],
             counters=d.get("counters", {}),
         )
@@ -97,11 +100,12 @@ class SnapshotCatalog:
 
     def read_table(self, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Time-travel read: table contents at a given (default: current)
-        snapshot."""
+        snapshot. Append-chain tables resolve to a multi-path parquet scan
+        (Iceberg-manifest style — history is never rewritten)."""
         snap = self.snapshot(snapshot_id)
         if snap is None or table not in snap.tables:
             raise KeyError(f"table {table!r} not present in snapshot {snapshot_id}")
-        return self.spark.read.parquet(snap.tables[table])
+        return self.spark.read.parquet(*snap.tables[table])
 
     def lineage(self) -> list[Snapshot]:
         """Snapshots from current back to the root (lineage chain)."""
@@ -119,32 +123,47 @@ class SnapshotCatalog:
     def commit(
         self,
         snapshot_id: int,
-        tables: dict[str, DataFrame],
+        tables: dict[str, DataFrame] | None = None,
+        appends: dict[str, DataFrame] | None = None,
         counters: dict[str, Any] | None = None,
-        carry_over: dict[str, str] | None = None,
+        count_rows: bool = False,
+        output_partitions: int | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot.
 
-        ``tables``: DataFrames materialized fresh for this snapshot.
-        ``carry_over``: table name -> existing data path reused unchanged
-        (no rewrite for tables untouched this round — Iceberg-style manifest
-        reuse).
+        ``tables``: full rewrites (e.g. frontier — its content churns).
+        ``appends``: delta-only writes; the manifest chains the new path
+        onto the parent's path list (e.g. seen/pages/crawl_log — history is
+        immutable, so appending a delta file is O(round), not O(history);
+        this is the Iceberg append pattern and the only sane shape at
+        10^10 URLs).
+        ``output_partitions``: coalesce width for tiny test-scale states;
+        leave None at scale.
+        ``count_rows``: row counts per table in the manifest cost one job
+        each — opt-in.
         """
         parent = self.current_snapshot_id()
-        paths: dict[str, str] = dict(carry_over or {})
+        parent_snap = self.snapshot(parent) if parent is not None else None
+        paths: dict[str, list[str]] = (
+            {t: list(p) for t, p in parent_snap.tables.items()} if parent_snap else {}
+        )
         row_counts: dict[str, int] = {}
 
-        parent_snap = self.snapshot(parent) if parent is not None else None
-        for t, p in paths.items():
-            row_counts[t] = (
-                parent_snap.row_counts.get(t, -1) if parent_snap is not None else -1
-            )
-
-        for name, df in tables.items():
+        def _write(name: str, df: DataFrame) -> str:
             path = os.path.join(self.root, "data", name, f"snap-{snapshot_id}")
+            if output_partitions is not None:
+                df = df.coalesce(output_partitions)
             df.write.mode("overwrite").parquet(path)
-            paths[name] = path
-            row_counts[name] = self.spark.read.parquet(path).count()
+            return path
+
+        for name, df in (tables or {}).items():
+            paths[name] = [_write(name, df)]
+        for name, df in (appends or {}).items():
+            paths.setdefault(name, []).append(_write(name, df))
+
+        if count_rows:
+            for name, plist in paths.items():
+                row_counts[name] = self.spark.read.parquet(*plist).count()
 
         snap = Snapshot(snapshot_id, parent, paths, row_counts, counters or {})
 

@@ -1,0 +1,190 @@
+"""Crawl-engine equivalence and state tests (SURVEY.md §5.2-2/4/5):
+
+1. distributed crawl == sequential reference-semantics simulator:
+   identical crawl log (ordering!), seen set, page text bytes.
+2. bloom/cuckoo zero false negatives (hypothesis property).
+3. kill-after-round-k resume == uninterrupted run.
+4. same result at different parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from news_crawler_slm_spark.crawl.bloom import BloomFilter, CuckooFilter
+from news_crawler_slm_spark.crawl.rounds import build_round, init_state, run_crawl, synthetic_fetcher
+from news_crawler_slm_spark.crawl.semantics import CrawlParams, canonical_url
+from news_crawler_slm_spark.crawl.simulator import simulate
+from news_crawler_slm_spark.functions import urls as U
+from news_crawler_slm_spark.sources.synthetic_web import WebScale, generate_web, web_dataframes
+from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+PARAMS = CrawlParams(round_budget=6.0, max_articles=12, max_rounds=8)
+SCALE = WebScale(n_hosts=10, pages_per_host_max=20, links_per_page=4, seed=7)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_web(SCALE)
+
+
+@pytest.fixture(scope="module")
+def sim_result(corpus):
+    return simulate(corpus["seeds"], corpus["robots"], corpus["web"], PARAMS)
+
+
+def _run_engine(spark, root, use_bloom=True):
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    state = run_crawl(
+        spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS, use_bloom=use_bloom
+    )
+    return state, SnapshotCatalog(spark, root)
+
+
+def _crawl_log(catalog):
+    return [
+        (r["round"], r["seq"], r["host"], r["url"], r["status"])
+        for r in catalog.read_table("crawl_log").orderBy("round", "seq").collect()
+    ]
+
+
+def test_engine_matches_simulator(spark, tmp_path, sim_result):
+    state, catalog = _run_engine(spark, str(tmp_path / "cat"))
+
+    # crawl ordering: exact (round, seq, host, url, status) sequence
+    assert _crawl_log(catalog) == sim_result.crawl_log
+
+    # seen set: exact
+    got_seen = {r["url"] for r in catalog.read_table("seen").collect()}
+    assert got_seen == sim_result.seen
+
+    # pages: byte-identical text per url (the north-rule invariant)
+    got_pages = {
+        r["url"]: (r["text"], r["lang"], r["publisher"])
+        for r in catalog.read_table("pages").collect()
+    }
+    assert got_pages == sim_result.pages
+
+    # frontier remainder matches
+    got_frontier = {
+        r["url"]: (r["host"], r["priority"], r["depth"]) for r in state.frontier.collect()
+    }
+    sim_frontier = {u: (h, p, d) for u, (h, p, d, _r) in sim_result.frontier.items()}
+    assert got_frontier == sim_frontier
+
+    # lineage: one snapshot per round with counters
+    lineage = catalog.lineage()
+    assert [s.snapshot_id for s in lineage] == list(range(state.round, 0, -1))
+    assert all("popped" in s.counters for s in lineage)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path, sim_result):
+    """Kill after round 3, resume from snapshot: identical final state."""
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "resume_cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS, max_rounds=3)
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS)
+    catalog = SnapshotCatalog(spark, root)
+    assert _crawl_log(catalog) == sim_result.crawl_log
+    got_seen = {r["url"] for r in catalog.read_table("seen").collect()}
+    assert got_seen == sim_result.seen
+
+
+def test_engine_without_bloom_identical(spark, tmp_path, sim_result):
+    """Bloom is an optimization only — never changes results."""
+    _, catalog = _run_engine(spark, str(tmp_path / "nb_cat"), use_bloom=False)
+    assert _crawl_log(catalog) == sim_result.crawl_log
+
+
+def test_parallelism_invariance(tmp_path, sim_result):
+    """Different core count + shuffle partitioning — same crawl log."""
+    from news_crawler_slm_spark.session import get_spark
+
+    spark = get_spark("nc-slm-par2", cores=2, shuffle_partitions=5)
+    _, catalog = _run_engine(spark, str(tmp_path / "par_cat"))
+    assert _crawl_log(catalog) == sim_result.crawl_log
+
+
+# ---------------------------------------------------------------- components
+
+def test_first_round_budgets(spark):
+    """Politeness: high-delay host (host 1, delay 30) pops ≤1 URL in round 1;
+    no host exceeds floor(round_budget/delay)."""
+    dfs = web_dataframes(spark, SCALE)
+    state = init_state(spark, dfs["seeds"], dfs["robots"], PARAMS)
+    deltas, popped, fetched_raw = build_round(
+        state, dfs["robots"], synthetic_fetcher(dfs["web"]), PARAMS
+    )
+    per_host = {
+        r["host"]: r["n"]
+        for r in deltas.log_delta.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    popped.unpersist()
+    fetched_raw.unpersist()
+    assert per_host.get("news1.example.com", 0) <= 1
+    assert all(n <= 6 for n in per_host.values())
+
+
+@given(
+    seen=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300),
+    probes=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=100),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_zero_false_negatives(seen, probes):
+    bf = BloomFilter(n_expected=max(1, len(seen)))
+    bf.add_many(np.array(seen, dtype=np.int64))
+    if seen:
+        assert bf.contains_many(np.array(seen, dtype=np.int64)).all()
+    # round-trip preserves membership
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    if seen:
+        assert bf2.contains_many(np.array(seen, dtype=np.int64)).all()
+
+
+@given(items=st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=200, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_membership_and_delete(items):
+    cf = CuckooFilter(n_expected=max(4, len(items) * 2))
+    inserted = [h for h in items if cf.add(h)]
+    for h in inserted:
+        assert cf.contains(h)
+    for h in inserted[: len(inserted) // 2]:
+        assert cf.delete(h)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_canonicalization_idempotent(s):
+    url = "https://Example.COM:443/" + s
+    once = canonical_url(url)
+    assert canonical_url(once) == once
+
+
+def test_canonical_url_column_twin(spark):
+    """The Column expression and the python implementation agree
+    byte-for-byte (simulator and engine must share semantics)."""
+    cases = [
+        "https://Example.COM/path/Page#frag",
+        "HTTPS://HOST.de:443/x/",
+        "http://a.b:80/",
+        "http://a.b:80",
+        "https://x.y/deep/path/",
+        "https://x.y",
+        "  https://pad.me/p  ",
+        "ftp://odd.scheme/z",
+        "https://h.io/p?q=1&r=2#s",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = [r["c"] for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [canonical_url(c) for c in cases]

@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Per-round benchmark for the driver (BENCH_r{N}.json) and the BASELINE.json
+metric set: headline query latencies at $SPARK_GRAFT_SF_DIR, crawl throughput
+(pages/sec) + frontier-pop latency on the deterministic synthetic web, and
+N→4N scaling efficiency (evidenced as local[N/4] vs local[N] on identical
+input — no real cluster in this sandbox; see BASELINE.md notes).
+
+Prints exactly ONE JSON line:
+  {"metric": "pages_per_sec", "value": ..., "unit": "pages/sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "query_total_s": ..., "frontier_pop_latency_s": ...,
+   "scaling": {"cores_n": 8, "cores_4n": 32, "pps_n": ..., "pps_4n": ...,
+               "efficiency": ...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir for SQL queries (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     4N core count (default 32); N = max(1, CPUS // 4)
+  SPARK_GRAFT_BENCH_SCALING  "0" to skip the N-core crawl re-run
+  SPARK_GRAFT_BENCH_HOSTS / _PAGES  synthetic-web size (default 150 / 400)
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql.functions import col as F_col
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CORES_N = max(1, CPUS // 4)
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "64"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "192"))
+BENCH_PARAS = int(os.environ.get("SPARK_GRAFT_BENCH_PARAS", "800"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+
+# Headline queries: one per operator family (scan+agg, join, window, anti-join,
+# dedup sketches, ANN, text analysis, crawl primitives). Names must exist in
+# the plans REGISTRY.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customers_per_nation",
+    "orders_without_lineitems",
+    "hourly_event_counts",
+    "sessionization",
+    "token_filter",
+    "shrink_first_n",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "quality_features",
+    "frontier_pop_topk",
+    "seen_anti_join",
+]
+
+
+def _session(cores: int, app: str, html_heavy: bool = False):
+    from news_crawler_slm_spark.session import get_spark
+
+    # moderate heap: measured 2-4x slower end-to-end with a 48g heap (GC /
+    # allocation behavior of the single local JVM); 16g fits 32 concurrent
+    # ~100 KB-row Arrow tasks comfortably
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    extra = {}
+    if html_heavy:
+        # ~100 KB rows × 32 concurrent python workers: measured sweep
+        # (BASELINE.md) — batch 128 halves both the first-stage page-fault
+        # storm (worker arenas growing under concurrent first-touch) and the
+        # steady-state time vs batch 2048/256. Per-executor setting on a
+        # real cluster (SURVEY.md §4.2 Arrow row).
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = "128"
+    return get_spark(app, cores=cores, shuffle_partitions=cores, extra_conf=extra)
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i % 7
+    return x
+
+
+def cpu_scaling_ceiling(n_procs: int, m_procs: int, work: int = 6_000_000) -> float:
+    """The VM's own parallel-scaling ceiling, measured with plain python
+    processes (no Spark): aggregate throughput efficiency going n -> m
+    processes. On this shared-tenancy sandbox (10-20%% steal time observed)
+    even embarrassingly-parallel CPU work does not scale linearly; the job
+    efficiency is reported raw AND normalized by this ceiling."""
+    agg = {}
+    for k in (n_procs, m_procs):
+        with multiprocessing.Pool(k) as p:
+            t0 = time.monotonic()
+            p.map(_burn, [work] * k)
+            agg[k] = k * work / (time.monotonic() - t0)
+    return agg[m_procs] / agg[n_procs] / (m_procs / n_procs)
+
+
+def _run_to_noop(df) -> None:
+    """Execute the full plan without driver-side collection cost."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        df = fn(spark, SF_DIR)
+        _run_to_noop(df)  # warm-up: codegen JIT + file-index caches
+        t0 = time.monotonic()
+        _run_to_noop(df)
+        out[name] = round(time.monotonic() - t0, 4)
+    return out
+
+
+def bench_crawl(cores: int, rounds: int, corpus_dir: str | None = None) -> dict[str, float]:
+    """Run the crawl at `cores` on the identical deterministic web corpus.
+
+    Returns total pages/sec, STEADY-STATE pages/sec (the big round — round 1
+    pops only the seeds, so total throughput under-reports the engine at any
+    scale where rounds amortize), and mean frontier-pop latency. The corpus
+    is generated executor-side once and shared between core counts via
+    parquet so both runs read byte-identical input."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # SparkContext teardown is async-ish; give the JVM a beat
+        time.sleep(1)
+
+    spark = _session(cores, f"nc-slm-bench-crawl-{cores}", html_heavy=True)
+    try:
+        from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+        from news_crawler_slm_spark.crawl.semantics import CrawlParams
+        from news_crawler_slm_spark.sources.synthetic_web import bench_web_dataframes
+
+        dfs = bench_web_dataframes(
+            spark,
+            n_hosts=BENCH_HOSTS,
+            pages_per_host=BENCH_PAGES,
+            body_paras=BENCH_PARAS,
+            seed=7,
+        )
+        if corpus_dir is not None:
+            web_path = os.path.join(corpus_dir, "web.parquet")
+            if not os.path.exists(web_path):
+                dfs["web"].write.parquet(web_path)
+            web = spark.read.parquet(web_path).cache()
+        else:
+            web = dfs["web"].cache()
+        n_web = web.count()  # materialize the corpus outside the timed region
+
+        # Warm the python workers with a representative extract slice: the
+        # first heavy Arrow stage of a fresh worker pool pays a concurrent
+        # first-touch page-fault storm (measured 2-4x at 32 workers; a real
+        # long-running cluster amortizes this once per executor lifetime).
+        from news_crawler_slm_spark.functions.udfs import clean_html_udf
+
+        (
+            web.sample(fraction=0.12, seed=1)
+            .select(clean_html_udf(F_col("html")).alias("t"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+        # identical logical job at both core counts: same buckets/salts, only
+        # the executor-thread count differs (the N vs 4N surrogate)
+        params = CrawlParams(
+            round_budget=float(BENCH_PAGES), max_articles=100_000, n_buckets=16
+        )
+        root = tempfile.mkdtemp(prefix=f"bench_crawl_{cores}_")
+        stats: dict = {"rounds": [], "pop_lat": []}
+
+        def on_round(rnd, counters, round_s, pop_s):
+            stats["rounds"].append((counters["fetched"], round_s))
+            stats["pop_lat"].append(pop_s)
+
+        t0 = time.monotonic()
+        run_crawl(
+            spark,
+            root,
+            dfs["seeds"],
+            dfs["robots"],
+            synthetic_fetcher(web),
+            params,
+            max_rounds=rounds,
+            output_partitions=None,
+            on_round=on_round,
+        )
+        wall = time.monotonic() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        fetched = sum(f for f, _ in stats["rounds"])
+        big_f, big_s = max(stats["rounds"], key=lambda r: r[0], default=(0, 1.0))
+        pop_lat = sum(stats["pop_lat"]) / max(1, len(stats["pop_lat"]))
+        return {
+            "pages_per_sec": round(fetched / wall, 2),
+            "steady_pages_per_sec": round(big_f / big_s, 2),
+            "fetched": fetched,
+            "wall_s": round(wall, 2),
+            "pop_latency_s": round(pop_lat, 3),
+            "web_pages": n_web,
+        }
+    finally:
+        spark.stop()
+        time.sleep(1)
+
+
+def main() -> None:
+    spark = _session(CPUS, "nc-slm-bench-queries")
+    queries = bench_queries(spark)
+    query_total = round(sum(queries.values()), 3)
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        crawl_4n = bench_crawl(CPUS, CRAWL_ROUNDS, corpus_dir)
+
+        scaling = None
+        if DO_SCALING:
+            crawl_n = bench_crawl(CORES_N, CRAWL_ROUNDS, corpus_dir)
+            eff = (
+                crawl_4n["steady_pages_per_sec"]
+                / crawl_n["steady_pages_per_sec"]
+                / (CPUS / CORES_N)
+            )
+            hw_eff = cpu_scaling_ceiling(CORES_N, CPUS)
+            scaling = {
+                "cores_n": CORES_N,
+                "cores_4n": CPUS,
+                "pps_n": crawl_n["steady_pages_per_sec"],
+                "pps_4n": crawl_4n["steady_pages_per_sec"],
+                "total_pps_n": crawl_n["pages_per_sec"],
+                "total_pps_4n": crawl_4n["pages_per_sec"],
+                "efficiency": round(eff, 3),
+                "hw_ceiling_efficiency": round(hw_eff, 3),
+                "normalized_efficiency": round(min(1.0, eff / hw_eff), 3),
+                "note": "same job, same parquet input, local[N] vs local[4N] "
+                "(no real cluster in sandbox; single shared memory bus + "
+                "10-20% hypervisor steal, see hw ceiling); steady-state = "
+                "biggest round; see BASELINE.md",
+            }
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "pages_per_sec",
+        "value": crawl_4n["pages_per_sec"],
+        "unit": "pages/sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "query_total_s": query_total,
+        "frontier_pop_latency_s": crawl_4n["pop_latency_s"],
+        "crawl": crawl_4n,
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

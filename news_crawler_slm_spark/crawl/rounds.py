@@ -25,6 +25,7 @@ triggers — rounds are deterministic batch jobs driven from here
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import Callable
 
@@ -46,19 +47,38 @@ Fetcher = Callable[[DataFrame], DataFrame]
 
 
 def synthetic_fetcher(web: DataFrame) -> Fetcher:
-    """Offline fetch backend: left-join the deterministic web table by
-    canonical url. A real deployment swaps this for a mapInPandas HTTP
-    stage with per-task timeouts (config.json:6 analog) — same contract:
-    adds html, out_links, fetch_ok, lang, publisher."""
+    """Offline fetch backend: join the deterministic web table by canonical
+    url. A real deployment swaps this for a mapInPandas HTTP stage with
+    per-task timeouts (config.json:6 analog) — same contract: adds html,
+    out_links, fetch_ok, lang, publisher.
+
+    Join shape matters at scale: the popped batch is small (one round's
+    budget) while the web/html side is the heavy one, so the hot path is an
+    INNER join broadcasting the popped side (an outer join can't build on
+    the preserved side) plus a pruned-column anti-join for misses — html
+    bytes never shuffle, stay in their scan/cache partitions, and the
+    downstream Arrow extract stage keeps full partition parallelism (north
+    rule: no raw-URL/html shuffles; SURVEY.md §4.3)."""
 
     def fetch(popped: DataFrame) -> DataFrame:
         w = web.select(
             F.col("url").alias("w_url"), "html", "out_links", "fetch_ok", "lang", "publisher"
         )
-        joined = popped.join(w, popped.url == w.w_url, "left").drop("w_url")
-        return joined.withColumn(
-            "fetch_ok", F.coalesce(F.col("fetch_ok"), F.lit(False))
+        # hot path: inner broadcast-hash join, build side = popped (small),
+        # stream side = web scan — html stays in its scan/cache partitions.
+        hits = w.join(F.broadcast(popped), popped.url == w.w_url, "inner").drop("w_url")
+        # misses (404 analog): tiny anti-join on the pruned url column only.
+        misses = popped.join(
+            F.broadcast(w.select("w_url")), popped.url == F.col("w_url"), "left_anti"
+        ).select(
+            "*",
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("array<string>").alias("out_links"),
+            F.lit(False).alias("fetch_ok"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("publisher"),
         )
+        return hits.unionByName(misses)
 
     return fetch
 
@@ -105,22 +125,29 @@ def build_round(
     params: CrawlParams,
     bloom: BloomStore | None = None,
 ) -> tuple[RoundDeltas, DataFrame, DataFrame]:
-    """Assemble one round's lazy plan. Returns (deltas, popped, fetched_raw);
-    popped/fetched_raw are cached and must be unpersisted by the caller."""
+    """Assemble one round's lazy plan. Returns (deltas, popped, fetched_slim);
+    popped/fetched_slim are cached and must be unpersisted by the caller.
+
+    Memory shape: only an html-FREE slim projection of the fetch result is
+    cached (log/discovery/counters reuse it). The heavy html column streams
+    straight from the fetch stage into the Arrow clean_html UDF exactly once,
+    at pages-write time — at 100 TB, caching or shuffling raw html per round
+    would dominate everything."""
     rnd = state.round + 1
 
     popped = pop_round(state.frontier, robots, state.host_counts, params).cache()
-    fetched_raw = fetcher(popped).cache()
-    ok = fetched_raw.where(F.col("fetch_ok"))
+    fetched_full = fetcher(popped)
+    fetched_slim = fetched_full.drop("html").cache()
+    ok_slim = fetched_slim.where(F.col("fetch_ok"))
 
-    log_delta = fetched_raw.select(
+    log_delta = fetched_slim.select(
         F.lit(rnd).alias("round"),
         "seq",
         "host",
         "url",
         F.when(F.col("fetch_ok"), "fetched").otherwise("failed").alias("status"),
     )
-    pages_delta = ok.select(
+    pages_delta = fetched_full.where(F.col("fetch_ok")).select(
         "url",
         clean_html_udf(F.col("html")).alias("text"),
         "lang",
@@ -132,7 +159,7 @@ def build_round(
         popped.select("url_hash"), "url_hash", "left_anti"
     )
     candidates = discover_links(
-        ok.select("url", "priority", "depth", "out_links"), robots, params, rnd
+        ok_slim.select("url", "priority", "depth", "out_links"), robots, params, rnd
     )
     novel = dedup_new_urls(
         candidates,
@@ -147,7 +174,7 @@ def build_round(
 
     counts_new = (
         state.host_counts.unionByName(
-            ok.groupBy("host").agg(F.count("*").alias("fetched"))
+            ok_slim.groupBy("host").agg(F.count("*").alias("fetched"))
         )
         .groupBy("host")
         .agg(F.sum("fetched").alias("fetched"))
@@ -160,7 +187,7 @@ def build_round(
         pages_delta=pages_delta,
         log_delta=log_delta,
     )
-    return deltas, popped, fetched_raw
+    return deltas, popped, fetched_slim
 
 
 def run_crawl(
@@ -173,6 +200,7 @@ def run_crawl(
     use_bloom: bool = True,
     max_rounds: int | None = None,
     output_partitions: int | None = 1,
+    on_round: Callable[[int, dict, float, float], None] | None = None,
 ) -> CrawlState:
     """Run (or resume) a crawl; one snapshot per round.
 
@@ -200,18 +228,23 @@ def run_crawl(
 
     rounds_left = max_rounds if max_rounds is not None else params.max_rounds - state.round
     for _ in range(max(0, rounds_left)):
-        deltas, popped, fetched_raw = build_round(state, robots, fetcher, params, bloom)
+        t_round = time.monotonic()
+        deltas, popped, fetched_slim = build_round(state, robots, fetcher, params, bloom)
         rnd = state.round + 1
 
-        # single counting action: stop condition + counters + cache warm-up
+        # single counting action: stop condition + counters + cache warm-up.
+        # This action materializes the cached pop, so its duration is the
+        # frontier-pop latency (windowed top-k + politeness budget + fetch).
+        t_pop = time.monotonic()
         status_counts = {
             r["status"]: r["n"]
             for r in deltas.log_delta.groupBy("status").agg(F.count("*").alias("n")).collect()
         }
+        pop_latency = time.monotonic() - t_pop
         n_popped = sum(status_counts.values())
         if n_popped == 0:
             popped.unpersist()
-            fetched_raw.unpersist()
+            fetched_slim.unpersist()
             break
 
         if bloom is not None:
@@ -235,7 +268,7 @@ def run_crawl(
             output_partitions=output_partitions,
         )
         popped.unpersist()
-        fetched_raw.unpersist()
+        fetched_slim.unpersist()
         # re-read committed state: truncates lineage; every round is a pure
         # function of durable snapshots
         state = CrawlState(
@@ -244,4 +277,6 @@ def run_crawl(
             seen=catalog.read_table("seen"),
             host_counts=catalog.read_table("host_counts"),
         )
+        if on_round is not None:
+            on_round(rnd, counters, time.monotonic() - t_round, pop_latency)
     return state

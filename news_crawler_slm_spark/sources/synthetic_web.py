@@ -17,6 +17,7 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
@@ -154,4 +155,96 @@ def web_dataframes(spark: SparkSession, scale: WebScale = WebScale()) -> dict[st
         "web": spark.createDataFrame(rows["web"], schemas.WEB),
         "seeds": spark.createDataFrame(rows["seeds"], schemas.SEEDS),
         "robots": spark.createDataFrame(rows["robots"], schemas.ROBOTS),
+    }
+
+
+# ------------------------------------------------------------- bench corpus
+#
+# The functional corpus above is generated driver-side (small, exhaustive
+# branch coverage). The BENCH corpus must be big enough that the Arrow
+# extract chain dominates per-round overhead, so HTML is synthesized on the
+# EXECUTORS by a deterministic pandas UDF — the same pattern a 100 TB corpus
+# uses (driver holds only metadata; heavy columns never pass through the
+# driver).
+
+
+def _bench_page_html(seed: int, host: str, page_idx: int, lang: str, body_paras: int) -> bytes:
+    """Pure function of (seed, host, page_idx): safe to evaluate on any
+    executor in any order."""
+    rng = random.Random(f"{seed}:{host}:{page_idx}")
+    base = _page_html(rng, host, page_idx, lang)
+    words = _WORDS[lang].split()
+    fill: list[str] = []
+    for p in range(body_paras):
+        sent = " ".join(rng.choice(words) for _ in range(12))
+        if p % 3 == 0:
+            fill.append(rng.choice(_REMOVABLE_SNIPPETS).format(i=p))
+        elif p % 3 == 1:
+            fill.append(rng.choice(_KEPT_SNIPPETS).format(i=p))
+        fill.append(f'<p style="margin:{p}px">{sent} filler {p}.</p>')
+    return base.replace("</body>", "\n".join(fill) + "\n</body>").encode("utf-8")
+
+
+def bench_web_dataframes(
+    spark: SparkSession,
+    n_hosts: int = 64,
+    pages_per_host: int = 96,
+    body_paras: int = 220,
+    seed: int = 7,
+    partitions: int = 64,
+) -> dict[str, DataFrame]:
+    """Deterministic crawl-bench corpus: uniform hosts (balanced rounds),
+    every page links to all pages of its host (round 2 pops the full host
+    under a pages_per_host budget), HTML ≈ body_paras paragraphs generated
+    executor-side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    hosts = [f"bench{h}.example.com" for h in range(n_hosts)]
+    meta_rows = []
+    for h in range(n_hosts):
+        lang = LANGS[h % len(LANGS)]
+        urls = [f"https://{hosts[h]}/p{i}" for i in range(pages_per_host)]
+        cross = f"https://{hosts[(h + 1) % n_hosts]}/p0"
+        for i, url in enumerate(urls):
+            # seed page links the whole host (round 2 pops everything under a
+            # pages_per_host budget); interior pages carry a realistic ~8-link
+            # neighborhood so discovery volume stays O(pages), not O(pages²)
+            if i == 0:
+                links = urls[1:] + [cross]
+            else:
+                links = [urls[(i + j) % pages_per_host] for j in range(1, 9)] + [cross]
+            meta_rows.append((url, hosts[h], i, links, True, lang, f"Bench{h}"))
+
+    meta = spark.createDataFrame(
+        meta_rows, "url string, host string, page_idx int, out_links array<string>, "
+        "fetch_ok boolean, lang string, publisher string"
+    ).repartition(partitions, "url")
+
+    @F.pandas_udf(BinaryType())
+    def gen_html(host: pd.Series, page_idx: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _bench_page_html(seed, h, int(i), la, body_paras)
+                for h, i, la in zip(host, page_idx, lang)
+            ]
+        )
+
+    web = meta.select(
+        "url",
+        gen_html("host", "page_idx", "lang").alias("html"),
+        "out_links",
+        "fetch_ok",
+        "lang",
+        "publisher",
+    )
+    seed_rows = [
+        (f"https://{hosts[h]}/p0", hosts[h], f"Bench{h}", h + 1, False, float(n_hosts - h))
+        for h in range(n_hosts)
+    ]
+    robots_rows = [(hosts[h], ["/private"], 1.0) for h in range(n_hosts)]
+    return {
+        "web": web,
+        "seeds": spark.createDataFrame(seed_rows, schemas.SEEDS),
+        "robots": spark.createDataFrame(robots_rows, schemas.ROBOTS),
     }

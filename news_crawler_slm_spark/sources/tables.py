@@ -156,10 +156,25 @@ class SnapshotCatalog:
             df.write.mode("overwrite").parquet(path)
             return path
 
-        for name, df in (tables or {}).items():
-            paths[name] = [_write(name, df)]
-        for name, df in (appends or {}).items():
-            paths.setdefault(name, []).append(_write(name, df))
+        # Submit all table writes as concurrent Spark jobs (the scheduler
+        # interleaves their stages); a serialized write-per-table would make
+        # commit latency the sum of five job latencies. Failure of any write
+        # aborts the commit before the manifest swap — atomicity holds.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [(name, df, False) for name, df in (tables or {}).items()] + [
+            (name, df, True) for name, df in (appends or {}).items()
+        ]
+        if jobs:
+            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+                written = list(
+                    ex.map(lambda j: (j[0], _write(j[0], j[1]), j[2]), jobs)
+                )
+            for name, path, is_append in written:
+                if is_append:
+                    paths.setdefault(name, []).append(path)
+                else:
+                    paths[name] = [path]
 
         if count_rows:
             for name, plist in paths.items():

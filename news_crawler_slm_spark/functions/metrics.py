@@ -1,0 +1,286 @@
+"""Evaluation-metric row functions (reference: evaluation/evaluate_model.py).
+
+Pure-python semantics here; Arrow-vectorized UDF wrappers in ``udfs.py``.
+The reference delegates to external libs (HF ``evaluate``, ``Levenshtein``,
+``jellyfish``, fastDamerauLevenshtein — evaluate_model.py:96-122); none are
+installable offline, so the engine ships self-contained implementations of
+the same definitions:
+
+- Levenshtein + normalization (evaluate_model.py:108-109): classic DP,
+  distance / max(len(pred), len(gold)).
+- Damerau-Levenshtein (evaluate_model.py:111): full DL (unrestricted,
+  matching fastDamerauLevenshtein's definition).
+- Jaro-Winkler similarity (evaluate_model.py:113): standard Winkler
+  prefix-boost (p=0.1, max prefix 4) — verified against DuckDB's
+  implementation on canonical cases.
+- Rouge-L F-measure (evaluate_model.py:99-100): token-level LCS F1, the
+  single-reference case of HF rouge's rougeL.
+- BLEU (evaluate_model.py:102-103): corpus BLEU with uniform 4-gram weights
+  and brevity penalty (single pred/ref pair), no smoothing — HF bleu
+  default.
+- METEOR (evaluate_model.py:105-106) requires nltk wordnet data (absent
+  offline): deliberately NOT implemented; ``meteor_score`` raises
+  NotImplementedError so the gap is explicit, not silent.
+- safe_transform_to_json (evaluate_model.py:35-41): ``ast.literal_eval`` —
+  accepts *python literal* syntax (single quotes, None/True/False) and
+  REJECTS strict-JSON ``null``/``true`` — the reference's quirk, kept.
+- evaluate_json (evaluate_model.py:125-225): TP/FP/FN field scoring with
+  the reference's exact branch order (extra/missing keys, body subkey+type
+  overlap, hallucination, type mismatch, list-as-set, scalar equality).
+"""
+
+from __future__ import annotations
+
+import ast
+
+
+# ---------------------------------------------------------------- distances
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def normalized_levenshtein(pred: str, gold: str) -> float:
+    """distance / max(len) — evaluate_model.py:108-109 (0.0 for two empties)."""
+    m = max(len(pred), len(gold))
+    return levenshtein(pred, gold) / m if m else 0.0
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (adjacent-transposition aware)."""
+    da: dict[str, int] = {}
+    maxdist = len(a) + len(b)
+    d = [[0] * (len(b) + 2) for _ in range(len(a) + 2)]
+    d[0][0] = maxdist
+    for i in range(len(a) + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k = da.get(b[j - 1], 0)
+            l = db  # noqa: E741
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitution
+                d[i + 1][j] + 1,  # insertion
+                d[i][j + 1] + 1,  # deletion
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transposition
+            )
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+def jaro(a: str, b: str) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    window = max(len(a), len(b)) // 2 - 1
+    window = max(window, 0)
+    a_flags = [False] * len(a)
+    b_flags = [False] * len(b)
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(len(b), i + window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = b_flags[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i, fa in enumerate(a_flags):
+        if fa:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / len(a) + m / len(b) + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = jaro(a, b)
+    prefix = 0
+    for ca, cb in zip(a, b):
+        if ca != cb or prefix == max_prefix:
+            break
+        prefix += 1
+    return j + prefix * p * (1.0 - j)
+
+
+# ---------------------------------------------------------- overlap metrics
+
+def _lcs_len(x: list[str], y: list[str]) -> int:
+    prev = [0] * (len(y) + 1)
+    for xi in x:
+        cur = [0]
+        for j, yj in enumerate(y, 1):
+            cur.append(prev[j - 1] + 1 if xi == yj else max(prev[j], cur[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_f1(pred: str, gold: str) -> float:
+    """Token-level LCS F-measure (rougeL, single reference, beta=1)."""
+    p_toks, g_toks = pred.split(), gold.split()
+    if not p_toks or not g_toks:
+        return 0.0
+    lcs = _lcs_len(p_toks, g_toks)
+    if lcs == 0:
+        return 0.0
+    prec, rec = lcs / len(p_toks), lcs / len(g_toks)
+    return 2 * prec * rec / (prec + rec)
+
+
+def bleu(pred: str, gold: str, max_n: int = 4) -> float:
+    """Single-pair BLEU, uniform weights, brevity penalty, no smoothing
+    (HF `evaluate` bleu default for one prediction/reference)."""
+    import math
+
+    p_toks, g_toks = pred.split(), gold.split()
+    if not p_toks:
+        return 0.0
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        p_ngrams = [tuple(p_toks[i : i + n]) for i in range(len(p_toks) - n + 1)]
+        g_ngrams = [tuple(g_toks[i : i + n]) for i in range(len(g_toks) - n + 1)]
+        if not p_ngrams:
+            return 0.0
+        g_counts: dict[tuple, int] = {}
+        for g in g_ngrams:
+            g_counts[g] = g_counts.get(g, 0) + 1
+        clipped = 0
+        for pg in p_ngrams:
+            if g_counts.get(pg, 0) > 0:
+                clipped += 1
+                g_counts[pg] -= 1
+        if clipped == 0:
+            return 0.0
+        log_sum += math.log(clipped / len(p_ngrams)) / max_n
+    bp = 1.0 if len(p_toks) > len(g_toks) else math.exp(1 - len(g_toks) / max(1, len(p_toks)))
+    return bp * math.exp(log_sum)
+
+
+def meteor_score(pred: str, gold: str) -> float:  # pragma: no cover - gated
+    raise NotImplementedError(
+        "METEOR needs nltk wordnet data (unavailable offline); "
+        "reference analog evaluate_model.py:105-106"
+    )
+
+
+# ------------------------------------------------------------- JSON scoring
+
+def safe_transform_to_json(pred_str: str):
+    """evaluate_model.py:35-41 — python-literal laxity, strict-JSON null
+    REJECTED (ast.literal_eval semantics, intentionally identical)."""
+    try:
+        return ast.literal_eval(pred_str)
+    except (SyntaxError, ValueError):
+        return None
+
+
+def get_key_sets(pred_keys: set, gold_keys: set):
+    return pred_keys - gold_keys, gold_keys - pred_keys, pred_keys & gold_keys
+
+
+def collect_unique_keys_and_types(data, prefix: str = "", result=None):
+    """evaluate_model.py:54-76 — dotted key-paths -> set of type names."""
+    if result is None:
+        result = {}
+    if isinstance(data, dict):
+        for key, value in data.items():
+            new_prefix = f"{prefix}.{key}" if prefix else key
+            result.setdefault(new_prefix, set()).add(type(value).__name__)
+            collect_unique_keys_and_types(value, new_prefix, result)
+    elif isinstance(data, list):
+        for item in data:
+            if isinstance(item, (dict, list)):
+                collect_unique_keys_and_types(item, prefix, result)
+    return result
+
+
+def extract_all_text(data) -> str:
+    """evaluate_model.py:79-93 — space-join of all nested strings."""
+    texts = []
+    if isinstance(data, str):
+        texts.append(data)
+    elif isinstance(data, dict):
+        for value in data.values():
+            texts.append(extract_all_text(value))
+    elif isinstance(data, list):
+        for item in data:
+            texts.append(extract_all_text(item))
+    return " ".join(t for t in texts if t)
+
+
+def evaluate_json(prediction: str, gold_data: dict) -> dict:
+    """evaluate_model.py:125-225 with identical branch order. ``body`` text
+    metrics omit METEOR (gated, see meteor_score)."""
+    valid_json = safe_transform_to_json(prediction)
+    if valid_json is None or not isinstance(valid_json, dict):
+        return {"valid_json": 0, "TP": 0, "FP": 0, "FN": 0}
+
+    scores = {"valid_json": 1, "TP": 0, "FP": 0, "FN": 0}
+    extra, missing, common = get_key_sets(set(valid_json), set(gold_data))
+    scores["FP"] += len(extra)
+    scores["FN"] += len(missing)
+
+    for key in common:
+        pred_value, gold_value = valid_json[key], gold_data[key]
+        if key == "body":
+            gb = collect_unique_keys_and_types(gold_value)
+            pb = collect_unique_keys_and_types(pred_value)
+            e2, m2, c2 = get_key_sets(set(pb), set(gb))
+            scores["FP"] += len(e2)
+            scores["FN"] += len(m2)
+            for sub in c2:
+                if gb[sub] != pb[sub]:
+                    scores["FN"] += 1
+                    scores["FP"] += 1
+            g_text, p_text = extract_all_text(gold_value), extract_all_text(pred_value)
+            scores["body_Rouge-L"] = rouge_l_f1(p_text, g_text)
+            scores["body_BLEU"] = bleu(p_text, g_text)
+            scores["body_Levenshtein"] = normalized_levenshtein(p_text, g_text)
+            scores["body_Damerau"] = float(damerau_levenshtein(p_text, g_text))
+            scores["body_Jaro-Winkler"] = jaro_winkler(p_text, g_text)
+        elif gold_value is None and pred_value is not None:
+            scores["FP"] += 1
+        elif type(gold_value) is not type(pred_value):
+            scores["FN"] += 1
+            scores["FP"] += 1
+        elif isinstance(gold_value, list):
+            if set(gold_value) != set(pred_value):
+                scores["FN"] += 1
+                scores["FP"] += 1
+            else:
+                scores["TP"] += 1
+        elif pred_value != gold_value:
+            scores["FN"] += 1
+            scores["FP"] += 1
+        else:
+            scores["TP"] += 1
+    return scores

@@ -70,3 +70,70 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def shingles_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda v: shingles(_as_str(v)))
+
+
+# ------------------------------------------------------------ metric UDFs
+# (F7-F9, F11, F15 — functions/metrics.py holds the row semantics)
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    from .metrics import jaro_winkler
+
+    return pd.Series(
+        [jaro_winkler(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.LongType())
+def damerau_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    from .metrics import damerau_levenshtein
+
+    return pd.Series(
+        [damerau_levenshtein(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
+        dtype="int64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def rouge_l_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    from .metrics import rouge_l_f1
+
+    return pd.Series(
+        [rouge_l_f1(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
+        dtype="float64",
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def bleu_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    from .metrics import bleu
+
+    return pd.Series(
+        [bleu(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)], dtype="float64"
+    )
+
+
+JSON_EVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("valid_json", T.IntegerType()),
+        T.StructField("tp", T.IntegerType()),
+        T.StructField("fp", T.IntegerType()),
+        T.StructField("fn", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(JSON_EVAL_SCHEMA)
+def json_eval_udf(pred: pd.Series, gold_json: pd.Series) -> pd.DataFrame:
+    """F15 — evaluate_json (evaluate_model.py:125-225) over an Arrow batch;
+    gold arrives as a strict-JSON string (null fields preserved)."""
+    import json
+
+    from .metrics import evaluate_json
+
+    rows = []
+    for p, g in zip(pred, gold_json):
+        s = evaluate_json(_as_str(p), json.loads(_as_str(g)))
+        rows.append((s["valid_json"], s["TP"], s["FP"], s["FN"]))
+    return pd.DataFrame(rows, columns=["valid_json", "tp", "fp", "fn"])

@@ -1,5 +1,11 @@
 """Query-plan catalog. Importing this package populates
 ``catalog.REGISTRY`` with every (spark builder, oracle SQL) pair."""
 
-from . import catalog, catalog_dedup, catalog_joins  # noqa: F401
+from . import (  # noqa: F401
+    catalog,
+    catalog_dedup,
+    catalog_joins,
+    catalog_metrics,
+    catalog_multimodal,
+)
 from .catalog import REGISTRY  # noqa: F401

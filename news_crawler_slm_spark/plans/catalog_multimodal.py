@@ -1,0 +1,150 @@
+"""Multimodal + embedding-near-dup catalog entries (engine additions; the
+reference is text-only — SURVEY.md §2 notes these as the training-data-
+pipeline extensions a 100 TB corpus needs).
+
+Blob inputs are synthesized deterministically from the driver's
+``documents`` table (blob = utf-8 bytes of ``text``) so no external data is
+required and the DuckDB oracle can mirror every byte-length computation
+with ``octet_length(encode(text))``.
+
+Scale notes: blobs never shuffle — every op prunes to metadata columns
+immediately after the Arrow decode stage; the near-dup self-join is blocked
+by ``label`` (IVF-style bucketing: at 100 TB the blocker is a coarse
+quantizer / LSH band, same plan shape, bounded pair growth per block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import multimodal as MM
+from .catalog import _t, register
+
+# cosine threshold for near-duplicate embeddings: chosen mid-gap for the
+# synthetic corpus (no pair within 1e-6 of it at sf0.01/sf0.1 — verified),
+# so float summation-order differences between engines cannot flip a pair.
+NEARDUP_TAU = 0.35
+
+
+@register(
+    "embedding_neardup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+           ) AS DOUBLE), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_TAU}
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection (dedup family): label-
+    blocked self-join + JVM-side cosine (zip_with/aggregate — no Python in
+    the hot path). Blocking key = label (stand-in for an IVF/LSH bucket)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, ["label"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .where(F.col("cos_sim_raw") >= NEARDUP_TAU)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim")
+    )
+
+
+@register(
+    "multimodal_image_meta",
+    """
+    SELECT doc_id,
+           16 + (octet_length(encode(text)) % 625) AS width,
+           16 + ((octet_length(encode(text)) * 7) % 465) AS height,
+           3 AS channels,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark, sf_dir):
+    """Typed-metadata extraction from an opaque image blob column via
+    mapInPandas (Arrow batches; decode stubbed deterministically —
+    functions/multimodal.py). Blob bytes never leave the decode stage."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return d.mapInPandas(MM.image_meta_batches, MM.IMAGE_META_SCHEMA)
+
+
+@register("image_resize_stub", None)  # rows-only: byte-level checksum has no SQL twin
+def image_resize_stub(spark, sf_dir):
+    """Resize pipeline plumbing: blob in -> fixed-size record out, bounded
+    memory per Arrow batch. Decode/resample is the stubbed step (real
+    deployment: PIL inside the same mapInPandas body)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    return d.mapInPandas(MM.resize_batches(64, 64), MM.RESIZE_SCHEMA)
+
+
+@register(
+    "frame_sample_stats",
+    """
+    SELECT doc_id,
+           CAST(floor(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_frames,
+           CAST(ceil(floor(octet_length(encode(text)) / 256.0) / 4.0) AS INTEGER)
+             AS n_sampled
+    FROM documents
+    """,
+)
+def frame_sample_stats(spark, sf_dir):
+    """Video frame-sampling plumbing: fixed-size fake frames, stride-4
+    sampling inside mapInPandas; downstream sees only frame counts."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    out = d.mapInPandas(MM.frame_batches(256, 4), MM.FRAME_SCHEMA)
+    return out.select("doc_id", "n_frames", "n_sampled")
+
+
+@register(
+    "audio_duration_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_clips,
+           round(CAST(sum(CAST(floor(octet_length(encode(text)) / 2.0) AS BIGINT))
+                      AS BIGINT) / 16000.0, 6) AS total_duration_s
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def audio_duration_by_lang(spark, sf_dir):
+    """Audio metadata aggregation: fake 16-bit PCM duration per clip, then
+    a metadata-only groupBy — blob column pruned before the shuffle."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    # exact integer sample counts summed first (order-independent), one
+    # float division at the end — catalog.py numeric-identity convention
+    dur = d.select(
+        "lang",
+        (F.length("blob").cast("long") / F.lit(2)).cast("long").alias("n_samples"),
+    )
+    return dur.groupBy("lang").agg(
+        F.count("*").alias("n_clips"),
+        F.round(F.sum("n_samples") / F.lit(16000.0), 6).alias("total_duration_s"),
+    )

@@ -1,0 +1,84 @@
+"""Metric row-function semantics (reference: evaluation/evaluate_model.py).
+Cross-engine identity of levenshtein/jaro-winkler is pinned by the
+edit_distance_metrics oracle test; these pin the pure-python semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_crawler_slm_spark.functions import metrics as M
+
+
+def test_levenshtein_and_normalization():
+    assert M.levenshtein("kitten", "sitting") == 3
+    assert M.normalized_levenshtein("kitten", "sitting") == 3 / 7
+    assert M.normalized_levenshtein("", "") == 0.0  # guard, no ZeroDivision
+
+
+def test_damerau_unrestricted():
+    # unrestricted DL: "ca" -> "abc" is 2 (restricted OSA gives 3)
+    assert M.damerau_levenshtein("ca", "abc") == 2
+    assert M.damerau_levenshtein("martha", "marhta") == 1
+    assert M.damerau_levenshtein("", "abc") == 3
+
+
+def test_jaro_winkler_canonical():
+    assert abs(M.jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(M.jaro_winkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
+    assert M.jaro_winkler("", "") == 1.0
+    assert M.jaro_winkler("a", "") == 0.0
+
+
+def test_rouge_bleu():
+    assert M.rouge_l_f1("a b c", "a b c") == 1.0
+    assert M.rouge_l_f1("", "a") == 0.0
+    assert abs(M.rouge_l_f1("the cat sat", "the cat sat on the mat") - 2/3) < 1e-12
+    assert M.bleu("a b c d e", "a b c d e") == 1.0
+    assert M.bleu("x y z w", "a b c d") == 0.0
+
+
+def test_meteor_is_gated():
+    with pytest.raises(NotImplementedError):
+        M.meteor_score("a", "b")
+
+
+def test_lax_json_parse_reference_quirk():
+    # evaluate_model.py:35-41 uses ast.literal_eval: python-literal syntax
+    # accepted, strict-JSON null/true REJECTED.
+    assert M.safe_transform_to_json("{'a': 1, 'b': None}") == {"a": 1, "b": None}
+    assert M.safe_transform_to_json('{"a": 1}') == {"a": 1}
+    assert M.safe_transform_to_json('{"a": null}') is None
+    assert M.safe_transform_to_json("garbage {") is None
+
+
+def test_evaluate_json_branches():
+    gold = {"t": "x", "n": 5, "tags": ["a", "b"], "note": None}
+    # identical (tags as set) -> all TP
+    s = M.evaluate_json("{'t': 'x', 'n': 5, 'tags': ['b', 'a'], 'note': None}", gold)
+    assert (s["TP"], s["FP"], s["FN"]) == (4, 0, 0)
+    # hallucination on None-valued key + missing key + extra key + mismatch
+    s = M.evaluate_json("{'t': 'y', 'tags': ['a'], 'note': 1, 'zz': 0}", gold)
+    # t wrong (FN+FP), n missing (FN), tags set-differ (FN+FP),
+    # note halluc (FP), zz extra (FP)
+    assert (s["TP"], s["FP"], s["FN"]) == (0, 4, 3)
+    # type mismatch
+    s = M.evaluate_json("{'t': 'x', 'n': '5', 'tags': ['a','b'], 'note': None}", gold)
+    assert (s["TP"], s["FP"], s["FN"]) == (3, 1, 1)
+    # invalid
+    assert M.evaluate_json("null", gold)["valid_json"] == 0
+
+
+def test_evaluate_json_body_subkeys():
+    gold = {"body": {"p": "hello world", "meta": {"k": 1}}}
+    pred = "{'body': {'p': 'hello world', 'meta': {'k': 'one'}, 'xtra': 2}}"
+    s = M.evaluate_json(pred, gold)
+    # body.meta.k type differs (FN+FP), body.xtra extra (FP); text metrics present
+    assert s["FP"] == 2 and s["FN"] == 1
+    assert 0.0 <= s["body_Rouge-L"] <= 1.0 and "body_Jaro-Winkler" in s
+
+
+def test_extract_all_text_and_key_walk():
+    data = {"a": "x", "b": {"c": "y", "d": [1, "z"]}}
+    assert M.extract_all_text(data) == "x y z"
+    walk = M.collect_unique_keys_and_types(data)
+    assert walk["b.c"] == {"str"} and "a" in walk and walk["b"] == {"dict"}

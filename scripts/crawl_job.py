@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the crawl (north rule: "run via
+spark-submit --py-files on multi-executor clusters").
+
+Usage (sandbox, local master):
+
+    cd /root/repo && python scripts/make_pyfiles.py   # build the zip once
+    spark-submit --master 'local[32]' \
+        --py-files dist/news_crawler_slm_spark.zip \
+        scripts/crawl_job.py \
+        --catalog /tmp/crawl_cat --rounds 3 --hosts 20 --pages 60
+
+On a real cluster only --master/--deploy-mode change; the job code is
+identical. The synthetic web backend is used when --web-parquet is not
+given; pass a parquet of (url, html, out_links, fetch_ok, lang, publisher)
+to crawl a pre-fetched corpus, or swap the fetcher for an HTTP mapInPandas
+stage (crawl/rounds.py:synthetic_fetcher docstring).
+
+Resume: re-running with the same --catalog continues from the latest
+committed snapshot (exactly-once rounds; kill it mid-run and re-submit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--catalog", required=True, help="snapshot catalog root dir")
+    ap.add_argument("--rounds", type=int, default=None, help="max rounds this run")
+    ap.add_argument("--hosts", type=int, default=20)
+    ap.add_argument("--pages", type=int, default=60)
+    ap.add_argument("--web-parquet", default=None, help="pre-fetched corpus parquet")
+    ap.add_argument("--round-budget", type=float, default=10.0)
+    ap.add_argument("--max-articles", type=int, default=1000)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--no-bloom", action="store_true")
+    args = ap.parse_args()
+
+    # Under spark-submit the session already carries the submitted master;
+    # builder.getOrCreate() attaches to it (session.py confs still apply).
+    from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+    from news_crawler_slm_spark.crawl.semantics import CrawlParams
+    from news_crawler_slm_spark.session import get_spark
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+
+    spark = get_spark("nc-slm-crawl")
+
+    if args.web_parquet:
+        web = spark.read.parquet(args.web_parquet)
+        scale = WebScale(n_hosts=args.hosts, pages_per_host_max=args.pages)
+        dfs = web_dataframes(spark, scale)
+        seeds, robots = dfs["seeds"], dfs["robots"]
+    else:
+        scale = WebScale(n_hosts=args.hosts, pages_per_host_max=args.pages)
+        dfs = web_dataframes(spark, scale)
+        web, seeds, robots = dfs["web"].cache(), dfs["seeds"], dfs["robots"]
+
+    params = CrawlParams(
+        round_budget=args.round_budget,
+        max_articles=args.max_articles,
+        n_buckets=args.buckets,
+    )
+
+    progress = []
+
+    def on_round(rnd, counters, round_s, pop_s):
+        progress.append({**counters, "round_s": round(round_s, 2), "pop_s": round(pop_s, 2)})
+        print(json.dumps(progress[-1]), file=sys.stderr, flush=True)
+
+    t0 = time.monotonic()
+    state = run_crawl(
+        spark,
+        args.catalog,
+        seeds,
+        robots,
+        synthetic_fetcher(web),
+        params,
+        use_bloom=not args.no_bloom,
+        max_rounds=args.rounds,
+        output_partitions=None,
+        on_round=on_round,
+    )
+    wall = time.monotonic() - t0
+    fetched = sum(p["fetched"] for p in progress)
+    print(
+        json.dumps(
+            {
+                "final_round": state.round,
+                "rounds_run": len(progress),
+                "fetched": fetched,
+                "wall_s": round(wall, 2),
+                "pages_per_sec": round(fetched / wall, 2) if wall > 0 else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

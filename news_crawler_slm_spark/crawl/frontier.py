@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import urls as U
+from ..operators.topk import salted_top_k_per_group
 from .bloom import BloomFilter
 from .semantics import DEFAULT_CRAWL_DELAY, CrawlParams
 
@@ -130,21 +131,13 @@ def pop_round(
 
     cand = frontier.join(F.broadcast(budgets), "host")
 
+    # salted two-phase exact top-budget per host — spreads hot hosts over S
+    # partitions in phase 1, exact reduce in phase 2 (operators/topk.py).
     order = [F.desc("priority"), F.asc("discovered_round"), F.asc("url")]
-    w_salt = Window.partitionBy("host", "salt").orderBy(*order)
-    w_host = Window.partitionBy("host").orderBy(*order)
-
-    # phase 1: per-(host,salt) top-b — spreads hot hosts over S partitions;
-    # phase 2: exact per-host top-b over the ≤ S*b survivors.
-    phase1 = cand.withColumn("rn1", F.row_number().over(w_salt)).where(
-        F.col("rn1") <= F.col("budget")
-    )
-    phase2 = phase1.withColumn("rn2", F.row_number().over(w_host)).where(
-        F.col("rn2") <= F.col("budget")
-    )
+    popped = salted_top_k_per_group(cand, ["host"], order, F.col("budget"), "salt")
 
     w_global = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
-    return phase2.select(
+    return popped.select(
         (F.row_number().over(w_global) - 1).alias("seq"),
         "url",
         "url_hash",

@@ -36,8 +36,9 @@ _HOST = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:]+)")
 def canonical_url(url: str) -> str:
     """Python twin of functions.urls.canonical_url (must stay in lockstep —
     cross-checked property test in tests/test_crawl.py)."""
-    c = url.strip()
-    c = re.sub(r"#.*$", "", c)
+    # fragment first, trim second — see functions/urls.py:canonical_url
+    c = re.sub(r"#.*$", "", url)
+    c = c.strip()
     m = _SCHEME_HOST.match(c)
     if m:
         c = m.group(1).lower() + c[m.end() :]

@@ -24,9 +24,11 @@ def canonical_url(url: Column) -> Column:
 
     Deterministic and idempotent (property-tested).
     """
-    c = F.trim(url)
-    # strip fragment
-    c = F.regexp_replace(c, r"#.*$", "")
+    # fragment first, trim second: fragment removal can expose trailing
+    # whitespace ("…/ #frag"), so trimming before it breaks idempotency
+    # (hypothesis-found; mirrored in crawl/semantics.py)
+    c = F.regexp_replace(url, r"#.*$", "")
+    c = F.trim(c)
     # lowercase scheme://host (keep path case)
     c = F.concat(
         F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)),

@@ -1,0 +1,91 @@
+"""Structured-Streaming path: windowed aggregation ≡ batch twin, and the
+applyInPandasWithState first-seen dedup with exactly-once restarts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from news_crawler_slm_spark import schemas
+from news_crawler_slm_spark.streaming.ingest import (
+    pages_stream,
+    run_available_now,
+    windowed_lang_counts,
+)
+from news_crawler_slm_spark.streaming.stateful import first_seen_dedup
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+def _write_pages(spark, path, rows):
+    spark.createDataFrame(rows, schemas.PAGES).coalesce(1).write.mode("append").parquet(path)
+
+
+_BATCH1 = [
+    ("https://a/p1", _ts(0, 5), None, "hello world", "en", "A", 1),
+    ("https://a/p2", _ts(0, 20), None, "hallo welt zwei", "de", "A", 2),
+    ("https://b/p1", _ts(1, 10), None, "bonjour", "fr", "B", 3),
+    ("https://a/p1", _ts(1, 30), None, "hello world dup", "en", "A", 4),  # dup url
+]
+_BATCH2 = [
+    ("https://a/p1", _ts(2, 0), None, "dup again", "en", "A", 5),  # old url
+    ("https://c/p1", _ts(2, 15), None, "nuevo", "es", "C", 6),  # new url
+]
+
+
+def test_windowed_counts_match_batch_twin(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    _write_pages(spark, src, _BATCH1 + _BATCH2)
+
+    q = (
+        windowed_lang_counts(pages_stream(spark, src), "1 hour", "2 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winlang")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.lang): (r.n_pages, r.mean_text_len)
+        for r in spark.sql("select * from winlang").collect()
+    }
+    batch = (
+        spark.read.schema(schemas.PAGES)
+        .parquet(src)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n"), F.avg(F.length("text")).alias("m"))
+        .collect()
+    )
+    want = {(r.w.start, r.lang): (r.n, r.m) for r in batch}
+    assert got == want and len(got) >= 5
+
+
+def test_first_seen_dedup_exactly_once_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, src, _BATCH1)
+    run_available_now(first_seen_dedup(pages_stream(spark, src)), out, ckpt)
+    first = {r.url: r.warc_ts for r in spark.read.parquet(out).collect()}
+    # one row per distinct url, earliest (warc_ts, url) wins
+    assert first == {
+        "https://a/p1": _ts(0, 5),
+        "https://a/p2": _ts(0, 20),
+        "https://b/p1": _ts(1, 10),
+    }
+
+    # restart with new files: previously-seen urls must NOT re-emit
+    _write_pages(spark, src, _BATCH2)
+    run_available_now(first_seen_dedup(pages_stream(spark, src)), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # 3 from batch1 + only the genuinely new url
+    assert {r.url for r in rows} == {
+        "https://a/p1", "https://a/p2", "https://b/p1", "https://c/p1"
+    }
+    assert os.path.isdir(ckpt)

@@ -73,9 +73,12 @@ class Snapshot:
 class SnapshotCatalog:
     """A directory of snapshots over a set of named tables."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(
+        self, spark: SparkSession, root: str, commit_parallelism: int = 1
+    ) -> None:
         self.spark = spark
         self.root = root
+        self.commit_parallelism = commit_parallelism
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -156,20 +159,27 @@ class SnapshotCatalog:
             df.write.mode("overwrite").parquet(path)
             return path
 
-        # Submit all table writes as concurrent Spark jobs (the scheduler
-        # interleaves their stages); a serialized write-per-table would make
-        # commit latency the sum of five job latencies. Failure of any write
-        # aborts the commit before the manifest swap — atomicity holds.
+        # Table writes can be submitted as concurrent Spark jobs
+        # (self.commit_parallelism > 1) so independent writes overlap stage
+        # gaps — a win on a real cluster with per-node python worker pools.
+        # Measured on the single shared local JVM, concurrent python-UDF
+        # stages CONTEND (worker pool + memory bus) and serial is faster, so
+        # the default is 1. Failure of any write aborts the commit before
+        # the manifest swap — atomicity holds either way.
         from concurrent.futures import ThreadPoolExecutor
 
         jobs = [(name, df, False) for name, df in (tables or {}).items()] + [
             (name, df, True) for name, df in (appends or {}).items()
         ]
+        par = max(1, int(getattr(self, "commit_parallelism", 1)))
         if jobs:
-            with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-                written = list(
-                    ex.map(lambda j: (j[0], _write(j[0], j[1]), j[2]), jobs)
-                )
+            if par == 1:
+                written = [(n, _write(n, df), ap) for n, df, ap in jobs]
+            else:
+                with ThreadPoolExecutor(max_workers=min(par, len(jobs))) as ex:
+                    written = list(
+                        ex.map(lambda j: (j[0], _write(j[0], j[1]), j[2]), jobs)
+                    )
             for name, path, is_append in written:
                 if is_append:
                     paths.setdefault(name, []).append(path)

@@ -1,0 +1,68 @@
+"""Physical-plan invariants for the crawl's 100 TB design rules
+(SURVEY.md §4.3 / BASELINE.json north_rule):
+
+1. html bytes NEVER shuffle — the fetch join broadcasts the popped side;
+   no Exchange in the pages-delta plan carries the html column.
+2. the frontier pop's per-group top-k compiles to a window group-limit
+   (no global sort of the frontier).
+3. the seen-set dedup anti-join shuffles only (bucket, url_hash)-shaped
+   columns, never raw html.
+"""
+
+from __future__ import annotations
+
+import re
+
+from news_crawler_slm_spark.crawl.rounds import build_round, init_state, synthetic_fetcher
+from news_crawler_slm_spark.crawl.semantics import CrawlParams
+from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+
+
+def _round_plans(spark):
+    dfs = web_dataframes(spark, WebScale(n_hosts=8, pages_per_host_max=12))
+    params = CrawlParams(round_budget=6.0, n_buckets=4)
+    state = init_state(spark, dfs["seeds"], dfs["robots"], params)
+    deltas, popped, slim = build_round(
+        state, dfs["robots"], synthetic_fetcher(dfs["web"]), params, None
+    )
+    return deltas, popped, slim
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fetch_join_broadcasts_popped_and_html_never_shuffles(spark):
+    deltas, popped, slim = _round_plans(spark)
+    plan = _plan(deltas.pages_delta)
+    assert "BroadcastHashJoin" in plan
+    # every Exchange block must be free of the html column: html flows
+    # scan -> broadcast-probe -> clean UDF without crossing a shuffle
+    for ex in re.finditer(r"Exchange [^\n]*\n", plan):
+        assert "html" not in ex.group(0), ex.group(0)
+    popped.unpersist()
+    slim.unpersist()
+
+
+def test_frontier_pop_no_global_frontier_sort(spark):
+    """Per-host budget is a COLUMN, so Catalyst's WindowGroupLimit rewrite
+    cannot apply — the scalable invariant is instead: every sort over the
+    frontier is partition-LOCAL (windows partitioned by host/salt), and the
+    only single-partition exchange is the final global-seq window over the
+    already-budget-bounded popped set (SURVEY.md §4.3)."""
+    deltas, popped, slim = _round_plans(spark)
+    plan = _plan(popped)
+    # "Sort [...], true, 0" would be a global sort of the frontier
+    assert not re.search(r"Sort \[[^\]]*\], true,", plan), "global sort found"
+    assert plan.count("Exchange SinglePartition") <= 1
+    popped.unpersist()
+    slim.unpersist()
+
+
+def test_seen_dedup_exchanges_carry_no_html(spark):
+    deltas, popped, slim = _round_plans(spark)
+    plan = _plan(deltas.frontier)
+    for ex in re.finditer(r"Exchange [^\n]*\n", plan):
+        assert "html" not in ex.group(0), ex.group(0)
+    popped.unpersist()
+    slim.unpersist()

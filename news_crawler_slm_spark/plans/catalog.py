@@ -489,3 +489,30 @@ def quality_features(spark, sf_dir):
             6,
         ).alias("stopword_ratio"),
     )
+
+
+@register(
+    "sample_inspector",
+    """
+    SELECT doc_id, source, lang, substring(text, 1, 40) AS text_head
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 7 AND source = (SELECT min(source) FROM documents)
+    """,
+)
+def sample_inspector(spark, sf_dir):
+    """S10 — project chosen columns of one row addressed by (split,
+    position) (check_sample.py:10-28): point lookup by the stable position
+    column, never a driver-side scan."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = _t(spark, sf_dir, "documents")
+    first_source = d.agg(F.min("source").alias("s"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 7)
+        .join(F.broadcast(first_source), F.col("source") == F.col("s"))
+        .select(
+            "doc_id", "source", "lang", F.substring("text", 1, 40).alias("text_head")
+        )
+    )

@@ -35,6 +35,12 @@ def main() -> int:
     ap.add_argument("--hosts", type=int, default=20)
     ap.add_argument("--pages", type=int, default=60)
     ap.add_argument("--web-parquet", default=None, help="pre-fetched corpus parquet")
+    ap.add_argument(
+        "--robots-parquet",
+        default=None,
+        help="raw robots.txt fetches (host, body binary) — parsed in-engine "
+        "via crawl/robots.py instead of the synthetic robots table",
+    )
     ap.add_argument("--round-budget", type=float, default=10.0)
     ap.add_argument("--max-articles", type=int, default=1000)
     ap.add_argument("--buckets", type=int, default=8)
@@ -59,6 +65,11 @@ def main() -> int:
         scale = WebScale(n_hosts=args.hosts, pages_per_host_max=args.pages)
         dfs = web_dataframes(spark, scale)
         web, seeds, robots = dfs["web"].cache(), dfs["seeds"], dfs["robots"]
+
+    if args.robots_parquet:
+        from news_crawler_slm_spark.crawl.robots import robots_table
+
+        robots = robots_table(spark.read.parquet(args.robots_parquet))
 
     params = CrawlParams(
         round_budget=args.round_budget,

@@ -157,6 +157,11 @@ class _DomParser(HTMLParser):
         self.root = _Root()
         self._stack: list[_Element] = [self.root]
 
+    def updatepos(self, i: int, j: int) -> int:
+        # line/offset bookkeeping feeds only error messages we never emit;
+        # ~6% of parse time for free (contract: return the new position j)
+        return j
+
     # -- helpers
     @property
     def _top(self) -> _Element:

@@ -188,3 +188,43 @@ def test_canonical_url_column_twin(spark):
     df = spark.createDataFrame([(c,) for c in cases], "url string")
     got = [r["c"] for r in df.select(U.canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [canonical_url(c) for c in cases]
+
+
+# ---------------------------------------------------------------- operators
+
+from hypothesis import strategies as _st
+
+
+@given(
+    _st.lists(
+        _st.tuples(
+            _st.integers(0, 5),   # group
+            _st.integers(0, 3),   # salt
+            _st.integers(-50, 50),  # value
+            _st.integers(0, 10_000),  # tiebreak id
+        ),
+        min_size=0,
+        max_size=120,
+    ),
+    _st.integers(1, 6),  # k
+)
+@settings(max_examples=25, deadline=None)
+def test_salted_topk_equals_plain_topk(rows, k):
+    """operators.topk: the two-phase salted top-k must be exactly the plain
+    per-group top-k for ANY pre-assigned salt column (SURVEY.md §4.3)."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.operators.topk import (
+        salted_top_k_per_group,
+        top_k_per_group,
+    )
+    from news_crawler_slm_spark.session import get_spark
+
+    spark = get_spark("nc-slm-tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(g, s, v, i) for g, s, v, i in rows], "g int, salt int, v int, id int"
+    )
+    order = [F.desc("v"), F.asc("id")]
+    plain = {tuple(r) for r in top_k_per_group(df, ["g"], order, k).collect()}
+    salted = {tuple(r) for r in salted_top_k_per_group(df, ["g"], order, k, "salt").collect()}
+    assert plain == salted

@@ -266,6 +266,9 @@ def run_crawl(
             },
             counters=counters,
             output_partitions=output_partitions,
+            # frontier/seen live bucket-partitioned on disk: per-bucket scans
+            # are co-located and prunable (SURVEY.md §4.3 partitioning)
+            partition_by={"frontier": ["bucket"], "seen": ["bucket"]},
         )
         popped.unpersist()
         fetched_slim.unpersist()

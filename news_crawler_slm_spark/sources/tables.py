@@ -42,6 +42,7 @@ class Snapshot:
     tables: dict[str, list[str]]  # table name -> ordered list of data paths
     row_counts: dict[str, int]
     counters: dict[str, Any] = field(default_factory=dict)
+    schemas: dict[str, str] = field(default_factory=dict)  # table -> schema json
 
     def to_json(self) -> str:
         return json.dumps(
@@ -51,6 +52,7 @@ class Snapshot:
                 "tables": self.tables,
                 "row_counts": self.row_counts,
                 "counters": self.counters,
+                "schemas": self.schemas,
             },
             sort_keys=True,
         )
@@ -67,6 +69,7 @@ class Snapshot:
             tables=tables,
             row_counts=d["row_counts"],
             counters=d.get("counters", {}),
+            schemas=d.get("schemas", {}),
         )
 
 
@@ -108,7 +111,29 @@ class SnapshotCatalog:
         snap = self.snapshot(snapshot_id)
         if snap is None or table not in snap.tables:
             raise KeyError(f"table {table!r} not present in snapshot {snapshot_id}")
-        return self.spark.read.parquet(*snap.tables[table])
+        paths = snap.tables[table]
+
+        def _read(p: str):
+            # manifest-recorded schema: no inference jobs, and empty
+            # (partitioned) snapshots read back as a typed empty relation
+            schema_json = snap.schemas.get(table)
+            reader = self.spark.read
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+            return reader.parquet(p)
+
+        if len(paths) == 1:
+            return _read(paths[0])
+        # append-chain: each delta dir is its own partition-discovery root
+        # (hive-partitioned deltas under different snap dirs cannot share
+        # one multi-path read), unioned by name — Iceberg-manifest style.
+        dfs = [_read(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def lineage(self) -> list[Snapshot]:
         """Snapshots from current back to the root (lineage chain)."""
@@ -131,6 +156,7 @@ class SnapshotCatalog:
         counters: dict[str, Any] | None = None,
         count_rows: bool = False,
         output_partitions: int | None = None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         """Atomically commit a new snapshot.
 
@@ -150,13 +176,21 @@ class SnapshotCatalog:
         paths: dict[str, list[str]] = (
             {t: list(p) for t, p in parent_snap.tables.items()} if parent_snap else {}
         )
+        schemas: dict[str, str] = dict(parent_snap.schemas) if parent_snap else {}
         row_counts: dict[str, int] = {}
 
         def _write(name: str, df: DataFrame) -> str:
             path = os.path.join(self.root, "data", name, f"snap-{snapshot_id}")
             if output_partitions is not None:
                 df = df.coalesce(output_partitions)
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            # hive-style layout (e.g. frontier/seen by bucket): co-located
+            # per-bucket scans + partition pruning at 10^10-URL scale
+            cols = (partition_by or {}).get(name)
+            if cols:
+                writer = writer.partitionBy(*cols)
+            writer.parquet(path)
+            schemas[name] = df.schema.json()
             return path
 
         # Table writes can be submitted as concurrent Spark jobs
@@ -190,7 +224,7 @@ class SnapshotCatalog:
             for name, plist in paths.items():
                 row_counts[name] = self.spark.read.parquet(*plist).count()
 
-        snap = Snapshot(snapshot_id, parent, paths, row_counts, counters or {})
+        snap = Snapshot(snapshot_id, parent, paths, row_counts, counters or {}, schemas)
 
         manifest_dir = os.path.join(self.root, "manifests")
         fd, tmp = tempfile.mkstemp(dir=manifest_dir, suffix=".tmp")

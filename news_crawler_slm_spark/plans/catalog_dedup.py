@@ -455,3 +455,58 @@ def doc_fingerprints(spark, sf_dir):
         F.xxhash64("text").alias("fp64"),
         F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("prefix_fp"),
     )
+
+
+@register("ann_ivf_topk", None)  # engine-defined cells: no SQL twin
+def ann_ivf_topk(spark, sf_dir):
+    """Scale-path ANN #2: IVF (inverted-file) search. Coarse cells = per-
+    label centroids (at 100 TB the cells come from a k-means pass; the cell-
+    probe plan below is identical). Each query probes the nprobe=2 nearest
+    cells by centroid cosine, exact re-rank inside the probed cells only —
+    the candidate set is bounded by cell sizes, never O(corpus). Recall vs
+    the brute-force baseline is asserted in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def cos(a, b):
+        return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+    # centroids per cell, element-wise mean via posexplode -> re-assemble
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s.m).alias("centroid"))
+    )
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # probe: top-2 cells per query by centroid cosine (cells are few: broadcast)
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cell_cos", cos(F.col("qe"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= 2)
+        .select("query_id", "qe", "label")
+    )
+    # exact re-rank inside probed cells only
+    cand = emb.join(F.broadcast(probed), "label").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
+    return (
+        cand.select("query_id", "vec_id", cos(F.col("qe"), F.col("e")).alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
+    )

@@ -8,11 +8,20 @@ the same definitions:
 
 - Levenshtein + normalization (evaluate_model.py:108-109): classic DP,
   distance / max(len(pred), len(gold)).
-- Damerau-Levenshtein (evaluate_model.py:111): full DL (unrestricted,
-  matching fastDamerauLevenshtein's definition).
+- Damerau-Levenshtein (evaluate_model.py:111): the reference imports
+  ``pyxdameraulevenshtein`` (evaluate_model.py:12), which computes the
+  RESTRICTED distance (OSA — each substring edited at most once;
+  'ca'->'abc' is 3): ``damerau_levenshtein_osa`` matches it and is what
+  the reference-fidelity paths (seq_similarity_metrics, evaluate_json
+  body scoring) use. ``damerau_levenshtein`` is the UNRESTRICTED variant
+  (true DL, 'ca'->'abc' is 2) kept because DuckDB's
+  ``damerau_levenshtein`` implements it — giving the engine an
+  oracle-checkable twin for the unrestricted family.
 - Jaro-Winkler similarity (evaluate_model.py:113): standard Winkler
-  prefix-boost (p=0.1, max prefix 4) — verified against DuckDB's
-  implementation on canonical cases.
+  prefix-boost (p=0.1, max prefix 4), applied ONLY when jaro > 0.7 —
+  the boost-threshold gate both jellyfish and DuckDB implement
+  (DuckDB: 'abcdxxxx'/'abcdyyyy' -> 0.6667, no boost). Verified
+  char-exact against DuckDB including low-similarity pairs.
 - Rouge-L F-measure (evaluate_model.py:99-100): token-level LCS F1, the
   single-reference case of HF rouge's rougeL.
 - BLEU (evaluate_model.py:102-103): corpus BLEU with uniform 4-gram weights
@@ -58,8 +67,37 @@ def normalized_levenshtein(pred: str, gold: str) -> float:
     return levenshtein(pred, gold) / m if m else 0.0
 
 
+def damerau_levenshtein_osa(a: str, b: str) -> int:
+    """RESTRICTED Damerau-Levenshtein (optimal string alignment) — matches
+    pyxdameraulevenshtein, the library the reference actually imports
+    (evaluate_model.py:12): adjacent transposition allowed but no substring
+    is edited more than once, so osa('ca','abc') == 3 (dl gives 2)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    prev2 = [0] * (lb + 1)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
 def damerau_levenshtein(a: str, b: str) -> int:
-    """Unrestricted Damerau-Levenshtein (adjacent-transposition aware)."""
+    """UNRESTRICTED Damerau-Levenshtein (true DL, adjacent-transposition
+    aware, substrings may be re-edited) — the definition DuckDB's
+    ``damerau_levenshtein`` implements, kept for the oracle-checked twin.
+    NOT what the reference's pyxdameraulevenshtein computes — use
+    ``damerau_levenshtein_osa`` for reference fidelity."""
     da: dict[str, int] = {}
     maxdist = len(a) + len(b)
     d = [[0] * (len(b) + 2) for _ in range(len(a) + 2)]
@@ -123,7 +161,11 @@ def jaro(a: str, b: str) -> float:
 
 
 def jaro_winkler(a: str, b: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    """Winkler boost gated on jaro > 0.7 (the boost threshold) — matching
+    jellyfish (the reference's lib, evaluate_model.py:113) and DuckDB."""
     j = jaro(a, b)
+    if j <= 0.7:
+        return j
     prefix = 0
     for ca, cb in zip(a, b):
         if ca != cb or prefix == max_prefix:
@@ -265,7 +307,7 @@ def evaluate_json(prediction: str, gold_data: dict) -> dict:
             scores["body_Rouge-L"] = rouge_l_f1(p_text, g_text)
             scores["body_BLEU"] = bleu(p_text, g_text)
             scores["body_Levenshtein"] = normalized_levenshtein(p_text, g_text)
-            scores["body_Damerau"] = float(damerau_levenshtein(p_text, g_text))
+            scores["body_Damerau"] = float(damerau_levenshtein_osa(p_text, g_text))
             scores["body_Jaro-Winkler"] = jaro_winkler(p_text, g_text)
         elif gold_value is None and pred_value is not None:
             scores["FP"] += 1

@@ -87,10 +87,24 @@ def jaro_winkler_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def damerau_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    """UNRESTRICTED DL — DuckDB's damerau_levenshtein definition (oracle
+    twin); the reference-fidelity path is damerau_osa_udf."""
     from .metrics import damerau_levenshtein
 
     return pd.Series(
         [damerau_levenshtein(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
+        dtype="int64",
+    )
+
+
+@F.pandas_udf(T.LongType())
+def damerau_osa_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    """RESTRICTED (OSA) DL — matches pyxdameraulevenshtein, the library the
+    reference imports (evaluate_model.py:12)."""
+    from .metrics import damerau_levenshtein_osa
+
+    return pd.Series(
+        [damerau_levenshtein_osa(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
         dtype="int64",
     )
 
@@ -120,6 +134,13 @@ JSON_EVAL_SCHEMA = T.StructType(
         T.StructField("tp", T.IntegerType()),
         T.StructField("fp", T.IntegerType()),
         T.StructField("fn", T.IntegerType()),
+        # body text-similarity metrics (evaluate_model.py:158-205) — null
+        # when the parsed pred has no common 'body' key with gold.
+        T.StructField("body_rouge_l", T.DoubleType()),
+        T.StructField("body_bleu", T.DoubleType()),
+        T.StructField("body_lev", T.DoubleType()),
+        T.StructField("body_damerau", T.DoubleType()),
+        T.StructField("body_jw", T.DoubleType()),
     ]
 )
 
@@ -127,7 +148,9 @@ JSON_EVAL_SCHEMA = T.StructType(
 @F.pandas_udf(JSON_EVAL_SCHEMA)
 def json_eval_udf(pred: pd.Series, gold_json: pd.Series) -> pd.DataFrame:
     """F15 — evaluate_json (evaluate_model.py:125-225) over an Arrow batch;
-    gold arrives as a strict-JSON string (null fields preserved)."""
+    gold arrives as a strict-JSON string (null fields preserved). Surfaces
+    the body_* similarity scores (the reference's most complex scoring
+    branch, evaluate_model.py:158-205) as nullable doubles."""
     import json
 
     from .metrics import evaluate_json
@@ -135,5 +158,18 @@ def json_eval_udf(pred: pd.Series, gold_json: pd.Series) -> pd.DataFrame:
     rows = []
     for p, g in zip(pred, gold_json):
         s = evaluate_json(_as_str(p), json.loads(_as_str(g)))
-        rows.append((s["valid_json"], s["TP"], s["FP"], s["FN"]))
-    return pd.DataFrame(rows, columns=["valid_json", "tp", "fp", "fn"])
+        rows.append(
+            (
+                s["valid_json"], s["TP"], s["FP"], s["FN"],
+                s.get("body_Rouge-L"), s.get("body_BLEU"),
+                s.get("body_Levenshtein"), s.get("body_Damerau"),
+                s.get("body_Jaro-Winkler"),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "valid_json", "tp", "fp", "fn",
+            "body_rouge_l", "body_bleu", "body_lev", "body_damerau", "body_jw",
+        ],
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     bleu_udf,
+    damerau_osa_udf,
     damerau_udf,
     jaro_winkler_udf,
     json_eval_udf,
@@ -33,9 +34,11 @@ _TITLE_DUCK = "regexp_replace(lower(substring(text, 1, 16)), '[^a-z0-9 ]', '', '
 
 
 def _with_texts(spark, sf_dir):
-    """gold_text = sanitized prefix; pred_text = same with the first two
-    words swapped for even doc_ids (word-level transposition), unchanged for
-    odd — both expressible in SQL for the oracle."""
+    """gold_text = sanitized prefix; pred_text varies by doc_id % 4 —
+    0/2 (even): first two words swapped (word-level transposition, high
+    similarity); 1: character-reversed gold (LOW similarity — exercises the
+    jaro>0.7 Winkler-boost gate, see ADVICE r1); 3: unchanged. All three
+    branches expressible in SQL for the oracle."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TITLE_SPARK).alias("gold_text")
     )
@@ -47,11 +50,12 @@ def _with_texts(spark, sf_dir):
             F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
         ),
     )
+    m4 = F.col("doc_id") % 4
     return d.withColumn(
         "pred_text",
-        F.when((F.col("doc_id") % 2 == 0) & (F.size(toks) >= 2), swapped).otherwise(
-            F.col("gold_text")
-        ),
+        F.when(m4 == 1, F.reverse("gold_text"))
+        .when((m4 % 2 == 0) & (F.size(toks) >= 2), swapped)
+        .otherwise(F.col("gold_text")),
     )
 
 
@@ -62,7 +66,8 @@ _TEXTS_DUCK = f"""
       FROM documents
     ), tx AS (
       SELECT doc_id, gold_text,
-             CASE WHEN doc_id % 2 = 0 AND len(toks) >= 2
+             CASE WHEN doc_id % 4 = 1 THEN reverse(gold_text)
+                  WHEN doc_id % 2 = 0 AND len(toks) >= 2
                   THEN array_to_string(list_concat([toks[2], toks[1]], toks[3:]), ' ')
                   ELSE gold_text END AS pred_text
       FROM t
@@ -81,14 +86,18 @@ _TEXTS_DUCK = f"""
                       / CAST(greatest(length(pred_text), length(gold_text)) AS DOUBLE)
                  END, 6) AS lev_norm,
            round(CAST(jaro_winkler_similarity(pred_text, gold_text) AS DOUBLE), 6)
-             AS jaro_winkler
+             AS jaro_winkler,
+           damerau_levenshtein(pred_text, gold_text) AS damerau_dl
     FROM tx
     """,
 )
 def edit_distance_metrics(spark, sf_dir):
-    """F6 (built-in levenshtein + normalization, evaluate_model.py:108-109)
-    and F8 (Jaro-Winkler, :113 — engine implementation verified char-exact
-    against DuckDB's)."""
+    """F6 (built-in levenshtein + normalization, evaluate_model.py:108-109),
+    F8 (Jaro-Winkler, :113 — boost gated on jaro > 0.7, verified char-exact
+    against DuckDB including the low-similarity reversed pairs), and the
+    UNRESTRICTED Damerau-Levenshtein (DuckDB's definition) as an
+    oracle-checked twin for the transposition-aware family; the reference's
+    restricted OSA variant is covered by seq_similarity_metrics."""
     t = _with_texts(spark, sf_dir)
     mx = F.greatest(F.length("pred_text"), F.length("gold_text"))
     return t.select(
@@ -101,30 +110,83 @@ def edit_distance_metrics(spark, sf_dir):
             6,
         ).alias("lev_norm"),
         F.round(jaro_winkler_udf("pred_text", "gold_text"), 6).alias("jaro_winkler"),
+        damerau_udf("pred_text", "gold_text").alias("damerau_dl"),
     )
 
 
-@register("seq_similarity_metrics", None)  # no DuckDB twins for DL/Rouge/BLEU
+# pred = gold + ' qzj' for even doc_ids ('qzj' is outside the corpus vocab),
+# pred = gold for odd. With k = gold token count and L = gold char length,
+# every metric has a closed form the oracle derives while the Spark side
+# REALLY computes it (functions/metrics.py):
+#   rouge_l: LCS(T, T+[x]) = k -> prec k/(k+1), rec 1 -> f1 = 2p/(p+1)
+#   bleu:    the single n-gram window containing the appended token is the
+#            only unmatched one -> prec_n = (k-n+1)/(k-n+2), bp = 1; 0 if k<4
+#   osa damerau: 4 pure insertions (' qzj')
+# Identical pairs hit the exact fixed points 1.0/0.0. The SQL replicates the
+# engine's float op ORDER so doubles are bit-identical before rounding.
+_SEQ_DUCK = f"""
+    WITH t AS (
+      SELECT doc_id, {_TITLE_DUCK} AS gold_text,
+             len(regexp_extract_all({_TITLE_DUCK}, '[a-z0-9]+')) AS k
+      FROM documents
+    ), m AS (
+      SELECT doc_id, k, doc_id % 2 = 0 AS appended FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN appended THEN 4 ELSE 0 END AS damerau_osa,
+           round(CASE
+             WHEN k = 0 THEN 0.0
+             WHEN NOT appended THEN 1.0
+             ELSE 2 * (CAST(k AS DOUBLE)/(k+1)) * 1.0
+                  / ((CAST(k AS DOUBLE)/(k+1)) + 1.0)
+           END, 6) AS rouge_l,
+           round(CASE
+             WHEN k < 4 THEN 0.0
+             WHEN NOT appended THEN 1.0
+             ELSE exp(ln(CAST(k AS DOUBLE)/(k+1))/4 + ln(CAST(k-1 AS DOUBLE)/k)/4
+                    + ln(CAST(k-2 AS DOUBLE)/(k-1))/4 + ln(CAST(k-3 AS DOUBLE)/(k-2))/4)
+           END, 6) AS bleu
+    FROM m
+"""
+
+
+@register("seq_similarity_metrics", _SEQ_DUCK)
 def seq_similarity_metrics(spark, sf_dir):
-    """F7 (Damerau-Levenshtein), F9 (Rouge-L F1 + BLEU) — self-contained
-    implementations of the reference's library calls (evaluate_model.py:
-    99-111); METEOR is explicitly gated (functions/metrics.py)."""
-    t = _with_texts(spark, sf_dir)
+    """F7 (RESTRICTED Damerau-Levenshtein / OSA — matching the reference's
+    pyxdameraulevenshtein import, evaluate_model.py:12) and F9 (Rouge-L F1 +
+    BLEU, evaluate_model.py:99-111); METEOR is explicitly gated
+    (functions/metrics.py). Oracle-checked via an append-one-token
+    construction with closed-form metric values (see _SEQ_DUCK)."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TITLE_SPARK).alias("gold_text")
+    )
+    t = t.withColumn(
+        "pred_text",
+        F.when(F.col("doc_id") % 2 == 0, F.concat("gold_text", F.lit(" qzj")))
+        .otherwise(F.col("gold_text")),
+    )
     return t.select(
         "doc_id",
-        damerau_udf("pred_text", "gold_text").alias("damerau"),
+        damerau_osa_udf("pred_text", "gold_text").alias("damerau_osa"),
         F.round(rouge_l_udf("pred_text", "gold_text"), 6).alias("rouge_l"),
         F.round(bleu_udf("pred_text", "gold_text"), 6).alias("bleu"),
     )
 
 
 def _with_json_pairs(spark, sf_dir):
-    """gold dict {title, n, tags, note:None} + pred string per doc_id % 5:
-    0: python-literal syntax, tags reversed (set-equal)  -> TP=4
+    """gold dict {title, n, tags, note:None, body:{headline, wc, ok}} + pred
+    string per doc_id % 5:
+    0: python-literal syntax, tags reversed (set-equal), body identical
+       -> TP=4, body FP/FN +0, body metrics at identical-text fixed points
     1: strict JSON with null (to_json)  -> literal_eval REJECTS -> invalid
-    2: missing n + hallucinated note    -> TP=2 FP=1 FN=1
-    3: extra key + n as string          -> TP=3 FP=2 FN=1
+    2: missing n AND missing body + hallucinated note -> TP=2 FP=1 FN=2
+    3: extra key + n as string + body with 'ok' bool->int type mismatch and
+       headline + ' qzj' (closed-form text metrics) -> TP=3 FP=3 FN=2
     4: unparseable                      -> invalid
+    The body branch is the reference's most complex scoring path
+    (evaluate_model.py:158-205): subkey/type walk + 5 text metrics over
+    extract_all_text; cases 0 and 3 execute it distributively with
+    oracle-derivable values.
     """
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -139,6 +201,11 @@ def _with_json_pairs(spark, sf_dir):
             F.col("n"),
             F.array("lang", "source").alias("tags"),
             F.lit(None).cast("string").alias("note"),
+            F.struct(
+                F.col("title").alias("headline"),
+                F.col("n").alias("wc"),
+                F.lit(True).alias("ok"),
+            ).alias("body"),
         ),
         {"ignoreNullFields": "false"},
     )
@@ -147,8 +214,9 @@ def _with_json_pairs(spark, sf_dir):
         F.when(
             m == 0,
             F.format_string(
-                "{'title': '%s', 'n': %d, 'tags': ['%s', '%s'], 'note': None}",
-                "title", "n", "source", "lang",
+                "{'title': '%s', 'n': %d, 'tags': ['%s', '%s'], 'note': None, "
+                "'body': {'headline': '%s', 'wc': %d, 'ok': True}}",
+                "title", "n", "source", "lang", "title", "n",
             ),
         )
         .when(m == 1, gold)
@@ -162,8 +230,9 @@ def _with_json_pairs(spark, sf_dir):
         .when(
             m == 3,
             F.format_string(
-                "{'title': '%s', 'n': '%d', 'tags': ['%s', '%s'], 'note': None, 'bogus': 1}",
-                "title", "n", "lang", "source",
+                "{'title': '%s', 'n': '%d', 'tags': ['%s', '%s'], 'note': None, "
+                "'bogus': 1, 'body': {'headline': '%s qzj', 'wc': %d, 'ok': 1}}",
+                "title", "n", "lang", "source", "title", "n",
             ),
         )
         .otherwise(F.lit("not a dict {"))
@@ -173,13 +242,45 @@ def _with_json_pairs(spark, sf_dir):
 
 # the oracle derives scores from the construction (comments in
 # _with_json_pairs); the Spark side must reproduce them by real parsing.
-_SCORES_DUCK = """
+# body text metrics: case 0 = identical-text fixed points; case 3 = the
+# append-' qzj' closed forms (same derivation as _SEQ_DUCK, plus
+# levenshtein 4/(L+4) and DuckDB's own jaro_winkler for the jw twin).
+_SCORES_DUCK = f"""
+    WITH t AS (
+      SELECT doc_id, {_TITLE_DUCK} AS ttl,
+             length({_TITLE_DUCK}) AS L,
+             len(regexp_extract_all({_TITLE_DUCK}, '[a-z0-9]+')) AS k
+      FROM documents
+    )
     SELECT doc_id,
            CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 1 ELSE 0 END AS valid_json,
            CASE doc_id % 5 WHEN 0 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 3 ELSE 0 END AS tp,
-           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS fp,
-           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 1 ELSE 0 END AS fn
-    FROM documents
+           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END AS fp,
+           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 0 END AS fn,
+           round(CASE
+             WHEN doc_id % 5 = 0 THEN CASE WHEN k > 0 THEN 1.0 ELSE 0.0 END
+             WHEN doc_id % 5 = 3 THEN CASE WHEN k = 0 THEN 0.0
+               ELSE 2 * (CAST(k AS DOUBLE)/(k+1)) * 1.0
+                    / ((CAST(k AS DOUBLE)/(k+1)) + 1.0) END
+             ELSE NULL END, 6) AS body_rouge_l,
+           round(CASE
+             WHEN doc_id % 5 = 0 THEN CASE WHEN k >= 4 THEN 1.0 ELSE 0.0 END
+             WHEN doc_id % 5 = 3 THEN CASE WHEN k < 4 THEN 0.0
+               ELSE exp(ln(CAST(k AS DOUBLE)/(k+1))/4 + ln(CAST(k-1 AS DOUBLE)/k)/4
+                      + ln(CAST(k-2 AS DOUBLE)/(k-1))/4 + ln(CAST(k-3 AS DOUBLE)/(k-2))/4)
+               END
+             ELSE NULL END, 6) AS body_bleu,
+           round(CASE WHEN doc_id % 5 = 0 THEN 0.0
+                      WHEN doc_id % 5 = 3 THEN 4 / CAST(L + 4 AS DOUBLE)
+                      ELSE NULL END, 6) AS body_lev,
+           round(CAST(CASE WHEN doc_id % 5 = 0 THEN 0.0
+                           WHEN doc_id % 5 = 3 THEN 4.0
+                           ELSE NULL END AS DOUBLE), 6) AS body_damerau,
+           round(CASE WHEN doc_id % 5 = 0 THEN 1.0
+                      WHEN doc_id % 5 = 3 THEN
+                        CAST(jaro_winkler_similarity(ttl || ' qzj', ttl) AS DOUBLE)
+                      ELSE NULL END, 6) AS body_jw
+    FROM t
 """
 
 
@@ -187,12 +288,21 @@ _SCORES_DUCK = """
 def json_eval_scores(spark, sf_dir):
     """F11 + F12 + F15 — lax parse (python-literal laxity incl. strict-JSON
     null REJECTION) and per-field TP/FP/FN scoring with the reference's
-    branch order, as one struct-returning Arrow UDF."""
+    branch order, as one struct-returning Arrow UDF — including the body
+    subkey/type walk and the five body text-similarity metrics
+    (evaluate_model.py:158-205), computed distributively."""
     pairs = _with_json_pairs(spark, sf_dir)
     s = pairs.select(
         "doc_id", json_eval_udf("pred", "gold_json").alias("s")
     )
-    return s.select("doc_id", "s.valid_json", "s.tp", "s.fp", "s.fn")
+    return s.select(
+        "doc_id", "s.valid_json", "s.tp", "s.fp", "s.fn",
+        F.round("s.body_rouge_l", 6).alias("body_rouge_l"),
+        F.round("s.body_bleu", 6).alias("body_bleu"),
+        F.round("s.body_lev", 6).alias("body_lev"),
+        F.round("s.body_damerau", 6).alias("body_damerau"),
+        F.round("s.body_jw", 6).alias("body_jw"),
+    )
 
 
 @register(

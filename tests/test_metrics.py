@@ -22,11 +22,28 @@ def test_damerau_unrestricted():
     assert M.damerau_levenshtein("", "abc") == 3
 
 
+def test_damerau_osa_restricted():
+    # restricted OSA (pyxdameraulevenshtein, the reference's import,
+    # evaluate_model.py:12): no substring edited twice -> "ca"->"abc" is 3
+    assert M.damerau_levenshtein_osa("ca", "abc") == 3
+    assert M.damerau_levenshtein_osa("martha", "marhta") == 1
+    assert M.damerau_levenshtein_osa("ab", "ba") == 1
+    assert M.damerau_levenshtein_osa("", "abc") == 3
+    assert M.damerau_levenshtein_osa("kitten", "sitting") == 3  # == lev when no transpositions
+
+
 def test_jaro_winkler_canonical():
     assert abs(M.jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
     assert abs(M.jaro_winkler("dixon", "dicksonx") - 0.8133333333333332) < 1e-12
     assert M.jaro_winkler("", "") == 1.0
     assert M.jaro_winkler("a", "") == 0.0
+
+
+def test_jaro_winkler_boost_gate():
+    # Winkler boost only applies when jaro > 0.7 (jellyfish + DuckDB
+    # semantics, ADVICE r1): common 4-prefix but low jaro -> NO boost.
+    assert abs(M.jaro_winkler("abcdxxxx", "abcdyyyy") - 2 / 3) < 1e-12
+    assert M.jaro_winkler("abcdxxxx", "abcdyyyy") == M.jaro("abcdxxxx", "abcdyyyy")
 
 
 def test_rouge_bleu():
@@ -75,6 +92,23 @@ def test_evaluate_json_body_subkeys():
     # body.meta.k type differs (FN+FP), body.xtra extra (FP); text metrics present
     assert s["FP"] == 2 and s["FN"] == 1
     assert 0.0 <= s["body_Rouge-L"] <= 1.0 and "body_Jaro-Winkler" in s
+
+
+def test_evaluate_json_body_text_metrics_values():
+    # hand-computed values for the body text path (evaluate_model.py:158-205)
+    gold = {"body": {"h": "a b c d e"}}
+    s = M.evaluate_json("{'body': {'h': 'a b c d e'}}", gold)
+    assert s["body_Rouge-L"] == 1.0 and s["body_BLEU"] == 1.0
+    assert s["body_Levenshtein"] == 0.0 and s["body_Damerau"] == 0.0
+    assert s["body_Jaro-Winkler"] == 1.0
+    # one appended token: prec 5/6, rec 1 -> f1 = 10/11; lev 2/11 (' x')
+    s = M.evaluate_json("{'body': {'h': 'a b c d e x'}}", gold)
+    assert abs(s["body_Rouge-L"] - 10 / 11) < 1e-12
+    assert abs(s["body_Levenshtein"] - 2 / 11) < 1e-12
+    assert s["body_Damerau"] == 2.0
+    # OSA used in body scoring (reference's pyxdameraulevenshtein)
+    s = M.evaluate_json("{'body': {'h': 'ca'}}", {"body": {"h": "abc"}})
+    assert s["body_Damerau"] == 3.0
 
 
 def test_extract_all_text_and_key_walk():

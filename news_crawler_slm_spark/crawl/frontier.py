@@ -48,11 +48,28 @@ def is_fetchable_col(url: F.Column) -> F.Column:
     return url.startswith("http://") | url.startswith("https://")
 
 
-def disallowed_col(url: F.Column, disallow: F.Column) -> F.Column:
+def disallowed_col(url: F.Column, disallow: F.Column, allow: F.Column | None = None) -> F.Column:
+    """RFC 9309 longest-match precedence (Column twin of
+    semantics.is_disallowed): blocked iff the longest matching Disallow
+    prefix is longer than the longest matching Allow prefix (Allow wins
+    ties)."""
     p = path_col(url)
-    return F.when(disallow.isNull(), F.lit(False)).otherwise(
-        F.exists(disallow, lambda d: p.startswith(d))
-    )
+
+    def best_len(rules: F.Column) -> F.Column:
+        return F.aggregate(
+            rules,
+            F.lit(0),
+            lambda acc, r: F.when(
+                p.startswith(r) & (F.length(r) > acc), F.length(r)
+            ).otherwise(acc),
+        )
+
+    best_dis = F.when(disallow.isNull(), F.lit(0)).otherwise(best_len(disallow))
+    if allow is None:
+        best_allow = F.lit(0)
+    else:
+        best_allow = F.when(allow.isNull(), F.lit(0)).otherwise(best_len(allow))
+    return best_dis > best_allow
 
 
 def budget_col(crawl_delay: F.Column, round_budget: float, remaining: F.Column) -> F.Column:
@@ -79,9 +96,9 @@ def frontier_from_seeds(seeds: DataFrame, robots: DataFrame, params: CrawlParams
         .where(is_fetchable_col(F.col("url")))
         .withColumn("host", U.host_of(F.col("url")))
     )
-    s = s.join(F.broadcast(robots.select("host", "disallow")), "host", "left").where(
-        ~disallowed_col(F.col("url"), F.col("disallow"))
-    )
+    s = s.join(
+        F.broadcast(robots.select("host", "disallow", "allow")), "host", "left"
+    ).where(~disallowed_col(F.col("url"), F.col("disallow"), F.col("allow")))
     return (
         s.groupBy("url", "host")
         .agg(F.max("priority").alias("priority"))
@@ -168,9 +185,9 @@ def discover_links(fetched: DataFrame, robots: DataFrame, params: CrawlParams, r
         U.canonical_url(F.col("raw")).alias("url"), "parent_priority", "parent_depth"
     ).where(is_fetchable_col(F.col("url")))
     links = links.withColumn("host", U.host_of(F.col("url")))
-    links = links.join(F.broadcast(robots.select("host", "disallow")), "host", "left").where(
-        ~disallowed_col(F.col("url"), F.col("disallow"))
-    )
+    links = links.join(
+        F.broadcast(robots.select("host", "disallow", "allow")), "host", "left"
+    ).where(~disallowed_col(F.col("url"), F.col("disallow"), F.col("allow")))
     return (
         links.groupBy("url", "host")
         .agg(

@@ -10,7 +10,15 @@ requires it in-engine. Parsing follows RFC 9309 plus the de-facto
 - group = one or more ``User-agent`` lines followed by rules;
 - the group chosen for an agent is the longest-token match, with ``*`` as
   fallback (exact product-token match beats the wildcard);
-- ``Disallow:`` with empty value allows everything (no rule recorded);
+- ``Allow`` AND ``Disallow`` rules are both recorded; the politeness gate
+  applies RFC 9309 longest-match precedence (most specific rule wins,
+  Allow wins ties) — so ``Disallow: /`` + ``Allow: /news`` blocks the host
+  EXCEPT the /news subtree (see semantics.is_disallowed / the
+  frontier.disallowed_col Column twin);
+- rules are plain path PREFIXES — the RFC's optional ``*``/``$`` wildcards
+  are NOT supported (documented simplification; a wildcard rule is treated
+  as a literal prefix and in practice then matches nothing);
+- ``Disallow:``/``Allow:`` with empty value record no rule;
 - ``Crawl-delay`` applies per chosen group; non-numeric values ignored;
 - unknown directives and comments (#) are skipped; BOM tolerated.
 
@@ -34,22 +42,25 @@ from .semantics import DEFAULT_CRAWL_DELAY
 @dataclass(frozen=True)
 class RobotsRules:
     disallow: tuple[str, ...]
-    crawl_delay: float | None
+    allow: tuple[str, ...] = ()
+    crawl_delay: float | None = None
 
 
 def parse_robots(text: str, agent: str = "*") -> RobotsRules:
     """Parse robots.txt text; return the rule group applying to ``agent``."""
-    groups: list[tuple[list[str], list[str], float | None]] = []  # (agents, disallows, delay)
+    # (agents, disallows, allows, delay)
+    groups: list[tuple[list[str], list[str], list[str], float | None]] = []
     cur_agents: list[str] = []
     cur_dis: list[str] = []
+    cur_allow: list[str] = []
     cur_delay: float | None = None
     in_rules = False
 
     def flush():
-        nonlocal cur_agents, cur_dis, cur_delay, in_rules
+        nonlocal cur_agents, cur_dis, cur_allow, cur_delay, in_rules
         if cur_agents:
-            groups.append((cur_agents, cur_dis, cur_delay))
-        cur_agents, cur_dis, cur_delay, in_rules = [], [], None, False
+            groups.append((cur_agents, cur_dis, cur_allow, cur_delay))
+        cur_agents, cur_dis, cur_allow, cur_delay, in_rules = [], [], [], None, False
 
     for raw in text.lstrip("﻿").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -68,6 +79,8 @@ def parse_robots(text: str, agent: str = "*") -> RobotsRules:
             in_rules = True
             if key == "disallow" and value:
                 cur_dis.append(value)
+            elif key == "allow" and value:
+                cur_allow.append(value)
             elif key == "crawl-delay":
                 try:
                     cur_delay = float(value)
@@ -77,8 +90,9 @@ def parse_robots(text: str, agent: str = "*") -> RobotsRules:
     flush()
 
     agent_l = agent.lower()
-    best: tuple[int, list[str], float | None] | None = None  # (match_len, dis, delay)
-    for agents, dis, delay in groups:
+    # (match_len, dis, allow, delay)
+    best: tuple[int, list[str], list[str], float | None] | None = None
+    for agents, dis, allow, delay in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -87,13 +101,15 @@ def parse_robots(text: str, agent: str = "*") -> RobotsRules:
             else:
                 continue
             if best is None or score > best[0]:
-                best = (score, dis, delay)
+                best = (score, dis, allow, delay)
     if best is None:
-        return RobotsRules(disallow=(), crawl_delay=None)
-    return RobotsRules(disallow=tuple(best[1]), crawl_delay=best[2])
+        return RobotsRules(disallow=(), allow=(), crawl_delay=None)
+    return RobotsRules(disallow=tuple(best[1]), allow=tuple(best[2]), crawl_delay=best[3])
 
 
-ROBOTS_OUT_SCHEMA = "host string, disallow array<string>, crawl_delay double"
+ROBOTS_OUT_SCHEMA = (
+    "host string, disallow array<string>, allow array<string>, crawl_delay double"
+)
 
 
 def robots_table(raw: DataFrame, agent: str = "*") -> DataFrame:
@@ -104,10 +120,10 @@ def robots_table(raw: DataFrame, agent: str = "*") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hosts, dis, delays = [], [], []
+            hosts, dis, allows, delays = [], [], [], []
             for host, body in zip(pdf["host"], pdf["body"]):
                 if body is None:
-                    rules = RobotsRules((), None)
+                    rules = RobotsRules((), (), None)
                 else:
                     if isinstance(body, (bytes, bytearray)):
                         text = bytes(body).decode("utf-8", errors="replace")
@@ -116,9 +132,12 @@ def robots_table(raw: DataFrame, agent: str = "*") -> DataFrame:
                     rules = parse_robots(text, agent)
                 hosts.append(host)
                 dis.append(list(rules.disallow))
+                allows.append(list(rules.allow))
                 delays.append(
                     rules.crawl_delay if rules.crawl_delay is not None else DEFAULT_CRAWL_DELAY
                 )
-            yield pd.DataFrame({"host": hosts, "disallow": dis, "crawl_delay": delays})
+            yield pd.DataFrame(
+                {"host": hosts, "disallow": dis, "allow": allows, "crawl_delay": delays}
+            )
 
     return raw.select("host", "body").mapInPandas(run, ROBOTS_OUT_SCHEMA)

@@ -128,16 +128,30 @@ def build_round(
     """Assemble one round's lazy plan. Returns (deltas, popped, fetched_slim);
     popped/fetched_slim are cached and must be unpersisted by the caller.
 
-    Memory shape: only an html-FREE slim projection of the fetch result is
-    cached (log/discovery/counters reuse it). The heavy html column streams
-    straight from the fetch stage into the Arrow clean_html UDF exactly once,
-    at pages-write time — at 100 TB, caching or shuffling raw html per round
-    would dominate everything."""
+    Memory shape (default, params.cache_fetch=False): only an html-FREE slim
+    projection of the fetch result is cached (log/discovery/counters reuse
+    it). The heavy html column streams straight from the fetch stage into
+    the Arrow clean_html UDF exactly once, at pages-write time — at 100 TB,
+    caching or shuffling raw html per round would dominate everything. This
+    means the FETCH STAGE EXECUTES TWICE per round (slim action + pages
+    write), so the fetcher contract requires determinism/idempotence — true
+    for the synthetic fetcher and for polite re-GETs of static pages. For a
+    genuinely non-deterministic fetcher set params.cache_fetch=True: the
+    full result (html included) is persisted memory+disk, the fetcher runs
+    exactly once, and pages can never desynchronize from the crawl log."""
     rnd = state.round + 1
 
     popped = pop_round(state.frontier, robots, state.host_counts, params).cache()
     fetched_full = fetcher(popped)
-    fetched_slim = fetched_full.drop("html").cache()
+    if params.cache_fetch:
+        from pyspark import StorageLevel
+
+        fetched_full = fetched_full.persist(StorageLevel.MEMORY_AND_DISK)
+        fetched_slim = fetched_full.drop("html")
+        cache_handle = fetched_full
+    else:
+        fetched_slim = fetched_full.drop("html").cache()
+        cache_handle = fetched_slim
     ok_slim = fetched_slim.where(F.col("fetch_ok"))
 
     log_delta = fetched_slim.select(
@@ -187,7 +201,7 @@ def build_round(
         pages_delta=pages_delta,
         log_delta=log_delta,
     )
-    return deltas, popped, fetched_slim
+    return deltas, popped, cache_handle
 
 
 def run_crawl(
@@ -201,6 +215,7 @@ def run_crawl(
     max_rounds: int | None = None,
     output_partitions: int | None = 1,
     on_round: Callable[[int, dict, float, float], None] | None = None,
+    commit_parallelism: int = 1,
 ) -> CrawlState:
     """Run (or resume) a crawl; one snapshot per round.
 
@@ -212,7 +227,7 @@ def run_crawl(
     ``output_partitions=1`` suits test-scale states; pass None at scale to
     keep natural partitioning.
     """
-    catalog = SnapshotCatalog(spark, catalog_root)
+    catalog = SnapshotCatalog(spark, catalog_root, commit_parallelism=commit_parallelism)
     bloom = BloomStore(catalog_root, params) if use_bloom else None
 
     snap = catalog.snapshot()
@@ -232,16 +247,14 @@ def run_crawl(
         deltas, popped, fetched_slim = build_round(state, robots, fetcher, params, bloom)
         rnd = state.round + 1
 
-        # single counting action: stop condition + counters + cache warm-up.
-        # This action materializes the cached pop, so its duration is the
-        # frontier-pop latency (windowed top-k + politeness budget + fetch).
+        # Stop-condition action on the cached pop ONLY (no fetch): its
+        # duration is the true frontier-pop latency (windowed top-k +
+        # politeness budget). fetched/failed counters ride the crawl_log
+        # write inside the commit via an Observation — no separate
+        # fetch-materializing counting action per round.
         t_pop = time.monotonic()
-        status_counts = {
-            r["status"]: r["n"]
-            for r in deltas.log_delta.groupBy("status").agg(F.count("*").alias("n")).collect()
-        }
+        n_popped = popped.count()
         pop_latency = time.monotonic() - t_pop
-        n_popped = sum(status_counts.values())
         if n_popped == 0:
             popped.unpersist()
             fetched_slim.unpersist()
@@ -250,26 +263,42 @@ def run_crawl(
         if bloom is not None:
             bloom.update(deltas.seen_delta, state.round if state.round > 0 else None, rnd)
 
-        counters = {
-            "round": rnd,
-            "popped": n_popped,
-            "fetched": status_counts.get("fetched", 0),
-            "failed": status_counts.get("failed", 0),
-        }
-        catalog.commit(
+        from pyspark.sql import Observation
+
+        obs = Observation(f"round-{rnd}")
+        log_observed = deltas.log_delta.observe(
+            obs,
+            F.count(F.when(F.col("status") == "fetched", 1)).alias("fetched"),
+            F.count("*").alias("n"),
+        )
+
+        def counters_fn() -> dict:
+            # evaluated by commit() AFTER the table writes (the crawl_log
+            # write fires the observation), BEFORE the manifest swap — so
+            # the counters land in the same atomic snapshot.
+            got = obs.get
+            return {
+                "round": rnd,
+                "popped": n_popped,
+                "fetched": int(got["fetched"]),
+                "failed": int(got["n"] - got["fetched"]),
+            }
+
+        snap = catalog.commit(
             rnd,
             tables={"frontier": deltas.frontier, "host_counts": deltas.host_counts},
             appends={
                 "seen": deltas.seen_delta,
                 "pages": deltas.pages_delta,
-                "crawl_log": deltas.log_delta,
+                "crawl_log": log_observed,
             },
-            counters=counters,
+            counters=counters_fn,
             output_partitions=output_partitions,
             # frontier/seen live bucket-partitioned on disk: per-bucket scans
             # are co-located and prunable (SURVEY.md §4.3 partitioning)
             partition_by={"frontier": ["bucket"], "seen": ["bucket"]},
         )
+        counters = snap.counters
         popped.unpersist()
         fetched_slim.unpersist()
         # re-read committed state: truncates lineage; every round is a pure

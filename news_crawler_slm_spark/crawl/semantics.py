@@ -63,11 +63,24 @@ def path_of(url: str) -> str:
     return rest if rest.startswith("/") else "/" + rest if rest else "/"
 
 
-def is_disallowed(url: str, disallow_prefixes: list[str] | None) -> bool:
+def is_disallowed(
+    url: str,
+    disallow_prefixes: list[str] | None,
+    allow_prefixes: list[str] | None = None,
+) -> bool:
+    """RFC 9309 longest-match precedence: the most specific (longest)
+    matching rule wins; Allow wins ties. So 'Disallow: /' + 'Allow: /news'
+    blocks everything except the /news subtree."""
     if not disallow_prefixes:
         return False
     p = path_of(url)
-    return any(p.startswith(d) for d in disallow_prefixes)
+    best_dis = max((len(d) for d in disallow_prefixes if p.startswith(d)), default=0)
+    if best_dis == 0:
+        return False
+    best_allow = max(
+        (len(a) for a in (allow_prefixes or ()) if p.startswith(a)), default=0
+    )
+    return best_dis > best_allow
 
 
 def host_budget(crawl_delay: float | None, round_budget: float, remaining_cap: int) -> int:
@@ -90,3 +103,11 @@ class CrawlParams:
     max_rounds: int = 100
     n_buckets: int = 8
     n_salts: int = 4
+    # False (default): the fetch stage may execute twice per round (once for
+    # log/counters/discovery via the html-free slim cache, once at
+    # pages-write time) — requires a DETERMINISTIC/idempotent fetcher, which
+    # the synthetic fetcher is. True: persist the full fetch result
+    # (memory+disk, html included) so a NON-deterministic fetcher (real
+    # HTTP) executes exactly once and pages can never desynchronize from the
+    # crawl log — at the cost of spilling raw html per round.
+    cache_fetch: bool = False

@@ -39,11 +39,11 @@ class SimResult:
 
 def simulate(
     seeds: list[tuple],  # (url, host, publisher, publisher_rank, deprecated, priority)
-    robots: list[tuple],  # (host, disallow, crawl_delay)
+    robots: list[tuple],  # (host, disallow, allow, crawl_delay)
     web: list[tuple],  # (url, html_bytes, out_links, fetch_ok, lang, publisher)
     params: CrawlParams = CrawlParams(),
 ) -> SimResult:
-    robots_by_host = {h: (list(d or []), cd) for h, d, cd in robots}
+    robots_by_host = {h: (list(d or []), list(a or []), cd) for h, d, a, cd in robots}
     web_by_url = {canonical_url(u): (html, links or [], ok, lang, pub) for u, html, links, ok, lang, pub in web}
 
     res = SimResult()
@@ -57,8 +57,8 @@ def simulate(
         if not is_fetchable(cu):
             continue
         h = host_of(cu)
-        dis, _cd = robots_by_host.get(h, (None, None))
-        if is_disallowed(cu, dis):
+        dis, allow, _cd = robots_by_host.get(h, (None, None, None))
+        if is_disallowed(cu, dis, allow):
             continue
         if cu not in res.frontier or priority > res.frontier[cu][1]:
             res.frontier[cu] = (h, float(priority), 0, 0)
@@ -72,7 +72,7 @@ def simulate(
 
         popped: list[tuple[str, str, float, int]] = []  # (url, host, priority, depth)
         for h, items in by_host.items():
-            _dis, cd = robots_by_host.get(h, (None, None))
+            _dis, _allow, cd = robots_by_host.get(h, (None, None, None))
             rem = params.max_articles - fetched_per_host.get(h, 0)
             b = host_budget(cd, params.round_budget, rem)
             if b <= 0:
@@ -107,8 +107,8 @@ def simulate(
                 if not is_fetchable(cu):
                     continue
                 ch = host_of(cu)
-                dis, _cd = robots_by_host.get(ch, (None, None))
-                if is_disallowed(cu, dis):
+                dis, allow, _cd = robots_by_host.get(ch, (None, None, None))
+                if is_disallowed(cu, dis, allow):
                     continue
                 if cu in res.seen or cu in res.frontier:
                     continue

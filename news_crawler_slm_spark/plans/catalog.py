@@ -239,6 +239,73 @@ def value_histogram(spark, sf_dir):
 
 
 @register(
+    "value_histogram_fd",
+    """
+    WITH s AS (
+      SELECT quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3,
+             count(*) AS n, min(value) AS mn, max(value) AS mx
+      FROM events
+    ), p AS (
+      SELECT n, mn, mx,
+             CASE WHEN mx = mn OR q3 = q1 THEN 1
+                  ELSE greatest(CAST(ceil(round((mx - mn) / (2 * (q3 - q1) / cbrt(n)), 9)) AS BIGINT), 1)
+             END AS nb
+      FROM s
+    )
+    SELECT CASE WHEN mx = mn THEN 0
+                ELSE least(CAST(floor(((value - mn) / (mx - mn)) * nb) AS BIGINT), nb - 1)
+           END AS bin,
+           count(*) AS n
+    FROM events CROSS JOIN p
+    GROUP BY 1
+    """,
+)
+def value_histogram_fd(spark, sf_dir):
+    """A11 full form — Freedman-Diaconis binning (numpy bins='fd',
+    omit_degeneration.py:79): width = 2*IQR*n^(-1/3) from EXACT percentiles,
+    n_bins = ceil(range/width), uniform edges over [min, max], last edge
+    closed (numpy histogram semantics: least(floor, nb-1)). One pass for the
+    1-row stats aggregate (broadcast), one pass to bin — no sort of the data
+    itself, scale-independent of value cardinality. The ceil argument is
+    rounded to 9 decimals on both engines so percentile-interpolation
+    last-ulp differences cannot flip the bin count."""
+    e = _t(spark, sf_dir, "events")
+    s = e.agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+        F.count("*").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    nb = F.when(
+        (F.col("mx") == F.col("mn")) | (F.col("q3") == F.col("q1")), F.lit(1).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.ceil(
+                F.round(
+                    (F.col("mx") - F.col("mn"))
+                    / (2 * (F.col("q3") - F.col("q1")) / F.cbrt(F.col("n"))),
+                    9,
+                )
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        )
+    )
+    p = s.select(F.col("mn"), F.col("mx"), nb.alias("nb"))
+    binned = e.crossJoin(F.broadcast(p)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * F.col("nb")).cast("long"),
+                F.col("nb") - 1,
+            )
+        )
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n"))
+
+
+@register(
     "distinct_sources",
     "SELECT DISTINCT source FROM documents",
 )
@@ -452,6 +519,141 @@ def repetition_filter(spark, sf_dir):
         ).alias("rep_ratio")
     )
     return ratios.where(F.col("rep_ratio") < 0.2)
+
+
+# Simulated degenerate generations: docs 0-9 re-emitted under doc_id+20000
+# with their first-5-token prefix repeated 10x (massive repeated-3-gram
+# ratio) — gives the reject branch real work (the natural corpus has almost
+# no degeneration, max ratio 0.07 at sf0.01).
+_DEGEN_UNION_DUCK = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         trim(repeat(array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:5], ' ') || ' ', 10)) AS text
+  FROM documents WHERE doc_id < 10
+"""
+
+_REP_RATIO_DUCK = """
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM u
+    ), grams AS (
+      SELECT doc_id, len(t) - 3 + 1 AS total,
+             unnest(list_transform(generate_series(1, len(t) - 3 + 1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS g
+      FROM toks WHERE len(t) >= 3
+    ), cnts AS (
+      SELECT doc_id, total, g, count(*) AS c FROM grams GROUP BY doc_id, total, g
+    ), ratios AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) / CAST(max(total) AS DOUBLE), 6) AS rep_ratio
+      FROM cnts GROUP BY doc_id
+    )
+"""
+
+
+def _degen_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    degen = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.trim(
+            F.repeat(F.concat(F.concat_ws(" ", F.slice(toks, 1, 5)), F.lit(" ")), 10)
+        ).alias("text"),
+    )
+    return d.unionByName(degen)
+
+
+def _rep_ratios(spark, sf_dir):
+    """Repeated-3-gram severity ratios over documents + planted degenerates
+    (one shared plan for the keep AND reject branches — the reference
+    computes the ratio once and routes each row, omit_degeneration.py:65-69)."""
+    d = _degen_union(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    n = 3
+    d = d.where(F.size("t") >= n).select(
+        "doc_id",
+        (F.size("t") - n + 1).alias("total"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
+            )
+        ).alias("g"),
+    )
+    cnts = d.groupBy("doc_id", "total", "g").agg(F.count("*").alias("c"))
+    return cnts.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            / F.max("total").cast("double"),
+            6,
+        ).alias("rep_ratio")
+    )
+
+
+@register(
+    "repetition_rejects",
+    f"""
+    WITH u AS ({_DEGEN_UNION_DUCK}), {_REP_RATIO_DUCK}
+    SELECT doc_id, rep_ratio FROM ratios WHERE rep_ratio >= 0.2
+    """,
+)
+def repetition_rejects(spark, sf_dir):
+    """P9 reject sink — the COMPLEMENT of repetition_filter: degenerate rows
+    (ratio >= threshold) routed to their own table in the same pass, exactly
+    as the reference saves degen_data separately for investigation
+    (omit_degeneration.py:65-69, 104-108). Shares _rep_ratios with the keep
+    branch: one ratio computation, two routed sinks."""
+    return _rep_ratios(spark, sf_dir).where(F.col("rep_ratio") >= 0.2)
+
+
+@register(
+    "repetition_split_counts",
+    f"""
+    WITH u AS ({_DEGEN_UNION_DUCK}), {_REP_RATIO_DUCK}
+    SELECT CASE WHEN rep_ratio < 0.2 THEN 'kept' ELSE 'rejected' END AS branch,
+           count(*) AS n
+    FROM ratios GROUP BY 1
+    """,
+)
+def repetition_split_counts(spark, sf_dir):
+    """The one-pass keep/reject router's accounting (the reference prints
+    filtered vs degenerated counts, omit_degeneration.py:71): a single
+    aggregation over the shared ratios plan."""
+    r = _rep_ratios(spark, sf_dir)
+    return r.select(
+        F.when(F.col("rep_ratio") < 0.2, F.lit("kept"))
+        .otherwise(F.lit("rejected"))
+        .alias("branch")
+    ).groupBy("branch").agg(F.count("*").alias("n"))
+
+
+@register(
+    "prompt_format",
+    """
+    SELECT doc_id,
+           'Input:\n' || text || '\n\nOutput:\n'
+             || regexp_replace(lower(substring(text, 1, 16)), '[^a-z0-9 ]', '', 'g')
+             || '</s>' AS text_train,
+           'Input:\n' || text || '\n\nOutput:\n' AS text_inf
+    FROM documents
+    """,
+)
+def prompt_format(spark, sf_dir):
+    """F4 — the reference's training/inference prompt construction
+    (common/utils.py:36-37, 65-95): INPUT_OUTPUT_PROMPT.format(input, output)
+    + eos_token for training, INPUT_ONLY_PROMPT.format(input) for inference.
+    Input stand-in = text, output stand-in = the sanitized title (documents
+    has no html column); '</s>' plays the tokenizer eos. Pure JVM concat."""
+    d = _t(spark, sf_dir, "documents")
+    title = F.regexp_replace(F.lower(F.substring("text", 1, 16)), "[^a-z0-9 ]", "")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Input:\n"), F.col("text"), F.lit("\n\nOutput:\n"), title, F.lit("</s>")
+        ).alias("text_train"),
+        F.concat(F.lit("Input:\n"), F.col("text"), F.lit("\n\nOutput:\n")).alias("text_inf"),
+    )
 
 
 @register(

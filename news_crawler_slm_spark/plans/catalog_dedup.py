@@ -289,16 +289,24 @@ def ann_cosine_topk(spark, sf_dir):
 
 
 @register("ann_lsh_topk", None)  # random-hyperplane signs: engine-defined
-def ann_lsh_topk(spark, sf_dir):
-    """Scale-path ANN: random-hyperplane LSH. Each vector gets a sign-bit
-    bucket from 8 deterministic pseudo-hyperplanes (hash-derived, no RNG
-    state); candidates = same-bucket pairs; exact cosine re-ranks inside the
-    bucket. Recall vs the brute-force baseline is asserted in
-    tests/test_similarity.py."""
+def ann_lsh_topk(spark, sf_dir, bands: int = 8, bits: int = 8, k: int = 5):
+    """Scale-path ANN: MULTI-BAND random-hyperplane LSH (the minhash banding
+    shape). Each vector gets `bands` independent sign-bit buckets, `bits`
+    deterministic pseudo-hyperplanes each (hash-derived, no RNG state);
+    candidates = pairs sharing ANY band's bucket (union), deduped, then
+    exact cosine re-ranks the candidate set. Per-vector output is `bands`
+    constant-width rows, so the shuffle never carries O(corpus) state; at
+    larger corpora `bits` grows ~log2(N/target_bucket_size) to keep
+    in-bucket pair counts bounded, and `bands` buys recall back. Recall@5
+    >= 0.8 vs the brute-force baseline is asserted on a genuinely clustered
+    corpus in tests/test_similarity.py (the driver's synthetic embeddings
+    are isotropic-random — no LSH family can recover near-orthogonal
+    "neighbors" there without scanning ~everything; the same test pins the
+    measured recall floor on that corpus too)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    n_planes = 8
+
     # deterministic pseudo-hyperplane component for plane p, dim i:
     # centered hash in [-0.5, 0.5): (pmod(xxhash64(p,i),1000)/1000 - 0.5)
     def plane_dot(p):
@@ -316,30 +324,53 @@ def ann_lsh_topk(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(plane_dot(p) > 0, F.lit(_bit(p))).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    bucketed = emb.select("vec_id", "e", bucket.alias("bucket"))
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
+    def band_bucket(b):
+        bucket = None
+        for r in range(bits):
+            p = b * bits + r
+            bit = F.when(plane_dot(p) > 0, F.lit(_bit(r))).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+        return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+
+    banded = emb.select(
+        "vec_id",
+        "e",
+        F.explode(F.array(*[band_bucket(b) for b in range(bands)])).alias("bb"),
+    ).select("vec_id", "e", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    # union candidates across bands: one groupBy dedups pairs AND carries the
+    # vectors (first() is exact: every band row holds the same array), so the
+    # re-rank needs no second pass over the corpus.
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("query_id"), F.col("b.vec_id").alias("vec_id")
+        )
+        .agg(F.first(F.col("a.e")).alias("qe"), F.first(F.col("b.e")).alias("ce"))
+    )
 
     def dot(x, y):
-        return F.aggregate(F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z)
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v), F.lit(0.0), lambda acc, z: acc + z
+        )
 
-    cos = dot(F.col("a.e"), F.col("b.e")) / (
-        F.sqrt(dot(F.col("a.e"), F.col("a.e"))) * F.sqrt(dot(F.col("b.e"), F.col("b.e")))
+    cos = dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("vec_id"),
-            cos.alias("cos_raw"),
-        )
+        cand.select("query_id", "vec_id", cos.alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= k)
         .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )
 
@@ -433,11 +464,51 @@ def url_canonicalization(spark, sf_dir):
     )
 
 
-@register("langid_heuristic", None)  # pandas-UDF heuristic: rows-only check
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of functions.text.detect_language: marker-substring
+    counts via (len - len(replace))/len(marker) — the same non-overlapping
+    left-to-right semantics as Python str.count — argmax with
+    first-in-dict-order tie-breaking ('und' when all scores are 0)."""
+    from ..functions.text import _LANG_MARKERS
+
+    def score(markers):
+        return " + ".join(
+            f"(length(s) - length(replace(s, '{m}', ''))) // {len(m)}"
+            for m in markers
+        )
+
+    langs = list(_LANG_MARKERS)  # dict order == the Python scan order
+    scores = ", ".join(
+        f"({score(ms)}) AS s_{l}" for l, ms in _LANG_MARKERS.items()
+    )
+    # first language (in scan order) achieving the max wins; all-zero -> und
+    branches = [
+        "WHEN " + " AND ".join(f"s_{l} = 0" for l in langs) + " THEN 'und'"
+    ]
+    for i, l in enumerate(langs):
+        rest = langs[i + 1 :]
+        if rest:
+            cond = " AND ".join(f"s_{l} >= s_{r}" for r in rest)
+            branches.append(f"WHEN {cond} THEN '{l}'")
+        else:
+            branches.append(f"ELSE '{l}'")
+    case = "CASE " + " ".join(branches) + " END"
+    return f"""
+    WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS s FROM documents),
+    sc AS (SELECT doc_id, lang, {scores} FROM p)
+    SELECT doc_id, lang, {case} AS lang_detected FROM sc
+    """
+
+
+@register("langid_heuristic", _langid_oracle_sql())
 def langid_heuristic(spark, sf_dir):
-    """Language-ID n-gram heuristic over documents (engine addition); the
-    Arrow UDF path — accuracy vs the lang column is asserted in
-    tests/test_text_ops.py."""
+    """Language-ID n-gram heuristic over documents (engine addition). The
+    Arrow UDF really scans marker substrings per row (functions/text.py:83);
+    the DuckDB oracle recomputes the same scores with replace-count algebra —
+    a drift in either side is a hash mismatch. Accuracy on a labeled
+    marker-bearing corpus is asserted in tests/test_text_ops.py (the
+    driver's synthetic documents text does not correlate with its lang
+    column, so corpus accuracy is not a meaningful target)."""
     from ..functions.udfs import detect_language_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -457,16 +528,127 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
+    """One k-means-lite pass, fully distributed:
+
+    1. init: the k vectors with the smallest xxhash64(vec_id) (deterministic,
+       no RNG state; a global sort-limit-k — O(k) driver state).
+    2. one assignment + partial-aggregation pass via mapInPandas: each Arrow
+       batch assigns its vectors to the nearest init centroid (argmax cosine,
+       one BLAS matmul) and emits per-cell (count, Σ micro-quantized
+       components). Integer micro-sums (round(x*1e6)) make the reduction
+       ORDER-INDEPENDENT and bit-exact — float summation order across
+       batches/shuffles can't perturb the centroids.
+    3. driver reduce: k rows of (cell, cnt, Σmicro) -> centroid[d] =
+       Σmicro / (cnt * 1e6). O(k*dim) driver state — a control action, not a
+       data collect.
+
+    Returns {cell_index: [float centroid]} for non-empty cells.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    seeds = (
+        emb.select("vec_id", "e")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(k_cells)
+        .collect()
+    )
+    init = np.array([list(r["e"]) for r in seeds], dtype=np.float64)
+    init_unit = init / np.linalg.norm(init, axis=1, keepdims=True)
+    dim = init.shape[1]
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            if X.size == 0:
+                continue
+            cells = (X @ init_unit.T).argmax(axis=1)
+            micro = np.rint(X * 1e6).astype(np.int64)
+            rows = []
+            for c in np.unique(cells):
+                m = micro[cells == c]
+                rows.append((int(c), int(m.shape[0]), m.sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cell", "cnt", "s"])
+
+    agg = (
+        emb.select("e")
+        .mapInPandas(partials, schema=schema)
+        .select("cell", "cnt", F.posexplode("s").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("v").alias("sv"))
+        .collect()
+    )
+    cnts: dict[int, int] = {}
+    sums: dict[int, list[int]] = {}
+    for r in agg:
+        sums.setdefault(r["cell"], [0] * dim)[r["pos"]] = r["sv"]
+        cnts[r["cell"]] = r["cnt"]
+    return {
+        c: [sums[c][d] / (cnts[c] * 1e6) for d in range(dim)] for c in sorted(cnts)
+    }
+
+
 @register("ann_ivf_topk", None)  # engine-defined cells: no SQL twin
-def ann_ivf_topk(spark, sf_dir):
-    """Scale-path ANN #2: IVF (inverted-file) search. Coarse cells = per-
-    label centroids (at 100 TB the cells come from a k-means pass; the cell-
-    probe plan below is identical). Each query probes the nprobe=2 nearest
-    cells by centroid cosine, exact re-rank inside the probed cells only —
-    the candidate set is bounded by cell sizes, never O(corpus). Recall vs
-    the brute-force baseline is asserted in tests/test_similarity.py."""
+def ann_ivf_topk(spark, sf_dir, k_cells: int = 10, nprobe: int = 2, k: int = 5):
+    """Scale-path ANN #2: IVF (inverted-file) search over LEARNED cells —
+    one deterministic k-means-lite pass (ivf_kmeans_centroids: xxhash64
+    seed-pick, mapInPandas assignment + exact integer partial sums). Each
+    vector is assigned to its nearest learned centroid; each query probes
+    the nprobe nearest cells by centroid cosine; exact re-rank runs inside
+    the probed cells only — the candidate set is bounded by cell sizes,
+    never O(corpus). Exact-within-probed-cells + recall vs brute force are
+    asserted in tests/test_similarity.py against a numpy twin of the whole
+    pipeline."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    centroids = ivf_kmeans_centroids(spark, emb, k_cells)
+    C = np.array([centroids[c] for c in sorted(centroids)], dtype=np.float64)
+    cell_ids = sorted(centroids)
+    C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            if X.size == 0:
+                continue
+            idx = (X @ C_unit.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": [cell_ids[i] for i in idx]}
+            )
+
+    assigned = emb.select("vec_id", "e").mapInPandas(assign, schema=assign_schema)
+    cells_df = F.broadcast(
+        spark.createDataFrame(
+            [(c, centroids[c]) for c in cell_ids],
+            T.StructType(
+                [
+                    T.StructField("cell", T.IntegerType()),
+                    T.StructField("centroid", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
     )
 
     def dot(a, b):
@@ -477,36 +659,27 @@ def ann_ivf_topk(spark, sf_dir):
     def cos(a, b):
         return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
-    # centroids per cell, element-wise mean via posexplode -> re-assemble
-    cent = (
-        emb.select("label", F.posexplode("e").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s.m).alias("centroid"))
-    )
-
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    # probe: top-2 cells per query by centroid cosine (cells are few: broadcast)
-    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "label")
+    w_cell = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), "cell")
     probed = (
-        q.crossJoin(F.broadcast(cent))
+        q.crossJoin(cells_df)
         .withColumn("cell_cos", cos(F.col("qe"), F.col("centroid")))
         .withColumn("rn", F.row_number().over(w_cell))
-        .where(F.col("rn") <= 2)
-        .select("query_id", "qe", "label")
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qe", "cell")
     )
     # exact re-rank inside probed cells only
-    cand = emb.join(F.broadcast(probed), "label").where(
-        F.col("query_id") != F.col("vec_id")
+    cand = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(probed), "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), "vec_id")
     return (
         cand.select("query_id", "vec_id", cos(F.col("qe"), F.col("e")).alias("cos_raw"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= k)
         .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )

@@ -284,6 +284,55 @@ _SCORES_DUCK = f"""
 """
 
 
+@register(
+    "json_key_set_ops",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             ['title', 'n', 'tags', 'note'] AS gold_keys,
+             CASE doc_id % 3
+               WHEN 0 THEN ['note', 'tags', 'n', 'title']
+               WHEN 1 THEN ['title', 'tags', 'note', 'bogus']
+               ELSE        ['title', 'n', 'x', 'y'] END AS pred_keys,
+             [lang, source, lang] AS tags
+      FROM documents
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(list_sort(list_filter(pred_keys,
+             x -> NOT list_contains(gold_keys, x))), ','), '') AS extra_keys,
+           coalesce(array_to_string(list_sort(list_filter(gold_keys,
+             x -> NOT list_contains(pred_keys, x))), ','), '') AS missing_keys,
+           array_to_string(list_sort(list_intersect(pred_keys, gold_keys)), ',')
+             AS common_keys,
+           array_to_string(list_sort(list_distinct(tags)), ',') AS uniq_tags
+    FROM k
+    """,
+)
+def json_key_set_ops(spark, sf_dir):
+    """U2/U3 — the reference's key-set algebra (get_key_sets,
+    evaluate_model.py:44-51: pred-gold / gold-pred / intersection; list
+    set-equality via set(), :208-214) as JVM Column expressions:
+    array_except / array_intersect / array_sort(array_distinct()). The
+    Python-UDF path in evaluate_json uses real set() on parsed JSON; this is
+    the native-expression twin the OPERATORS.md U2/U3 rows point at."""
+    d = _t(spark, sf_dir, "documents")
+    gold = F.array(*[F.lit(x) for x in ("title", "n", "tags", "note")])
+    m = F.col("doc_id") % 3
+    pred = (
+        F.when(m == 0, F.array(*[F.lit(x) for x in ("note", "tags", "n", "title")]))
+        .when(m == 1, F.array(*[F.lit(x) for x in ("title", "tags", "note", "bogus")]))
+        .otherwise(F.array(*[F.lit(x) for x in ("title", "n", "x", "y")]))
+    )
+    tags = F.array("lang", "source", "lang")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_except(pred, gold)), ",").alias("extra_keys"),
+        F.array_join(F.array_sort(F.array_except(gold, pred)), ",").alias("missing_keys"),
+        F.array_join(F.array_sort(F.array_intersect(pred, gold)), ",").alias("common_keys"),
+        F.array_join(F.array_sort(F.array_distinct(tags)), ",").alias("uniq_tags"),
+    )
+
+
 @register("json_eval_scores", _SCORES_DUCK)
 def json_eval_scores(spark, sf_dir):
     """F11 + F12 + F15 — lax parse (python-literal laxity incl. strict-JSON

@@ -70,6 +70,7 @@ ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        T.StructField("allow", T.ArrayType(T.StringType()), True),
         T.StructField("crawl_delay", T.DoubleType(), True),
     ]
 )

@@ -142,9 +142,13 @@ def generate_web(scale: WebScale = WebScale()) -> dict[str, list]:
     robots_rows = []
     for h in range(scale.n_hosts):
         disallow = ["/private"] + (["/p1"] if h % 5 == 0 else [])
+        # longest-match Allow carve-out: /p1 is disallowed on h%5==0 hosts
+        # (which also blocks /p10, /p11, ... by prefix) but /p12 is allowed
+        # back — exercises RFC 9309 precedence in the live crawl tests
+        allow = ["/p12"] if h % 10 == 0 else []
         # one high-delay host for politeness-budget tests
         delay = 30.0 if h == 1 else float(1 + (h % 3))
-        robots_rows.append((hosts[h], disallow, delay))
+        robots_rows.append((hosts[h], disallow, allow, delay))
 
     return {"web": web_rows, "seeds": seed_rows, "robots": robots_rows}
 
@@ -242,7 +246,7 @@ def bench_web_dataframes(
         (f"https://{hosts[h]}/p0", hosts[h], f"Bench{h}", h + 1, False, float(n_hosts - h))
         for h in range(n_hosts)
     ]
-    robots_rows = [(hosts[h], ["/private"], 1.0) for h in range(n_hosts)]
+    robots_rows = [(hosts[h], ["/private"], [], 1.0) for h in range(n_hosts)]
     return {
         "web": web,
         "seeds": spark.createDataFrame(seed_rows, schemas.SEEDS),

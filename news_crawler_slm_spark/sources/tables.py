@@ -153,7 +153,7 @@ class SnapshotCatalog:
         snapshot_id: int,
         tables: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
-        counters: dict[str, Any] | None = None,
+        counters: dict[str, Any] | Any = None,
         count_rows: bool = False,
         output_partitions: int | None = None,
         partition_by: dict[str, list[str]] | None = None,
@@ -166,6 +166,10 @@ class SnapshotCatalog:
         immutable, so appending a delta file is O(round), not O(history);
         this is the Iceberg append pattern and the only sane shape at
         10^10 URLs).
+        ``counters``: a dict, or a zero-arg callable evaluated AFTER the
+        table writes and BEFORE the manifest swap — lets callers derive
+        counters from write-side Observations (one job instead of a separate
+        counting action) while keeping them in the same atomic snapshot.
         ``output_partitions``: coalesce width for tiny test-scale states;
         leave None at scale.
         ``count_rows``: row counts per table in the manifest cost one job
@@ -224,6 +228,8 @@ class SnapshotCatalog:
             for name, plist in paths.items():
                 row_counts[name] = self.spark.read.parquet(*plist).count()
 
+        if callable(counters):
+            counters = counters()
         snap = Snapshot(snapshot_id, parent, paths, row_counts, counters or {}, schemas)
 
         manifest_dir = os.path.join(self.root, "manifests")

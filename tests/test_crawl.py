@@ -83,6 +83,28 @@ def test_engine_matches_simulator(spark, tmp_path, sim_result):
     assert all("popped" in s.counters for s in lineage)
 
 
+def test_cache_fetch_mode_equivalent(spark, tmp_path, sim_result):
+    """params.cache_fetch=True (persist the full fetch result so a
+    non-deterministic fetcher would run exactly once) must produce the
+    identical crawl log, seen set and page bytes as the default
+    double-execution mode."""
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    import dataclasses
+
+    params = dataclasses.replace(PARAMS, cache_fetch=True)
+    root = str(tmp_path / "cachefetch_cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, params)
+    catalog = SnapshotCatalog(spark, root)
+    assert _crawl_log(catalog) == sim_result.crawl_log
+    assert {r["url"] for r in catalog.read_table("seen").collect()} == sim_result.seen
+    got_pages = {
+        r["url"]: (r["text"], r["lang"], r["publisher"])
+        for r in catalog.read_table("pages").collect()
+    }
+    assert got_pages == sim_result.pages
+
+
 def test_resume_equals_uninterrupted(spark, tmp_path, sim_result):
     """Kill after round 3, resume from snapshot: identical final state."""
     dfs = web_dataframes(spark, SCALE)

@@ -1,0 +1,155 @@
+"""Value-level oracles for the hash-based dedup/fingerprint pipelines
+(minhash_lsh_candidates, simhash_fingerprints, doc_fingerprints).
+
+These queries register with oracle=None for the driver (DuckDB has no
+xxhash64), so THIS file is their correctness gate: each pipeline is
+recomputed end-to-end in pure Python on the same parquet input, using an
+independent XXH64 implementation (xxh64_oracle.py), and compared
+value-for-value against the collected Spark result.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from news_crawler_slm_spark.plans import catalog_dedup as D
+from xxh64_oracle import xxh64_str
+
+_WS = re.compile(r"\s+")
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _toks(text: str) -> list[str]:
+    s = text.strip()
+    return _WS.split(s) if s else []
+
+
+def test_xxh64_oracle_matches_spark(spark):
+    """The oracle hash must agree with Spark's xxhash64 — anchors everything
+    below to the engine's actual hash primitive."""
+    vals = ["", "a", "hello world", "seed7:foo bar baz", "x" * 100,
+            "1234567", "12345678", "1234567890123456789012345678901234567"]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], ["s"])
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh64_str(r["s"]) == r["h"], repr(r["s"])
+
+
+def _minhash_oracle(docs, n=3, n_hashes=16, bands=4):
+    """Pure-Python re-derivation of the banded MinHash plan
+    (catalog_dedup.minhash_lsh_candidates)."""
+    rows_per_band = n_hashes // bands
+    cache: dict[tuple[int, str], int] = {}
+
+    def h(i, g):
+        key = (i, g)
+        if key not in cache:
+            cache[key] = xxh64_str(f"seed{i}:{g}")
+        return cache[key]
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in docs:
+        t = _toks(text)
+        if len(t) < n:
+            continue
+        grams = {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+        sig = [min(h(i, g) for g in grams) for i in range(n_hashes)]
+        for b in range(bands):
+            key = "|".join(
+                str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
+            )
+            buckets.setdefault((b, xxh64_str(key)), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                pairs.add((a, b))
+    return pairs
+
+
+def test_minhash_lsh_candidates_value_oracle(spark, sf_dir):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    want = _minhash_oracle(_docs(sf_dir))
+    assert got == want
+
+
+def test_minhash_lsh_finds_planted_neardup(spark, sf_dir, tmp_path):
+    """A planted 90%-overlap near-duplicate must surface as a candidate —
+    guards against a vacuously-empty pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.limit(1).collect()[0]
+    mutated = " ".join(_toks(base["text"])[:-1] + ["zzz"])
+    planted = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(99999, mutated)], ["doc_id", "text"])
+    )
+    out = str(tmp_path / "planted")
+    planted.write.parquet(f"{out}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(spark, out).collect()
+    }
+    assert (base["doc_id"], 99999) in got or (99999, base["doc_id"]) in got
+
+
+def _simhash_oracle(docs):
+    fps = {}
+    for doc_id, text in docs:
+        votes = [0] * 64
+        for tok in _toks(text):
+            u = xxh64_str(tok) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (u >> i) & 1 else -1
+        u = 0
+        for i in range(64):
+            if votes[i] > 0:
+                u |= 1 << i
+        fps[doc_id] = u - (1 << 64) if u >= (1 << 63) else u
+    return fps
+
+
+def test_simhash_fingerprints_value_oracle(spark, sf_dir):
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_fingerprints(spark, sf_dir).collect()
+    }
+    want = _simhash_oracle(_docs(sf_dir))
+    assert got == want
+
+
+def test_simhash_hamming_neardup_property(spark, sf_dir):
+    """Near-identical docs get near-identical simhashes: flipping two tokens
+    out of ~50 must keep Hamming distance well under the random-pair level
+    (~32 bits for independent hashes)."""
+    doc_id, text = _docs(sf_dir)[0]
+    toks = _toks(text)
+    mutated = " ".join(toks[:-2] + ["zzz", "yyy"])
+    fps = _simhash_oracle([(0, text), (1, mutated), (2, "totally different words entirely")])
+    ham = bin((fps[0] ^ fps[1]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 16
+    far = bin((fps[0] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    assert far > ham
+
+
+def test_doc_fingerprints_value_oracle(spark, sf_dir):
+    got = {
+        r["doc_id"]: (r["fp64"], r["prefix_fp"])
+        for r in D.doc_fingerprints(spark, sf_dir).collect()
+    }
+    for doc_id, text in _docs(sf_dir):
+        want_fp = xxh64_str(text)
+        want_prefix = xxh64_str(" ".join(_toks(text)[:8]))
+        assert got[doc_id] == (want_fp, want_prefix), doc_id

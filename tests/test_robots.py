@@ -38,6 +38,51 @@ def test_group_selection_and_fields():
     assert evil.disallow == ("/",)
 
 
+def test_allow_longest_match_precedence():
+    # the ADVICE r1 case: 'Disallow: /' + 'Allow: /news' must over-block
+    # ONLY outside /news (RFC 9309 longest-match, Allow wins ties)
+    r = parse_robots("User-agent: *\nDisallow: /\nAllow: /news")
+    assert r.disallow == ("/",) and r.allow == ("/news",)
+    assert is_disallowed("https://h/anything", list(r.disallow), list(r.allow))
+    assert not is_disallowed("https://h/news", list(r.disallow), list(r.allow))
+    assert not is_disallowed("https://h/news/today", list(r.disallow), list(r.allow))
+    # more specific Disallow beats shorter Allow
+    r2 = parse_robots("User-agent: *\nAllow: /a\nDisallow: /a/b")
+    assert is_disallowed("https://h/a/b/c", list(r2.disallow), list(r2.allow))
+    assert not is_disallowed("https://h/a/x", list(r2.disallow), list(r2.allow))
+    # equal length: Allow wins the tie
+    r3 = parse_robots("User-agent: *\nAllow: /ab\nDisallow: /ab")
+    assert not is_disallowed("https://h/ab/x", list(r3.disallow), list(r3.allow))
+
+
+def test_allow_column_twin_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.crawl.frontier import disallowed_col
+
+    cases = [
+        ("https://h/anything", ["/"], ["/news"]),
+        ("https://h/news/today", ["/"], ["/news"]),
+        ("https://h/a/b/c", ["/a/b"], ["/a"]),
+        ("https://h/a/x", ["/a/b"], ["/a"]),
+        ("https://h/ab/x", ["/ab"], ["/ab"]),
+        ("https://h/q", [], []),
+        ("https://h/p12/x", ["/p1"], ["/p12"]),
+        ("https://h/p11", ["/p1"], ["/p12"]),
+    ]
+    df = spark.createDataFrame(
+        cases, "url string, disallow array<string>, allow array<string>"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            disallowed_col(F.col("url"), F.col("disallow"), F.col("allow"))
+        ).collect()
+    ]
+    want = [is_disallowed(u, d, a) for u, d, a in cases]
+    assert got == want
+
+
 def test_edge_cases():
     assert parse_robots("").disallow == ()
     # empty Disallow value allows everything
@@ -73,10 +118,13 @@ def test_robots_table_stage(spark):
     rows = [
         ("a.com", SAMPLE.encode("utf-8")),
         ("b.com", None),
-        ("c.com", b"User-agent: *\nCrawl-delay: 3\nDisallow: /x"),
+        ("c.com", b"User-agent: *\nCrawl-delay: 3\nDisallow: /x\nAllow: /x/ok"),
     ]
     raw = spark.createDataFrame(rows, "host string, body binary")
-    got = {r.host: (r.disallow, r.crawl_delay) for r in robots_table(raw).collect()}
-    assert got["a.com"] == (["/private", "/tmp"], 7.5)
-    assert got["b.com"] == ([], DEFAULT_CRAWL_DELAY)
-    assert got["c.com"] == (["/x"], 3.0)
+    got = {
+        r.host: (r.disallow, r.allow, r.crawl_delay)
+        for r in robots_table(raw).collect()
+    }
+    assert got["a.com"] == (["/private", "/tmp"], [], 7.5)
+    assert got["b.com"] == ([], [], DEFAULT_CRAWL_DELAY)
+    assert got["c.com"] == (["/x"], ["/x/ok"], 3.0)

@@ -17,54 +17,142 @@ def _topk(spark, name):
     return out
 
 
-def test_ivf_exact_within_probed_cells(spark):
-    """IVF's contract: its result IS the exact top-k restricted to the
-    probed cells (ranking correctness is data-independent; absolute recall
-    on near-random vectors is ≈ the probed corpus fraction by construction,
-    so it is only sanity-checked)."""
-    import duckdb
+def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5):
+    """Pure-numpy replication of the engine's whole IVF pipeline
+    (catalog_dedup.ivf_kmeans_centroids + ann_ivf_topk): xxhash64 seed-pick
+    init, argmax-cosine assignment, EXACT integer-micro centroid means,
+    re-assignment to learned centroids, nprobe cell probe, exact re-rank."""
     import numpy as np
 
-    emb = duckdb.sql(
-        f"SELECT vec_id, label, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
-    ).fetchall()
-    ids = np.array([r[0] for r in emb])
-    labels = np.array([r[1] for r in emb])
-    X = np.array([r[2] for r in emb], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    from xxh64_oracle import xxh64_long
 
-    cents = {}
-    for lab in np.unique(labels):
-        c = X[labels == lab].mean(axis=0)
-        cents[lab] = c / np.linalg.norm(c)
+    order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), ids[i]))
+    init = X[order[:k_cells]]
+    init_unit = init / np.linalg.norm(init, axis=1, keepdims=True)
+
+    cells0 = (X @ init_unit.T).argmax(axis=1)
+    micro = np.rint(X * 1e6).astype(np.int64)
+    centroids = {}
+    for c in np.unique(cells0):
+        m = micro[cells0 == c]
+        centroids[int(c)] = m.sum(axis=0) / (m.shape[0] * 1e6)
+    cell_ids = sorted(centroids)
+    C = np.array([centroids[c] for c in cell_ids])
+    C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    assigned = np.array([cell_ids[i] for i in (X @ C_unit.T).argmax(axis=1)])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     want: dict[int, set[int]] = {}
     for q in range(5):
         qv = Xn[ids == q][0]
-        cell_cos = sorted(
-            ((float(qv @ c), -lab) for lab, c in cents.items()), reverse=True
-        )
-        probe = {-lab for _, lab in cell_cos[:2]}
-        mask = np.isin(labels, list(probe)) & (ids != q)
+        cell_cos = qv @ Cn.T
+        probe_order = sorted(range(len(cell_ids)), key=lambda i: (-cell_cos[i], cell_ids[i]))
+        probe = {cell_ids[i] for i in probe_order[:nprobe]}
+        mask = np.isin(assigned, list(probe)) & (ids != q)
         sims = Xn[mask] @ qv
         cand_ids = ids[mask]
-        order = np.lexsort((cand_ids, -sims))
-        want[q] = set(cand_ids[order[:5]].tolist())
+        o = np.lexsort((cand_ids, -sims))
+        want[q] = set(cand_ids[o[:k]].tolist())
+    return want
 
+
+def test_ivf_learned_cells_match_numpy_twin(spark):
+    """IVF's contract: the learned k-means cells are reproduced bit-for-bit
+    by the numpy twin (integer-micro centroid sums are order-independent),
+    and the result IS the exact top-k restricted to the probed cells."""
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in emb])
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+
+    want = _ivf_numpy_twin(ids, X)
     ivf = _topk(spark, "ann_ivf_topk")
     assert ivf == want
 
     exact = _topk(spark, "ann_cosine_topk")
     recalls = [len(ivf[q] & exact[q]) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.15  # sanity floor, see docstring
+    assert sum(recalls) / len(recalls) >= 0.15  # random corpus: see docstrings
 
 
-def test_lsh_returns_bucketed_candidates(spark):
+def _planted_corpus(tmp_path_factory):
+    """A genuinely CLUSTERED corpus (10 tight clusters, within-cluster
+    cosine ~0.9 — the shape of real text-embedding neighborhoods). The
+    driver's synthetic embeddings are isotropic-random: top-5 'neighbors'
+    there have cosine ~0.32 (near-orthogonal), and no LSH family can
+    recover near-orthogonal neighbors without scanning ~everything — so the
+    >=0.8 recall contract is asserted here, where near neighbors exist."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n_clusters, per, dim = 10, 50, 64
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per, axis=0) + 0.06 * rng.normal(
+        size=(n_clusters * per, dim)
+    )
+    n = n_clusters * per
+    d = str(tmp_path_factory.mktemp("planted_emb"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [X[i].astype(np.float32).tolist() for i in range(n)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i // per for i in range(n)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    # exact top-5 on the float32-cast vectors (what the engine reads)
+    Xf = X.astype(np.float32).astype(np.float64)
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    exact = {i: set(np.argsort(-S[i])[:5].tolist()) for i in range(n)}
+    return d, exact, n
+
+
+def test_lsh_recall_on_clustered_corpus(spark, tmp_path_factory):
+    """THE multi-band LSH contract: recall@5 >= 0.8 vs exact brute force on
+    a clustered corpus (measured 0.92 with the engine's deterministic
+    hash-planes; everything here is deterministic, so no flake margin is
+    needed beyond the 0.85 floor)."""
+    d, exact, n = _planted_corpus(tmp_path_factory)
+    df = REGISTRY["ann_lsh_topk"][0](spark, d)
+    lsh: dict[int, set[int]] = {}
+    for r in df.collect():
+        lsh.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(lsh.get(i, set()) & exact[i]) / 5 for i in range(n)]
+    assert sum(recalls) / n >= 0.85
+
+    # IVF on the same corpus: cells == real clusters -> near-perfect recall
+    ivf_df = REGISTRY["ann_ivf_topk"][0](spark, d)
+    ivf: dict[int, set[int]] = {}
+    for r in ivf_df.collect():
+        ivf.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf_recalls = [len(ivf.get(q, set()) & exact[q]) / 5 for q in range(5)]
+    assert sum(ivf_recalls) / 5 >= 0.9
+
+
+def test_lsh_on_random_corpus_floor(spark):
+    """On the driver's isotropic-random corpus the information-theoretic
+    ceiling for bounded-candidate LSH is low; pin the measured floor
+    (0.147 with 8 bands x 8 bits) so regressions in the banding still
+    surface, and keep the per-query k bound."""
     exact = _topk(spark, "ann_cosine_topk")
     lsh = _topk(spark, "ann_lsh_topk")
-    # LSH may lose whole queries whose bucket is a singleton, but whatever
-    # it returns must rank within the bucket correctly (≤ k rows/query) and
-    # achieve nonzero overlap with the exact neighbors overall
     assert all(len(v) <= 5 for v in lsh.values())
-    overlap = sum(len(lsh.get(q, set()) & exact[q]) for q in exact)
-    assert overlap > 0
+    recalls = [len(lsh.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.10

@@ -1,0 +1,102 @@
+"""Text-analysis operator semantics: language-ID accuracy on a labeled
+marker-bearing corpus, tokenizer/fingerprint value pins, quality features.
+(The driver's synthetic documents.text does not correlate with its lang
+column — all languages share one vocabulary — so language-ID accuracy is
+asserted here on real marker-bearing sentences instead; cross-engine value
+identity of the langid query is covered by its DuckDB oracle.)"""
+
+from __future__ import annotations
+
+from news_crawler_slm_spark.functions import text as TX
+
+# Small labeled corpus with genuine function words per language.
+_LABELED = [
+    ("en", "the cat sat on the mat and looked at the dog that barked"),
+    ("en", "this is the house of the rising sun and that is all"),
+    ("de", "der hund und die katze sind nicht in das haus gegangen"),
+    ("de", "das ist der anfang und die geschichte ist nicht zu ende"),
+    ("fr", "le chat est sur la table et les enfants mangent une pomme"),
+    ("fr", "la maison est grande et le jardin est une merveille"),
+    ("es", "el perro y los gatos que viven en una casa es grande"),
+    ("es", "los ninos y el maestro dicen que una escuela es buena"),
+    ("it", "il gatto che dorme di notte e una bella cosa per tutti"),
+    ("it", "il mare di sera e una meraviglia che incanta per sempre"),
+]
+
+
+def test_langid_accuracy_on_labeled_corpus():
+    correct = sum(1 for lang, s in _LABELED if TX.detect_language(s) == lang)
+    assert correct == len(_LABELED)  # 100% on clear marker-bearing text
+
+
+def test_langid_und_fallback():
+    assert TX.detect_language("") == "und"
+    assert TX.detect_language("xyzzy plugh 12345") == "und"
+
+
+def test_langid_udf_matches_pure_function(spark):
+    from news_crawler_slm_spark.functions.udfs import detect_language_udf
+
+    df = spark.createDataFrame([(s,) for _, s in _LABELED], ["text"])
+    got = [r[0] for r in df.select(detect_language_udf("text")).collect()]
+    want = [TX.detect_language(s) for _, s in _LABELED]
+    assert got == want
+
+
+def test_ws_tokens_and_counts():
+    assert TX.ws_tokens("  a  b\tc\n") == ["a", "b", "c"]
+    assert TX.ws_tokens("") == []
+    assert TX.ws_token_count("one two three") == 3
+
+
+def test_bpeish_token_count_pins():
+    # GPT-2-style regex: contractions split, digit runs, punct runs
+    assert TX.bpeish_token_count("") == 0
+    assert TX.bpeish_token_count("hello world") == 2
+    assert TX.bpeish_token_count("it's fine") == 3  # it / 's / fine
+    assert TX.bpeish_token_count("a1b") == 3  # letters/digits split
+    assert TX.bpeish_token_count("wait... what?!") == 4
+
+
+def test_repetition_severity_ratio_reference_semantics():
+    # omit_degeneration.py:13-30 — <n tokens -> 0.0; multiplicity counting
+    assert TX.repetition_severity_ratio("a b c") == 0.0
+    text = " ".join(["a b c d e"] * 3)  # 15 tokens, heavy 5-gram repetition
+    r = TX.repetition_severity_ratio(text)
+    assert 0.0 < r <= 1.0
+    # exact: 11 windows, each distinct 5-gram appears ... compute directly
+    toks = text.split()
+    total = len(toks) - 4
+    from collections import Counter
+    c = Counter(tuple(toks[i : i + 5]) for i in range(total))
+    want = sum(v - 1 for v in c.values() if v > 1) / total
+    assert r == want
+
+
+def test_rolling_fingerprint_pinned_values():
+    # deterministic 61-bit polynomial hash — pin absolute values so any
+    # accidental change to base/modulus is caught
+    assert TX.rolling_fingerprint("") == 0
+    assert TX.rolling_fingerprint("a") == 97
+    assert TX.rolling_fingerprint("ab") == 97 * 257 + 98
+    h = TX.rolling_fingerprint("hello world")
+    assert 0 <= h < (1 << 61) - 1
+    assert h == TX.rolling_fingerprint("hello world")  # stable
+    assert h != TX.rolling_fingerprint("hello worle")
+
+
+def test_quality_features_values():
+    f = TX.quality_features("The cat, the hat!")
+    assert f["n_tokens"] == 4.0
+    assert f["n_chars"] == 17.0
+    assert f["punct_ratio"] == 2 / 17
+    assert f["stopword_ratio"] == 2 / 4  # 'The' + 'the'
+    assert f["mean_word_len"] == (3 + 4 + 3 + 4) / 4
+    z = TX.quality_features("")
+    assert z["n_tokens"] == 0.0 and z["punct_ratio"] == 0.0
+
+
+def test_shingles():
+    assert TX.shingles("a b c d e f", k=5) == ["a b c d e", "b c d e f"]
+    assert TX.shingles("a b", k=5) == ["a b"]
+    assert TX.shingles("", k=5) == []

@@ -27,9 +27,10 @@ the same definitions:
 - BLEU (evaluate_model.py:102-103): corpus BLEU with uniform 4-gram weights
   and brevity penalty (single pred/ref pair), no smoothing — HF bleu
   default.
-- METEOR (evaluate_model.py:105-106) requires nltk wordnet data (absent
-  offline): deliberately NOT implemented; ``meteor_score`` raises
-  NotImplementedError so the gap is explicit, not silent.
+- METEOR (evaluate_model.py:105-106): implemented from the published
+  algorithm with exact + Porter-stem match stages; the WordNet-synonym
+  stage is OMITTED (nltk corpus data absent offline) — see
+  ``meteor_score`` docstring for the three documented divergences.
 - safe_transform_to_json (evaluate_model.py:35-41): ``ast.literal_eval`` —
   accepts *python literal* syntax (single quotes, None/True/False) and
   REJECTS strict-JSON ``null``/``true`` — the reference's quirk, kept.
@@ -227,11 +228,68 @@ def bleu(pred: str, gold: str, max_n: int = 4) -> float:
     return bp * math.exp(log_sum)
 
 
-def meteor_score(pred: str, gold: str) -> float:  # pragma: no cover - gated
-    raise NotImplementedError(
-        "METEOR needs nltk wordnet data (unavailable offline); "
-        "reference analog evaluate_model.py:105-106"
+def _meteor_align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
+    """Stage-wise greedy alignment (nltk meteor_score semantics): exact
+    matches first, then Porter-stem matches over the leftovers. For each
+    hypothesis token in order, claim the first unmatched reference token
+    whose key is equal. Returns (hyp_idx, ref_idx) pairs."""
+    from .stemmer import porter_stem
+
+    matches: list[tuple[int, int]] = []
+    h_left = list(enumerate(hyp))
+    r_left = list(enumerate(ref))
+    for key in (lambda w: w, porter_stem):
+        next_h = []
+        for i, hw in h_left:
+            hk = key(hw)
+            for pos, (j, rw) in enumerate(r_left):
+                if key(rw) == hk:
+                    matches.append((i, j))
+                    del r_left[pos]
+                    break
+            else:
+                next_h.append((i, hw))
+        h_left = next_h
+    return matches
+
+
+def meteor_score(
+    pred: str,
+    gold: str,
+    alpha: float = 0.9,
+    beta: float = 3.0,
+    gamma: float = 0.5,
+) -> float:
+    """METEOR, single reference (Banerjee & Lavie 2005; nltk
+    ``single_meteor_score`` formula — the reference's metric via HF
+    ``evaluate``, evaluate_model.py:105-106): stage-wise unigram alignment,
+    harmonic mean weighted toward recall (alpha=0.9), fragmentation penalty
+    gamma*(chunks/matches)**beta.
+
+    Offline divergences (documented, not silent): (1) the WordNet-synonym
+    match stage is OMITTED (nltk corpus data is unavailable here), so
+    scores are a lower bound — identical whenever no synonym-only match
+    exists; (2) tokenization is lowercase whitespace split, not nltk
+    ``word_tokenize`` — identical on whitespace-clean text; (3) the stem
+    stage uses the ORIGINAL published Porter algorithm
+    (functions/stemmer.py), not nltk's extended mode."""
+    hyp, ref = pred.lower().split(), gold.lower().split()
+    if not hyp or not ref:
+        return 0.0
+    matches = sorted(_meteor_align(hyp, ref))
+    m = len(matches)
+    if m == 0:
+        return 0.0
+    precision = m / len(hyp)
+    recall = m / len(ref)
+    fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+    chunks = sum(
+        1
+        for k, (i, j) in enumerate(matches)
+        if k == 0 or not (i == matches[k - 1][0] + 1 and j == matches[k - 1][1] + 1)
     )
+    penalty = gamma * (chunks / m) ** beta
+    return (1 - penalty) * fmean
 
 
 # ------------------------------------------------------------- JSON scoring
@@ -280,8 +338,10 @@ def extract_all_text(data) -> str:
 
 
 def evaluate_json(prediction: str, gold_data: dict) -> dict:
-    """evaluate_model.py:125-225 with identical branch order. ``body`` text
-    metrics omit METEOR (gated, see meteor_score)."""
+    """evaluate_model.py:125-225 with identical branch order, including all
+    six ``body_*`` text metrics (calculate_text_similarity_metrics,
+    evaluate_model.py:97-123; METEOR per meteor_score's documented offline
+    divergences)."""
     valid_json = safe_transform_to_json(prediction)
     if valid_json is None or not isinstance(valid_json, dict):
         return {"valid_json": 0, "TP": 0, "FP": 0, "FN": 0}
@@ -306,6 +366,7 @@ def evaluate_json(prediction: str, gold_data: dict) -> dict:
             g_text, p_text = extract_all_text(gold_value), extract_all_text(pred_value)
             scores["body_Rouge-L"] = rouge_l_f1(p_text, g_text)
             scores["body_BLEU"] = bleu(p_text, g_text)
+            scores["body_METEOR"] = meteor_score(p_text, g_text)
             scores["body_Levenshtein"] = normalized_levenshtein(p_text, g_text)
             scores["body_Damerau"] = float(damerau_levenshtein_osa(p_text, g_text))
             scores["body_Jaro-Winkler"] = jaro_winkler(p_text, g_text)

@@ -128,6 +128,18 @@ def bleu_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def meteor_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+    """F9 — METEOR (exact + Porter-stem stages; WordNet stage omitted
+    offline, see metrics.meteor_score)."""
+    from .metrics import meteor_score
+
+    return pd.Series(
+        [meteor_score(_as_str(p), _as_str(g)) for p, g in zip(pred, gold)],
+        dtype="float64",
+    )
+
+
 JSON_EVAL_SCHEMA = T.StructType(
     [
         T.StructField("valid_json", T.IntegerType()),
@@ -138,6 +150,7 @@ JSON_EVAL_SCHEMA = T.StructType(
         # when the parsed pred has no common 'body' key with gold.
         T.StructField("body_rouge_l", T.DoubleType()),
         T.StructField("body_bleu", T.DoubleType()),
+        T.StructField("body_meteor", T.DoubleType()),
         T.StructField("body_lev", T.DoubleType()),
         T.StructField("body_damerau", T.DoubleType()),
         T.StructField("body_jw", T.DoubleType()),
@@ -161,7 +174,7 @@ def json_eval_udf(pred: pd.Series, gold_json: pd.Series) -> pd.DataFrame:
         rows.append(
             (
                 s["valid_json"], s["TP"], s["FP"], s["FN"],
-                s.get("body_Rouge-L"), s.get("body_BLEU"),
+                s.get("body_Rouge-L"), s.get("body_BLEU"), s.get("body_METEOR"),
                 s.get("body_Levenshtein"), s.get("body_Damerau"),
                 s.get("body_Jaro-Winkler"),
             )
@@ -170,6 +183,7 @@ def json_eval_udf(pred: pd.Series, gold_json: pd.Series) -> pd.DataFrame:
         rows,
         columns=[
             "valid_json", "tp", "fp", "fn",
-            "body_rouge_l", "body_bleu", "body_lev", "body_damerau", "body_jw",
+            "body_rouge_l", "body_bleu", "body_meteor", "body_lev",
+            "body_damerau", "body_jw",
         ],
     )

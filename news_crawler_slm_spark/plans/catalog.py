@@ -393,6 +393,41 @@ def split_sizes(spark, sf_dir):
 
 
 @register(
+    "schema_align",
+    f"""
+    WITH assign AS ({_SPLIT_ORACLE})
+    SELECT d.source, d.doc_id, d.text, d.lang, d.n_chars, a.split
+    FROM documents d JOIN assign a ON d.source = a.source
+    """,
+)
+def schema_align(spark, sf_dir):
+    """S9 — cast every split to the train split's schema before publishing
+    (upload_dataset.py:17-19: ``ds.cast(dataset['train'].features)``; the
+    Hub push itself is out of scope offline). The val/test splits are given
+    the reference's real failure mode — Arrow dtype drift (doc_id narrowed
+    to int, n_chars widened to double, as inference does on splits with
+    missing values) — and ``align_splits`` restores the train schema with a
+    pure narrow projection (no shuffle, whole-stage codegen). The oracle
+    checks both: values survive the drift+align round trip AND the output
+    schema is the train split's (schema_match would fail on a leaked
+    double/int)."""
+    from ..operators.schema_align import align_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    assign = split_assign(spark, sf_dir)
+    tagged = docs.join(F.broadcast(assign), "source")
+    splits = {}
+    for name in ("train", "val", "test"):
+        part = tagged.where(F.col("split") == name).drop("split")
+        if name != "train":
+            part = part.withColumn("doc_id", F.col("doc_id").cast("int")).withColumn(
+                "n_chars", F.col("n_chars").cast("double")
+            )
+        splits[name] = part
+    return align_splits(splits)
+
+
+@register(
     "token_filter",
     f"""
     SELECT doc_id, source FROM (

@@ -24,6 +24,7 @@ from ..functions.udfs import (
     damerau_udf,
     jaro_winkler_udf,
     json_eval_udf,
+    meteor_udf,
     rouge_l_udf,
 )
 from .catalog import _t, register
@@ -122,6 +123,11 @@ def edit_distance_metrics(spark, sf_dir):
 #   bleu:    the single n-gram window containing the appended token is the
 #            only unmatched one -> prec_n = (k-n+1)/(k-n+2), bp = 1; 0 if k<4
 #   osa damerau: 4 pure insertions (' qzj')
+#   meteor:  'qzj' is outside the vocab (and no corpus token STEMS to it),
+#            so m = k exact matches, all contiguous -> chunks = 1:
+#            P = k/(k+1) (1.0 if identical), R = 1,
+#            fmean = P*R/(0.9P + (1-0.9)R), penalty = 0.5*(1/k)^3,
+#            score = (1-penalty)*fmean; 0.0 when k = 0
 # Identical pairs hit the exact fixed points 1.0/0.0. The SQL replicates the
 # engine's float op ORDER so doubles are bit-identical before rounding.
 _SEQ_DUCK = f"""
@@ -145,7 +151,17 @@ _SEQ_DUCK = f"""
              WHEN NOT appended THEN 1.0
              ELSE exp(ln(CAST(k AS DOUBLE)/(k+1))/4 + ln(CAST(k-1 AS DOUBLE)/k)/4
                     + ln(CAST(k-2 AS DOUBLE)/(k-1))/4 + ln(CAST(k-3 AS DOUBLE)/(k-2))/4)
-           END, 6) AS bleu
+           END, 6) AS bleu,
+           round(CASE
+             WHEN k = 0 THEN 0.0
+             WHEN NOT appended THEN
+               (1 - 0.5 * pow(1.0/k, 3.0))
+               * ((1.0 * 1.0) / (0.9 * 1.0 + (1.0 - 0.9) * 1.0))
+             ELSE
+               (1 - 0.5 * pow(1.0/k, 3.0))
+               * (((CAST(k AS DOUBLE)/(k+1)) * 1.0)
+                  / (0.9 * (CAST(k AS DOUBLE)/(k+1)) + (1.0 - 0.9) * 1.0))
+           END, 6) AS meteor
     FROM m
 """
 
@@ -154,9 +170,10 @@ _SEQ_DUCK = f"""
 def seq_similarity_metrics(spark, sf_dir):
     """F7 (RESTRICTED Damerau-Levenshtein / OSA — matching the reference's
     pyxdameraulevenshtein import, evaluate_model.py:12) and F9 (Rouge-L F1 +
-    BLEU, evaluate_model.py:99-111); METEOR is explicitly gated
-    (functions/metrics.py). Oracle-checked via an append-one-token
-    construction with closed-form metric values (see _SEQ_DUCK)."""
+    BLEU + METEOR, evaluate_model.py:99-111; METEOR = exact + Porter-stem
+    stages, WordNet stage omitted offline — functions/metrics.py).
+    Oracle-checked via an append-one-token construction with closed-form
+    metric values (see _SEQ_DUCK)."""
     t = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TITLE_SPARK).alias("gold_text")
     )
@@ -170,6 +187,7 @@ def seq_similarity_metrics(spark, sf_dir):
         damerau_osa_udf("pred_text", "gold_text").alias("damerau_osa"),
         F.round(rouge_l_udf("pred_text", "gold_text"), 6).alias("rouge_l"),
         F.round(bleu_udf("pred_text", "gold_text"), 6).alias("bleu"),
+        F.round(meteor_udf("pred_text", "gold_text"), 6).alias("meteor"),
     )
 
 
@@ -270,6 +288,15 @@ _SCORES_DUCK = f"""
                       + ln(CAST(k-2 AS DOUBLE)/(k-1))/4 + ln(CAST(k-3 AS DOUBLE)/(k-2))/4)
                END
              ELSE NULL END, 6) AS body_bleu,
+           round(CASE
+             WHEN doc_id % 5 = 0 THEN CASE WHEN k = 0 THEN 0.0
+               ELSE (1 - 0.5 * pow(1.0/k, 3.0))
+                    * ((1.0 * 1.0) / (0.9 * 1.0 + (1.0 - 0.9) * 1.0)) END
+             WHEN doc_id % 5 = 3 THEN CASE WHEN k = 0 THEN 0.0
+               ELSE (1 - 0.5 * pow(1.0/k, 3.0))
+                    * (((CAST(k AS DOUBLE)/(k+1)) * 1.0)
+                       / (0.9 * (CAST(k AS DOUBLE)/(k+1)) + (1.0 - 0.9) * 1.0)) END
+             ELSE NULL END, 6) AS body_meteor,
            round(CASE WHEN doc_id % 5 = 0 THEN 0.0
                       WHEN doc_id % 5 = 3 THEN 4 / CAST(L + 4 AS DOUBLE)
                       ELSE NULL END, 6) AS body_lev,
@@ -338,8 +365,8 @@ def json_eval_scores(spark, sf_dir):
     """F11 + F12 + F15 — lax parse (python-literal laxity incl. strict-JSON
     null REJECTION) and per-field TP/FP/FN scoring with the reference's
     branch order, as one struct-returning Arrow UDF — including the body
-    subkey/type walk and the five body text-similarity metrics
-    (evaluate_model.py:158-205), computed distributively."""
+    subkey/type walk and all six body text-similarity metrics
+    (evaluate_model.py:158-205, incl. METEOR), computed distributively."""
     pairs = _with_json_pairs(spark, sf_dir)
     s = pairs.select(
         "doc_id", json_eval_udf("pred", "gold_json").alias("s")
@@ -348,6 +375,7 @@ def json_eval_scores(spark, sf_dir):
         "doc_id", "s.valid_json", "s.tp", "s.fp", "s.fn",
         F.round("s.body_rouge_l", 6).alias("body_rouge_l"),
         F.round("s.body_bleu", 6).alias("body_bleu"),
+        F.round("s.body_meteor", 6).alias("body_meteor"),
         F.round("s.body_lev", 6).alias("body_lev"),
         F.round("s.body_damerau", 6).alias("body_damerau"),
         F.round("s.body_jw", 6).alias("body_jw"),

@@ -54,9 +54,9 @@ def test_rouge_bleu():
     assert M.bleu("x y z w", "a b c d") == 0.0
 
 
-def test_meteor_is_gated():
-    with pytest.raises(NotImplementedError):
-        M.meteor_score("a", "b")
+def test_meteor_no_match_is_zero():
+    # 'a'/'b': no exact or stem alignment -> 0.0
+    assert M.meteor_score("a", "b") == 0.0
 
 
 def test_lax_json_parse_reference_quirk():
@@ -116,3 +116,58 @@ def test_extract_all_text_and_key_walk():
     assert M.extract_all_text(data) == "x y z"
     walk = M.collect_unique_keys_and_types(data)
     assert walk["b.c"] == {"str"} and "a" in walk and walk["b"] == {"dict"}
+
+
+def test_porter_stemmer():
+    # end-to-end outputs of the published algorithm (hand-traced through all
+    # five steps; per-step examples in the paper continue through later
+    # steps, e.g. relational -ATIONAL->ATE-> relate -5a-> relat)
+    from news_crawler_slm_spark.functions.stemmer import porter_stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "hopping": "hop",
+        "tanned": "tan", "falling": "fall", "hissing": "hiss",
+        "failing": "fail", "filing": "file", "happy": "happi",
+        "sky": "sky", "relational": "relat", "conditional": "condit",
+        "rational": "ration", "hesitanci": "hesit", "digitizer": "digit",
+        "hopefulness": "hope", "electrical": "electr",
+        "adoption": "adopt", "adjustable": "adjust", "running": "run",
+        "runs": "run", "oscillators": "oscil", "generalizations": "gener",
+        "a": "a", "is": "is",
+    }
+    bad = {w: porter_stem(w) for w, want in vectors.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_meteor_identical_and_append():
+    # identical 3-token pair: m=3, P=R=1, chunks=1
+    fmean_1 = (1.0 * 1.0) / (0.9 * 1.0 + (1 - 0.9) * 1.0)
+    want = (1 - 0.5 * (1 / 3) ** 3.0) * fmean_1
+    assert M.meteor_score("the cat sat", "the cat sat") == pytest.approx(want, abs=1e-15)
+    # one appended token: m=3 of hyp 4, P=3/4, R=1, chunks=1
+    p = 3 / 4
+    fmean = (p * 1.0) / (0.9 * p + (1 - 0.9) * 1.0)
+    want = (1 - 0.5 * (1 / 3) ** 3.0) * fmean
+    assert M.meteor_score("the cat sat on", "the cat sat") == pytest.approx(want, abs=1e-15)
+
+
+def test_meteor_fragmentation_penalty():
+    # fully reversed word order: every match its own chunk -> penalty = gamma
+    assert M.meteor_score("sat cat the", "the cat sat") == pytest.approx(
+        0.5 * (1.0 / (0.9 + (1 - 0.9))), abs=1e-15
+    )
+
+
+def test_meteor_stem_stage_and_edges():
+    # exact stage misses, Porter-stem stage aligns run/run: m=1, chunks=1,
+    # penalty = 0.5 * (1/1)^3 = 0.5
+    assert M.meteor_score("running", "runs") == pytest.approx(
+        0.5 * (1.0 / (0.9 + (1 - 0.9))), abs=1e-15
+    )
+    assert M.meteor_score("", "the cat") == 0.0
+    assert M.meteor_score("the cat", "") == 0.0
+    assert M.meteor_score("xyz", "abc") == 0.0
+    # case-insensitive (preprocess=str.lower)
+    assert M.meteor_score("The CAT", "the cat") > 0.9

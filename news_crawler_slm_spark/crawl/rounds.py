@@ -215,7 +215,7 @@ def run_crawl(
     max_rounds: int | None = None,
     output_partitions: int | None = 1,
     on_round: Callable[[int, dict, float, float], None] | None = None,
-    commit_parallelism: int = 1,
+    commit_parallelism: int = 2,
 ) -> CrawlState:
     """Run (or resume) a crawl; one snapshot per round.
 
@@ -297,6 +297,9 @@ def run_crawl(
             # frontier/seen live bucket-partitioned on disk: per-bucket scans
             # are co-located and prunable (SURVEY.md §4.3 partitioning)
             partition_by={"frontier": ["bucket"], "seen": ["bucket"]},
+            # pages (python-UDF-heavy) writes alone first; the small
+            # JVM-only state writes then overlap each other (tables.py)
+            serial_first=("pages",),
         )
         counters = snap.counters
         popped.unpersist()

@@ -157,6 +157,7 @@ class SnapshotCatalog:
         count_rows: bool = False,
         output_partitions: int | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        serial_first: tuple[str, ...] = (),
     ) -> Snapshot:
         """Atomically commit a new snapshot.
 
@@ -174,6 +175,14 @@ class SnapshotCatalog:
         leave None at scale.
         ``count_rows``: row counts per table in the manifest cost one job
         each — opt-in.
+        ``serial_first``: table names whose writes run SERIALLY before the
+        rest; with ``commit_parallelism > 1`` the remaining writes then run
+        as concurrent Spark jobs. Shape for the crawl: the python-UDF-heavy
+        ``pages`` write gets the whole python worker pool to itself, then
+        the small JVM-only state writes (frontier/seen/log/counters) overlap
+        each other's stage gaps — concurrency where it helps, isolation
+        where python workers would contend (measured round-1: fully
+        concurrent python stages are slower on one shared local JVM).
         """
         parent = self.current_snapshot_id()
         parent_snap = self.snapshot(parent) if parent is not None else None
@@ -211,12 +220,15 @@ class SnapshotCatalog:
         ]
         par = max(1, int(getattr(self, "commit_parallelism", 1)))
         if jobs:
-            if par == 1:
-                written = [(n, _write(n, df), ap) for n, df, ap in jobs]
+            head = [j for j in jobs if j[0] in serial_first]
+            rest = [j for j in jobs if j[0] not in serial_first]
+            written = [(n, _write(n, df), ap) for n, df, ap in head]
+            if par == 1 or len(rest) <= 1:
+                written += [(n, _write(n, df), ap) for n, df, ap in rest]
             else:
-                with ThreadPoolExecutor(max_workers=min(par, len(jobs))) as ex:
-                    written = list(
-                        ex.map(lambda j: (j[0], _write(j[0], j[1]), j[2]), jobs)
+                with ThreadPoolExecutor(max_workers=min(par, len(rest))) as ex:
+                    written += list(
+                        ex.map(lambda j: (j[0], _write(j[0], j[1]), j[2]), rest)
                     )
             for name, path, is_append in written:
                 if is_append:

@@ -86,7 +86,7 @@ class _Text(_Node):
     __slots__ = ("data",)
 
     def __init__(self, data: str) -> None:
-        super().__init__()
+        self.parent = None  # inlined (ctor is hot: ~2 text nodes per tag)
         self.data = data
 
 
@@ -94,7 +94,7 @@ class _Comment(_Node):
     __slots__ = ("data",)
 
     def __init__(self, data: str) -> None:
-        super().__init__()
+        self.parent = None
         self.data = data
 
 
@@ -104,7 +104,7 @@ class _Decl(_Node):
     __slots__ = ("data",)
 
     def __init__(self, data: str) -> None:
-        super().__init__()
+        self.parent = None
         self.data = data
 
 
@@ -112,7 +112,7 @@ class _Element(_Node):
     __slots__ = ("name", "attrs", "children", "void", "_detached")
 
     def __init__(self, name: str, attrs: list[tuple[str, str | None]], void: bool = False) -> None:
-        super().__init__()
+        self.parent = None
         self.name = name
         # attrs as ordered list of (key, value); duplicate keys keep first
         # occurrence for get() semantics (html.parser emits them in order).
@@ -205,11 +205,189 @@ class _DomParser(HTMLParser):
         self._top.append(_Decl("?" + data))
 
 
+# --------------------------------------------------------------------------
+# Fast tokenizer (strict fast path, stdlib fallback)
+# --------------------------------------------------------------------------
+#
+# The stdlib HTMLParser tokenizer is ~70% of clean_html's per-page CPU (its
+# tolerant-recovery regex pipeline runs several matches per tag). This
+# scanner handles the COMMON constructs with one strict regex step each and
+# raises _FastPathUnsupported on anything unusual (malformed tags, marked
+# sections, unterminated comments/cdata, stray '/' between attrs, ...), in
+# which case _parse() reruns the whole document through the stdlib parser.
+# Equivalence contract: for every input the fast path accepts, the resulting
+# DOM is IDENTICAL to the stdlib parser's (chunk boundaries of text nodes
+# included — they are observable through prettify). Enforced by
+# tests/test_html_clean.py::test_fast_scanner_equivalence over the fixture
+# corpus, adversarial fallback inputs, and a hypothesis fuzzer.
+
+class _FastPathUnsupported(Exception):
+    pass
+
+
+_TAGNAME = r"[a-zA-Z][a-zA-Z0-9.:_-]*"
+_START_HEAD = re.compile(rf"<({_TAGNAME})")
+_ATTR = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"  # name (strict subset of tolerant)
+    # optional value — mirrors stdlib attrfind_tolerant: '=+' separator,
+    # quoted, or (possibly EMPTY) unquoted not starting with a quote
+    r"(?:\s*=+\s*('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?"
+)
+_TAG_END = re.compile(r"\s*(/?)>")
+_ENDTAG = re.compile(rf"</\s*({_TAGNAME})\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in ("script", "style")
+}
+
+
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def _fast_parse(s: str) -> _Root:
+    from html import unescape
+
+    root = _Root()
+    stack: list[_Element] = [root]
+    n = len(s)
+    i = 0
+    cdata: str | None = None  # inside <script>/<style> raw-text content
+    # hot-loop locals (attribute lookups add up at ~8k tags/page)
+    find = s.find
+    head_match = _START_HEAD.match
+    attr_match = _ATTR.match
+    tagend_match = _TAG_END.match
+    endtag_match = _ENDTAG.match
+    top = root  # == stack[-1], maintained on push/pop
+
+    while i < n:
+        if cdata is not None:
+            m = _CDATA_CLOSE[cdata].search(s, i)
+            if m is None:
+                raise _FastPathUnsupported("unterminated cdata element")
+            chunk = s[i : m.start()]
+            if chunk:  # raw — no charref conversion
+                t = _Text(chunk)
+                t.parent = top
+                top.children.append(t)
+            em = endtag_match(s, m.start())
+            if em is None or em.group(1).lower() != cdata:
+                raise _FastPathUnsupported("odd end tag in cdata")
+            # pop to matching open element (stdlib treebuilder behavior)
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].name == cdata:
+                    del stack[k:]
+                    break
+            top = stack[-1]
+            cdata = None
+            i = em.end()
+            continue
+
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            chunk = s[i:j]
+            if "&" in chunk:
+                chunk = unescape(chunk)
+            if chunk:
+                t = _Text(chunk)
+                t.parent = top
+                top.children.append(t)
+        if j >= n:
+            break
+        i = j
+        c = s[i + 1] if i + 1 < n else ""
+        if c in _ASCII_LETTERS:
+            hm = head_match(s, i)
+            if hm is None:
+                raise _FastPathUnsupported("tag name")
+            pos = hm.end()
+            attrs: list[tuple[str, str | None]] = []
+            am = attr_match(s, pos)
+            while am is not None:
+                name, value = am.group(1, 2)
+                if value is not None:
+                    if value[:1] in ('"', "'"):
+                        value = value[1:-1]
+                    if "&" in value:
+                        value = unescape(value)
+                attrs.append((name.lower(), value))
+                pos = am.end()
+                am = attr_match(s, pos)
+            tm = tagend_match(s, pos)
+            if tm is None:
+                raise _FastPathUnsupported("malformed start tag")
+            tag = hm.group(1).lower()
+            if tm.group(1):  # '/>' → self-closing leaf (startendtag)
+                el = _Element(tag, attrs, void=True)
+                el.parent = top
+                top.children.append(el)
+            else:
+                void = tag in VOID_ELEMENTS
+                el = _Element(tag, attrs, void=void)
+                el.parent = top
+                top.children.append(el)
+                if not void:
+                    stack.append(el)
+                    top = el
+                    if tag in ("script", "style"):
+                        cdata = tag
+            i = tm.end()
+        elif c == "/":
+            em = endtag_match(s, i)
+            if em is None:
+                raise _FastPathUnsupported("malformed end tag")
+            tag = em.group(1).lower()
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].name == tag:
+                    del stack[k:]
+                    break
+            top = stack[-1]
+            i = em.end()
+        elif s.startswith("<!--", i):
+            close = s.find("-->", i + 4)
+            if close < 0:
+                raise _FastPathUnsupported("unterminated comment")
+            stack[-1].append(_Comment(s[i + 4 : close]))
+            i = close + 3
+        elif c == "!":
+            if s.startswith("<![", i):
+                raise _FastPathUnsupported("marked section")
+            if s[i : i + 9].lower() == "<!doctype":
+                gt = s.find(">", i + 9)
+                if gt < 0:
+                    raise _FastPathUnsupported("unterminated doctype")
+                stack[-1].append(_Decl(s[i + 2 : gt]))
+                i = gt + 1
+            else:  # bogus comment (parse_bogus_comment)
+                gt = s.find(">", i + 2)
+                if gt < 0:
+                    raise _FastPathUnsupported("unterminated bogus comment")
+                stack[-1].append(_Comment(s[i + 2 : gt]))
+                i = gt + 1
+        elif c == "?":  # processing instruction
+            gt = s.find(">", i + 2)
+            if gt < 0:
+                raise _FastPathUnsupported("unterminated pi")
+            stack[-1].append(_Decl("?" + s[i + 2 : gt]))
+            i = gt + 1
+        else:
+            # '<' that opens nothing: stdlib emits it as its own data chunk
+            t = _Text("<")
+            t.parent = top
+            top.children.append(t)
+            i += 1
+    return root
+
+
 def _parse(html: str) -> _Root:
-    p = _DomParser()
-    p.feed(html)
-    p.close()
-    return p.root
+    try:
+        return _fast_parse(html)
+    except _FastPathUnsupported:
+        p = _DomParser()
+        p.feed(html)
+        p.close()
+        return p.root
 
 
 # --------------------------------------------------------------------------
@@ -338,31 +516,43 @@ _RAW_TEXT_ELEMENTS = frozenset({"script", "style", "pre", "textarea"})
 
 
 def _prettify(root: _Root) -> str:
+    # Iterative pre-order with pre-rendered close tags pushed as plain
+    # strings — recursion + per-node call overhead is measurable at ~20k
+    # nodes/page on the crawl hot path.
     out: list[str] = []
-
-    def emit(node: _Node, depth: int) -> None:
-        pad = " " * depth
-        if isinstance(node, _Text):
+    append = out.append
+    pads = ["", " "]
+    work: list[str | tuple[_Node, int]] = [
+        (c, 0) for c in reversed(root.children)
+    ]
+    while work:
+        item = work.pop()
+        if type(item) is str:  # pre-rendered close tag
+            append(item)
+            continue
+        node, depth = item
+        while depth >= len(pads):
+            pads.append(pads[-1] + " ")
+        pad = pads[depth]
+        cls = type(node)
+        if cls is _Text:
             stripped = node.data.strip()
             if stripped:
                 parent = node.parent
                 raw = parent is not None and parent.name in _RAW_TEXT_ELEMENTS
-                out.append(pad + (stripped if raw else _escape_text(stripped)) + "\n")
-        elif isinstance(node, _Comment):
-            out.append(pad + f"<!--{node.data}-->" + "\n")
-        elif isinstance(node, _Decl):
-            out.append(pad + f"<!{node.data}>" + "\n")
-        elif isinstance(node, _Element):
+                append(pad + (stripped if raw else _escape_text(stripped)) + "\n")
+        elif cls is _Element or cls is _Root:
             if node.void:
-                out.append(pad + f"<{node.name}{_attr_string(node.attrs)}/>" + "\n")
+                append(pad + f"<{node.name}{_attr_string(node.attrs)}/>" + "\n")
             else:
-                out.append(pad + f"<{node.name}{_attr_string(node.attrs)}>" + "\n")
-                for child in node.children:
-                    emit(child, depth + 1)
-                out.append(pad + f"</{node.name}>" + "\n")
-
-    for child in root.children:
-        emit(child, 0)
+                append(pad + f"<{node.name}{_attr_string(node.attrs)}>" + "\n")
+                work.append(pad + f"</{node.name}>\n")
+                d1 = depth + 1
+                work.extend((c, d1) for c in reversed(node.children))
+        elif cls is _Comment:
+            append(pad + f"<!--{node.data}-->" + "\n")
+        elif cls is _Decl:
+            append(pad + f"<!{node.data}>" + "\n")
     return "".join(out)
 
 

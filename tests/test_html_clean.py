@@ -112,3 +112,101 @@ def test_idempotence_and_determinism():
 def test_extract_plaintext():
     txt = extract_plaintext("<body><nav>menu</nav><p>Hello <em>world</em></p><script>x</script></body>")
     assert txt == "Hello world"
+
+
+# ---------------------------------------------------------------- fast path
+
+def _stdlib_root(html):
+    from news_crawler_slm_spark.functions.html_clean import _DomParser
+
+    p = _DomParser()
+    p.feed(html)
+    p.close()
+    return p.root
+
+
+def _roots_equal_output(html):
+    """Fast-scanner DOM must serialize identically to the stdlib DOM.
+
+    _prettify is the observable surface (chunk boundaries, attrs, comments,
+    decls all serialize); a fast-path refusal means _parse falls back to the
+    stdlib parser, so equality holds by construction."""
+    from news_crawler_slm_spark.functions.html_clean import (
+        _FastPathUnsupported,
+        _fast_parse,
+        _prettify,
+    )
+
+    try:
+        fast = _fast_parse(html)
+    except _FastPathUnsupported:
+        return True
+    return _prettify(fast) == _prettify(_stdlib_root(html))
+
+
+def test_fast_scanner_equivalence_fixtures(fixtures_dir):
+    for name, html, _gold in _load_fixture_pairs(fixtures_dir):
+        assert _roots_equal_output(html), name
+
+
+ADVERSARIAL = [
+    "<a href=x/>",                       # unquoted value eats the slash
+    '<a href="x"/>',                     # quoted value, real self-close
+    "<a foo>",                           # boolean attr (None, not '')
+    '<a foo="">bar</a>',                 # empty-string attr
+    "<A HREF='X&amp;Y'>t</A>",           # case + entity in attr
+    "plain &amp; text &#65; &unknown; &amp",  # entities in data, no-semi
+    "<p>a<3 b</p>",                      # bare '<' becomes its own chunk
+    "<",                                 # lone '<' at EOF
+    "x<",                                # trailing '<'
+    "<script>var a = '<div>' && 1;</script>after",  # cdata raw content
+    "<script type='application/ld+json'>{\"a\":1}</script>",
+    "<SCRIPT>x</SCRIPT>",                # case-insensitive cdata close
+    "<script>x</script >t",              # spaced closer
+    "<style>a > b { }</style>",          # '>' inside style cdata
+    "<script>unterminated",              # → fallback
+    "<script>x</scriptx>y</script>",     # almost-closer → fallback
+    "<!doctype HTML>x",
+    "<!DOCTYPE html PUBLIC 'x'><p>y</p>",
+    "<!bogus comment>x",
+    "<![CDATA[raw]]>x",                  # marked section → fallback
+    "<?xml version='1.0'?><p>x</p>",     # processing instruction
+    "<?php echo; ?>",
+    "<div foo / bar>x</div>",            # stray slash → fallback
+    "<div foo=>x</div>",                 # empty unquoted value ('foo','')
+    "<a href==>",                        # '=+' separator, empty value
+    "<div foo='a' foo='b'>dup</div>",    # duplicate attrs keep order
+    "</>",                               # empty end tag → fallback
+    "</ div>x",                          # spaced end tag
+    "<div><p>unclosed",                  # EOF with open elements
+    "<p>a</p></p>b",                     # stray closer
+    "<br/><br><img src=x>",              # void elements all forms
+    "<!-- c --><!--no space--><p>t</p>",
+    "<!-- unterminated",                 # → fallback
+    "<e-x data-a.b:c='1'>t</e-x>",       # exotic-but-legal names
+    "<div\nclass='a'\n>t</div>",         # newlines inside tag
+    "a\n\n  b <b>c</b> d &gt; e",
+]
+
+
+def test_fast_scanner_equivalence_adversarial():
+    for html in ADVERSARIAL:
+        assert _roots_equal_output(html), repr(html)
+
+
+def test_fast_scanner_fuzz_equivalence():
+    from hypothesis import given, settings, strategies as st
+
+    tokens = st.sampled_from(
+        ["<", ">", "/", "=", '"', "'", "&", ";", "!", "-", "?", " ", "\n",
+         "a", "b", "p", "x", "div", "<div>", "</div>", "<br/>", "<script>",
+         "</script>", "<!--", "-->", "&amp;", "&#65;", "class", "style",
+         "<a href=", "<!doctype html>", "]]>", "<!["]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(tokens, max_size=30).map("".join))
+    def check(html):
+        assert _roots_equal_output(html), repr(html)
+
+    check()

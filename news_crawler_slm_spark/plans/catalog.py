@@ -729,6 +729,67 @@ def quality_features(spark, sf_dir):
 
 
 @register(
+    "unigram_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM vocab)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(exp(-avg(ln(v.c / (SELECT n FROM tot)))), 4) AS perplexity
+    FROM toks t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_perplexity(spark, sf_dir):
+    """F10 — perplexity scoring as a distributive aggregation.
+
+    The reference computes ``exp(LM loss)`` with a trained transformer on
+    GPU (evaluate_model.py:22-32) — the *model* is out of engine scope, but
+    the perplexity operator itself is not: given per-token probabilities,
+    perplexity = exp(-mean(ln p)) is an aggregation.  Here the pluggable
+    scorer is a corpus-trained unigram LM (the CCNet-style quality-filter
+    shape): token counts over the corpus become the probability table, and a
+    per-doc exp(-avg(ln p)) scores every document.  Swap the ``probs`` dim
+    for model-produced log-probs and the plan is unchanged.
+
+    Scale: the vocab dim is counts-per-token — orders of magnitude smaller
+    than the corpus (Heaps' law) and broadcast here; at 100 TB with a
+    10^8-token vocab, drop the broadcast hint and let AQE pick a shuffle
+    join on ``tok`` (uniform key distribution; no skew concern because
+    stop-word fan-out lands on the probe side, not the build side).
+    ``toks`` is derived twice (vocab pass + scoring pass) — two column-pruned
+    parquet scans of (doc_id, text); cache it if scans dominate.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    # Σ c over vocab ≡ Σ per-doc token counts — the latter needs no
+    # explode and no shuffle, just a column-pruned scan.
+    total = d.select(
+        F.sum(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("n")
+    )
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c") / F.col("n")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.exp(-F.avg(F.log("p"))), 4).alias("perplexity"),
+        )
+    )
+
+
+@register(
     "sample_inspector",
     """
     SELECT doc_id, source, lang, substring(text, 1, 40) AS text_head

@@ -100,3 +100,42 @@ def test_shingles():
     assert TX.shingles("a b c d e f", k=5) == ["a b c d e", "b c d e f"]
     assert TX.shingles("a b", k=5) == ["a b"]
     assert TX.shingles("", k=5) == []
+
+
+def test_unigram_perplexity_matches_pure_python_oracle(spark, tmp_path):
+    """F10 twin: the Spark unigram-LM perplexity equals an independent
+    pure-Python computation (count -> p -> exp(-mean(ln p))) on a corpus
+    small enough to enumerate, including the degenerate-repetition
+    property a perplexity quality filter exists for."""
+    import math
+
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the the the the the the"),  # degenerate: should score lowest
+        (2, "quantum flux perturbs the manifold"),
+        (3, "cat mat sat the on the"),  # permutation of doc 0
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    fn, _ = REGISTRY["unigram_perplexity"]
+    got = {r["doc_id"]: (r["n_tokens"], r["perplexity"]) for r in fn(spark, str(tmp_path)).collect()}
+
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for tok in t.lower().split():
+            counts[tok] = counts.get(tok, 0) + 1
+    total = sum(counts.values())
+    for i, t in docs:
+        toks = t.lower().split()
+        ppl = math.exp(-sum(math.log(counts[w] / total) for w in toks) / len(toks))
+        assert got[i][0] == len(toks)
+        assert got[i][1] == round(ppl, 4)
+
+    # permutation invariance + repetition scores strictly lowest
+    assert got[0][1] == got[3][1]
+    assert got[1][1] < min(got[0][1], got[2][1], got[3][1])

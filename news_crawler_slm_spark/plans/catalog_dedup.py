@@ -528,6 +528,75 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+_RK_MOD = 1000000007  # Rabin-Karp modulus; acc*257+c stays < 2^63 in both engines
+
+
+@register(
+    "doc_fingerprints_rolling",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(toks)-2, 1)+1),
+               i -> array_to_string(toks[i:i+2], ' ')) AS wins
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, list_transform(wins, s ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(s)+1), j -> CAST(ascii(substr(s, j, 1)) AS BIGINT))),
+            (a, c) -> (a*257 + c) % 1000000007)) AS hashes
+      FROM w
+    )
+    SELECT doc_id, len(hashes) AS n_windows,
+           list_aggregate(hashes, 'min') AS min_fp,
+           len(list_distinct(hashes)) AS distinct_fps
+    FROM h
+    """,
+)
+def doc_fingerprints_rolling(spark, sf_dir):
+    """Document fingerprinting via a rolling (Rabin–Karp) hash — the classic
+    winnowing shape (Schleimer et al., MOSS): slide a 3-token window over the
+    document, polynomial-hash each window (fold acc*257+code mod 1e9+7 over
+    characters), and keep per-doc sketch stats: window count, the minimum
+    window hash (a 1-permutation minhash — equal min_fp groups are near-dup
+    candidates), and the distinct-hash count (internal repetition signal).
+
+    Everything is higher-order Column functions (transform/aggregate/
+    array_min) inside whole-stage codegen — a pure projection with NO
+    shuffle, so it scales linearly with input bytes at any cluster size.
+    Complements `doc_fingerprints` (xxhash64 content ids): that one is the
+    fast JVM-native path for exact ids; this one is the reference rolling
+    semantics with a cross-engine DuckDB oracle (same fold, list_reduce).
+
+    Edge semantics pinned in tests/test_text_ops.py: <3-token docs hash one
+    truncated window (mirrors functions.text.shingles); empty text hashes
+    to 0 in both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+
+    def _rk(s):
+        codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+        return F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: (a * 257 + c) % _RK_MOD
+        )
+
+    hashes = F.transform(wins, _rk)
+    return d.select(
+        "doc_id",
+        F.size(hashes).alias("n_windows"),
+        F.array_min(hashes).alias("min_fp"),
+        F.size(F.array_distinct(hashes)).alias("distinct_fps"),
+    )
+
+
 def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
     """One k-means-lite pass, fully distributed:
 

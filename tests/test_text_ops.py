@@ -139,3 +139,38 @@ def test_unigram_perplexity_matches_pure_python_oracle(spark, tmp_path):
     # permutation invariance + repetition scores strictly lowest
     assert got[0][1] == got[3][1]
     assert got[1][1] < min(got[0][1], got[2][1], got[3][1])
+
+
+def test_doc_fingerprints_rolling_edges_and_pins(spark, tmp_path):
+    """Rolling Rabin-Karp fingerprint: pure-Python fold oracle, plus the
+    edge semantics the DuckDB twin must share (short docs -> one truncated
+    window; empty text -> hash 0; repeated shingles collapse in
+    distinct_fps but not n_windows)."""
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    P = 1000000007
+
+    def rk(s: str) -> int:
+        a = 0
+        for ch in s:
+            a = (a * 257 + ord(ch)) % P
+        return a
+
+    docs = [
+        (0, "a b c d"),  # 2 windows: "a b c", "b c d"
+        (1, "a b"),  # short: one truncated window "a b"
+        (2, ""),  # empty: one window "" -> 0
+        (3, "x y x y x y"),  # repetition: 4 windows, 2 distinct
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    fn, _ = REGISTRY["doc_fingerprints_rolling"]
+    got = {r["doc_id"]: (r["n_windows"], r["min_fp"], r["distinct_fps"]) for r in fn(spark, str(tmp_path)).collect()}
+
+    assert got[0] == (2, min(rk("a b c"), rk("b c d")), 2)
+    assert got[1] == (1, rk("a b"), 1)
+    assert got[2] == (1, 0, 1)
+    assert got[3] == (4, min(rk("x y x"), rk("y x y")), 2)

@@ -789,6 +789,150 @@ def unigram_perplexity(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Training-data pipeline ops (engine additions beyond the reference): batch
+# packing, decontamination, deterministic corpus shuffle.  The reference
+# prepares training data on one process (finetune_model.py's dataset
+# pipeline); these are the distributed equivalents a 100 TB corpus needs.
+# ===========================================================================
+
+
+@register(
+    "token_budget_packing",
+    f"""
+    WITH w AS (SELECT doc_id, {_TOK_DUCK} AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM w
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS batch_id
+    FROM c
+    """,
+)
+def token_budget_packing(spark, sf_dir):
+    """Sequence packing: assign each document to a training batch by a
+    512-token running budget in stable doc_id order (batch_id =
+    floor(exclusive-prefix-sum(tokens) / 512)).
+
+    The naive ``sum() OVER (ORDER BY doc_id)`` compiles to a
+    SinglePartition exchange — every row through one task.  This uses
+    operators/prefix_sum.running_sum_by_key instead: range-bucketize on
+    doc_id, per-bucket totals exclusive-prefix-summed driver-side (O(32)
+    control rows), then a bucket-partitioned window — identical values,
+    fully parallel (no-SinglePartition plan asserted in
+    tests/test_pipeline.py).
+    """
+    from ..operators.prefix_sum import running_sum_by_key
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
+    )
+    cum = running_sum_by_key(toks, key="doc_id", weight="n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / F.lit(512.0)).cast("long").alias("batch_id"),
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-3, 1)+1),
+               i -> array_to_string(t[i:i+3], ' '))) AS s
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT DISTINCT sh.doc_id, sh.s FROM sh JOIN bench USING (s)
+      WHERE sh.doc_id % 97 <> 0
+    )
+    SELECT doc_id, count(*) AS n_shared FROM hits GROUP BY doc_id
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination (C4/Dolma-style): flag corpus documents
+    sharing any k-token window with a held-out benchmark set, reporting the
+    distinct shared-window count per contaminated doc.  The benchmark set
+    is a deterministic stand-in (doc_id % 97 == 0) since the driver tables
+    carry no separate benchmark table.
+
+    Scale shape: the benchmark side is tiny by construction (benchmarks
+    are ~10^5 docs, not 10^10), so its distinct shingle set broadcasts;
+    the corpus side explodes k-token windows and probes the broadcast —
+    no corpus-side shuffle before the per-doc count agg.  Windows use the
+    same short-doc truncation as doc_fingerprints_rolling.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 3, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
+    )
+    shingled = d.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("s")
+    )
+    bench = (
+        shingled.where(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    return (
+        shingled.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@register(
+    "training_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT) AS position
+    FROM h
+    """,
+)
+def training_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle for training order: multiplicative-hash
+    key (Knuth 2654435761 mod 2^32 — a bijection of doc_id below 2^32, so
+    keys stay unique) plus each document's global 0-based position in the
+    shuffled order.
+
+    The position is a global rank — the naive ``row_number() OVER (ORDER
+    BY shuffle_key)`` is another SinglePartition trap.  Reuses the
+    two-phase prefix sum with weight 1: rank = number of rows with a
+    smaller key, computed bucket-parallel.  Hash keys are uniform, so the
+    range buckets are balanced by construction.
+    """
+    from ..operators.prefix_sum import running_sum_by_key
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "shuffle_key"
+        ),
+        F.lit(1).alias("__one"),
+    )
+    ranked = running_sum_by_key(
+        keyed, key="shuffle_key", weight="__one", out_col="position"
+    )
+    return ranked.select("doc_id", "shuffle_key", "position")
+
+
 @register(
     "sample_inspector",
     """

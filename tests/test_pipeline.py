@@ -92,3 +92,72 @@ def test_token_stats_table_matches(spark):
         (r.split, r.position, r.column, r.token_count) for r in res.token_stats.collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Distributed prefix sum / training-data packing (operators/prefix_sum.py)
+# ---------------------------------------------------------------------------
+
+
+def test_running_sum_matches_sequential_and_is_partition_invariant(spark):
+    """Two-phase prefix sum == sequential exclusive cumsum, for adversarial
+    key layouts (gaps, unsorted input, skewed weights), at several bucket
+    counts — and the plan never contains a SinglePartition exchange."""
+    from news_crawler_slm_spark.operators.prefix_sum import running_sum_by_key
+
+    rows = [(k, w) for k, w in zip(
+        [7, 1, 100, 3, 52, 9, 1000, 41, 8, 2],
+        [5, 1, 2, 9, 0, 3, 7, 11, 4, 6],
+    )]
+    want = {}
+    acc = 0
+    for k, w in sorted(rows):
+        want[k] = acc
+        acc += w
+    for n_buckets in (1, 3, 8, 64):
+        df = spark.createDataFrame(rows, "k long, w long").repartition(5)
+        out = running_sum_by_key(df, key="k", weight="w", n_buckets=n_buckets)
+        got = {r["k"]: r["cum_before"] for r in out.collect()}
+        assert got == want, n_buckets
+
+
+def test_running_sum_plan_has_no_single_partition_exchange(spark):
+    from news_crawler_slm_spark.operators.prefix_sum import running_sum_by_key
+
+    df = spark.createDataFrame([(i, i % 7) for i in range(100)], "k long, w long")
+    out = running_sum_by_key(df, key="k", weight="w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_token_budget_packing_and_training_shuffle_no_global_sort(spark, tmp_path):
+    """The packing and shuffle queries produce globally-ordered ranks with
+    bucket-parallel plans; batch ids are contiguous and budget-consistent."""
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    docs = [(i, " ".join(["tok"] * (3 + i % 11)), "en", "s0", 10) for i in range(200)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    pack_fn, _ = REGISTRY["token_budget_packing"]
+    out = pack_fn(spark, str(tmp_path))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    got = sorted((r["doc_id"], r["n_tokens"], r["cum_before"], r["batch_id"]) for r in out.collect())
+    acc = 0
+    for doc_id, n_tokens, cum_before, batch_id in got:
+        assert cum_before == acc
+        assert batch_id == acc // 512
+        acc += n_tokens
+
+    shuf_fn, _ = REGISTRY["training_shuffle"]
+    out2 = shuf_fn(spark, str(tmp_path))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan2, plan2
+    rows = out2.collect()
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    assert [r["position"] for r in by_pos] == list(range(len(docs)))
+    keys = [r["shuffle_key"] for r in by_pos]
+    assert keys == sorted(keys)  # position is the rank in shuffled order
+    assert len(set(keys)) == len(keys)  # multiplicative hash is a bijection

@@ -74,6 +74,11 @@ HEADLINE = [
     "simhash_fingerprints",
     "ann_cosine_topk",
     "quality_features",
+    "unigram_perplexity",
+    "doc_fingerprints_rolling",
+    "token_budget_packing",
+    "training_shuffle",
+    "benchmark_decontamination",
     "frontier_pop_topk",
     "seen_anti_join",
 ]

@@ -174,3 +174,26 @@ def test_doc_fingerprints_rolling_edges_and_pins(spark, tmp_path):
     assert got[1] == (1, rk("a b"), 1)
     assert got[2] == (1, 0, 1)
     assert got[3] == (4, min(rk("x y x"), rk("y x y")), 2)
+
+
+def test_benchmark_decontamination_regex_windows(spark, tmp_path):
+    """The regex window construction must share the oracle's semantics on
+    edges: irregular whitespace collapses, short docs yield one truncated
+    window, and overlap counting uses distinct windows."""
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),       # benchmark doc (0 % 97 == 0)
+        (1, "x alpha  beta\tgamma   delta y"),        # irregular ws, shares 1 window
+        (2, "alpha beta gamma delta epsilon zeta"),  # shares 2 distinct windows
+        (3, "zeta eta theta iota"),                   # no overlap
+        (4, "alpha beta"),                            # short, no 4-window overlap
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    fn, _ = REGISTRY["benchmark_decontamination"]
+    got = {r["doc_id"]: r["n_shared"] for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {1: 1, 2: 2}

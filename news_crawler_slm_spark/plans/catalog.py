@@ -60,6 +60,27 @@ _TOK_SPARK = "size(split(trim(text), '\\\\s+'))"
 _TOK_DUCK = "length(regexp_split_to_array(trim(text), '\\s+'))"
 
 
+def word_windows(norm: F.Column, k: int) -> F.Column:
+    """All overlapping k-token windows of a whitespace-NORMALIZED string
+    (single spaces, trimmed), joined by single spaces, as an array<string>.
+
+    One regexp_extract_all pass with a lookbehind-anchored lookahead —
+    stays inside whole-stage codegen, unlike a transform/slice/concat_ws
+    chain (higher-order Columns are CodegenFallback: interpreted per
+    element, O(tokens·k) array churn; measured 6.8x slower at sf0.1).
+    Strings shorter than k tokens yield an empty array (no truncated
+    window) — callers wanting the truncated-window semantics wrap with
+    F.when on token count (see benchmark_decontamination).
+    """
+    pat = rf"(?<=^|\s)(?=((\S+ ){{{k - 1}}}\S+))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def ws_normalize(col: F.Column) -> F.Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.regexp_replace(F.trim(col), r"\s+", " ")
+
+
 # ===========================================================================
 # A. Aggregations over the documents table (reference compute_statistics/*)
 # ===========================================================================
@@ -881,11 +902,9 @@ def benchmark_decontamination(spark, sf_dir):
     faster at sf0.1 with byte-identical windows.
     """
     d = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    norm = ws_normalize(F.lower(F.col("text")))
     toks = F.split(norm, " ")
-    wins = F.when(F.size(toks) < 4, F.array(norm)).otherwise(
-        F.regexp_extract_all(norm, F.lit(r"(?<=^|\s)(?=((\S+ ){3}\S+))"), 1)
-    )
+    wins = F.when(F.size(toks) < 4, F.array(norm)).otherwise(word_windows(norm, 4))
     shingled = d.select(
         "doc_id", F.explode(F.array_distinct(wins)).alias("s")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .catalog import _t, register
+from .catalog import _t, register, word_windows, ws_normalize
 
 # ===========================================================================
 # Dedup family
@@ -108,21 +108,11 @@ def ngram_jaccard_pairs(spark, sf_dir):
     candidate-pair blowup stays bounded (at 100 TB the block key is an LSH
     band — see minhash_lsh_candidates)."""
     toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        "doc_id", "source", ws_normalize(F.col("text")).alias("norm")
     )
     n = 3
     grams = (
-        toks.where(F.size("t") >= n)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
-                )
-            ).alias("g"),
-        )
+        toks.select("doc_id", "source", F.explode(word_windows(F.col("norm"), n)).alias("g"))
         .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -159,19 +149,10 @@ def minhash_lsh_candidates(spark, sf_dir):
     n, n_hashes, bands = 3, 16, 4
     rows_per_band = n_hashes // bands
     toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        "doc_id", ws_normalize(F.col("text")).alias("norm")
     )
     grams = (
-        toks.where(F.size("t") >= n)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - n),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, n)),
-                )
-            ).alias("g"),
-        )
+        toks.select("doc_id", F.explode(word_windows(F.col("norm"), n)).alias("g"))
         .distinct()
     )
     sigs = grams.groupBy("doc_id").agg(

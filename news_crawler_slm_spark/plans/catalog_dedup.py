@@ -557,11 +557,12 @@ def doc_fingerprints_rolling(spark, sf_dir):
     to 0 in both engines.
     """
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
-    )
+    # regex window construction (word_windows): measured 3.7x faster than
+    # the transform/slice/concat_ws chain at sf0.1, byte-identical windows;
+    # <3-token docs hash one truncated window == the whole normalized text
+    norm = ws_normalize(F.lower(F.col("text")))
+    toks = F.split(norm, " ")
+    wins = F.when(F.size(toks) < 3, F.array(norm)).otherwise(word_windows(norm, 3))
 
     def _rk(s):
         codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))

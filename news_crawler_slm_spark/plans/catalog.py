@@ -960,6 +960,75 @@ def training_shuffle(spark, sf_dir):
 
 
 @register(
+    "vocab_topk",
+    r"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Vocabulary construction: top-50 corpus tokens by frequency
+    (tokenizer-training prep).  Map-side partial counts shuffle only
+    (token, count); the global top-50 compiles to TakeOrderedAndProject —
+    per-partition heaps merged on the driver, never a full sort."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "token_idf",
+    r"""
+    WITH df AS (
+      SELECT tok, count(*) AS df
+      FROM (SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    )
+    SELECT tok, df, round(ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6) AS idf
+    FROM df
+    ORDER BY df DESC, tok
+    LIMIT 50
+    """,
+)
+def token_idf(spark, sf_dir):
+    """Inverse document frequency per token (tf-idf building block):
+    document frequency via per-doc distinct tokens (array_distinct before
+    explode — row-local dedup, no extra shuffle), idf = ln(N/df) with the
+    1-row corpus count broadcast.  Top-50 by df for a bounded result."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok")
+    )
+    dfreq = per_doc.groupBy("tok").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "df",
+            F.round(F.log(F.col("n_docs") / F.col("df").cast("double")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
     "sample_inspector",
     """
     SELECT doc_id, source, lang, substring(text, 1, 40) AS text_head

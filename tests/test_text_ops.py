@@ -197,3 +197,40 @@ def test_benchmark_decontamination_regex_windows(spark, tmp_path):
     fn, _ = REGISTRY["benchmark_decontamination"]
     got = {r["doc_id"]: r["n_shared"] for r in fn(spark, str(tmp_path)).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_word_windows_property_matches_pure_python(spark):
+    """Property: the regexp window construction equals the reference
+    sliding-window semantics for arbitrary token sequences and messy
+    whitespace (hypothesis-driven, one Spark job for all cases)."""
+    from hypothesis import given, settings, strategies as st
+
+    from news_crawler_slm_spark.plans.catalog import word_windows, ws_normalize
+    from pyspark.sql import functions as F
+
+    token = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x24F),
+        min_size=1,
+        max_size=6,
+    )
+    ws = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=9), st.lists(ws, min_size=12, max_size=12), st.integers(2, 5))
+    def collect(tokens, seps, k):
+        text = "".join(t + s for t, s in zip(tokens, seps))
+        cases.append((len(cases), text, k))
+
+    collect()
+
+    df = spark.createDataFrame(cases, "i long, text string, k int")
+    got = {}
+    for k in (2, 3, 4, 5):
+        sub = df.where(F.col("k") == k)
+        rows = sub.select("i", word_windows(ws_normalize(F.col("text")), k).alias("w")).collect()
+        got.update({r["i"]: list(r["w"]) for r in rows})
+    for i, text, k in cases:
+        toks = text.split()
+        want = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        assert got[i] == want, (text, k, got[i], want)

@@ -144,6 +144,22 @@ def bench_queries(spark) -> dict[str, float]:
     return out
 
 
+
+def _drain_and_stop(spark) -> None:
+    """Stop a session without the late-accumulator stack trace: jobs that
+    short-circuit (limit/take) leave canceled straggler tasks whose
+    completion events hit the Python accumulator socket after stop() closes
+    it (harmless 'Broken pipe' ERROR spam in stderr). Cancel + a short
+    drain first."""
+    try:
+        spark.sparkContext.cancelAllJobs()
+        time.sleep(2)
+    except Exception:
+        pass
+    spark.stop()
+    time.sleep(1)
+
+
 def bench_crawl(cores: int, rounds: int, corpus_dir: str | None = None) -> dict[str, float]:
     """Run the crawl at `cores` on the identical deterministic web corpus.
 
@@ -156,9 +172,7 @@ def bench_crawl(cores: int, rounds: int, corpus_dir: str | None = None) -> dict[
 
     active = SparkSession.getActiveSession()
     if active is not None:
-        active.stop()
-        # SparkContext teardown is async-ish; give the JVM a beat
-        time.sleep(1)
+        _drain_and_stop(active)
 
     spark = _session(cores, f"nc-slm-bench-crawl-{cores}", html_heavy=True)
     try:
@@ -234,8 +248,7 @@ def bench_crawl(cores: int, rounds: int, corpus_dir: str | None = None) -> dict[
             "web_pages": n_web,
         }
     finally:
-        spark.stop()
-        time.sleep(1)
+        _drain_and_stop(spark)
 
 
 def main() -> None:

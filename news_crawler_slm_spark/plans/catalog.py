@@ -171,19 +171,39 @@ def count_over_limit(spark, sf_dir):
 
 @register(
     "value_stats_pop",
-    """
+    f"""
     SELECT event_type,
-           round(avg(value), 6) AS mean_value,
-           round(stddev_pop(value), 6) AS std_value
+           round(CAST(sum({_sql_cents('value')}) AS DOUBLE) / (100.0 * count(*)), 6)
+             AS mean_value,
+           round(sqrt(greatest(
+             CAST(sum({_sql_cents('value')} * {_sql_cents('value')}) AS DOUBLE)
+               / count(*) / 10000.0
+             - (CAST(sum({_sql_cents('value')}) AS DOUBLE) / (100.0 * count(*)))
+               * (CAST(sum({_sql_cents('value')}) AS DOUBLE) / (100.0 * count(*))),
+             0.0)), 6) AS std_value
     FROM events GROUP BY event_type
     """,
 )
 def value_stats_pop(spark, sf_dir):
     """A9 — mean + POPULATION std (np.std ddof=0, evaluate_model.py:384-395;
-    stddev would silently mismatch)."""
+    stddev would silently mismatch).
+
+    ``avg``/``stddev_pop`` over doubles are summation-order-dependent
+    (Spark's stddev is a streaming Welford merge) — a rounding-boundary
+    group can flip the 6th decimal between engines (observed in
+    hourly_event_counts at sf0.1).  ``value`` is exact cents, so both
+    moments come from exact integer sums (Σc, Σc²) with the identical
+    float division/sqrt applied on both sides; greatest(...,0) guards the
+    sqrt against negative float cancellation."""
+    c = cents(F.col("value"))
+    n = F.count("*")
+    s = F.sum(c).cast("double")
+    ss = F.sum(c * c).cast("double")
+    mean = s / (F.lit(100.0) * n)
+    var = F.greatest(ss / n / F.lit(10000.0) - mean * mean, F.lit(0.0))
     return _t(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("mean_value"),
-        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
     )
 
 

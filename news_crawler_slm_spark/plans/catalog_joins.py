@@ -178,17 +178,32 @@ def top_customers_per_nation(spark, sf_dir):
     "hourly_event_counts",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-           round(avg(value), 6) AS mean_value
+           round(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)), 6) AS mean_value
     FROM events GROUP BY 1, 2
     """,
 )
 def hourly_event_counts(spark, sf_dir):
     """Tumbling-window aggregation (batch twin of the Structured-Streaming
-    windowed agg; §2.9) — date_trunc bucketing, partial+final agg."""
+    windowed agg; §2.9) — date_trunc bucketing, partial+final agg.
+
+    ``value`` carries exact cents, so the mean goes through the integer-
+    cents sum (order-independent) instead of ``avg(double)``: with ~3600
+    groups at sf0.1, one group's float avg landed within 1e-12 of a
+    round-6 half-ulp boundary and summation order flipped the last digit
+    between engines.  Exact integer sum → one identical division+round on
+    both sides → bit-identical at every scale."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("mean_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(cents(F.col("value"))).cast("double")
+                / (F.lit(100.0) * F.count("*")),
+                6,
+            ).alias("mean_value"),
+        )
     )
 
 

@@ -187,13 +187,18 @@ def bench_crawl(cores: int, rounds: int, corpus_dir: str | None = None) -> dict[
             body_paras=BENCH_PARAS,
             seed=7,
         )
-        if corpus_dir is not None:
-            web_path = os.path.join(corpus_dir, "web.parquet")
-            if not os.path.exists(web_path):
-                dfs["web"].write.parquet(web_path)
-            web = spark.read.parquet(web_path).cache()
-        else:
-            web = dfs["web"].cache()
+        # The corpus always lives on parquet and is read UNCACHED: an
+        # on-heap .cache() of the html column melts down once the corpus
+        # outgrows the JVM heap (measured at 64x768 pages / 16g heap:
+        # eviction re-runs the python generator lineage every fetch, steady
+        # throughput halves; with parquet + OS page cache the same corpus
+        # runs at full speed and per-page cost stays flat with round size).
+        if corpus_dir is None:
+            corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+        web_path = os.path.join(corpus_dir, "web.parquet")
+        if not os.path.exists(web_path):
+            dfs["web"].write.parquet(web_path)
+        web = spark.read.parquet(web_path)
         n_web = web.count()  # materialize the corpus outside the timed region
 
         # Warm the python workers with a representative extract slice: the

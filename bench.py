@@ -18,6 +18,7 @@ Env knobs:
   SPARK_GRAFT_CPUS     headline core count (default 32)
   SPARK_GRAFT_BENCH_SCALE_N  scaling-pair N (default CPUS//8; pair = N, 4N)
   SPARK_GRAFT_BENCH_SCALING  "0" to skip the scaling-pair crawl runs
+  SPARK_GRAFT_BENCH_BIGROUND "0" to skip the 4x-round-size amortization run
   SPARK_GRAFT_BENCH_HOSTS / _PAGES  synthetic-web size (default 64 / 192)
 """
 
@@ -48,6 +49,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORES_N = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_N", str(max(1, CPUS // 8))))
 CORES_4N = 4 * CORES_N
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+DO_BIGROUND = os.environ.get("SPARK_GRAFT_BENCH_BIGROUND", "1") != "0"
 BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "64"))
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "192"))
 BENCH_PARAS = int(os.environ.get("SPARK_GRAFT_BENCH_PARAS", "800"))
@@ -304,6 +306,29 @@ def main() -> None:
                 "throughput = headline value; steady-state = biggest round; "
                 "see BASELINE.md)" % CRAWL_REPEATS,
             }
+        round_size_scaling = None
+        if DO_BIGROUND:
+            # fixed-cost amortization evidence: same config, 4x the pages in
+            # the big round — per-page throughput should hold or improve
+            # (per-round constants amortize; extract/discovery are linear)
+            global BENCH_PAGES
+            small_pages, small = BENCH_PAGES, crawl_full
+            big_dir = tempfile.mkdtemp(prefix="bench_corpus_big_")
+            try:
+                BENCH_PAGES = small_pages * 4
+                big = bench_crawl(CPUS, CRAWL_ROUNDS, big_dir)
+            finally:
+                BENCH_PAGES = small_pages
+                shutil.rmtree(big_dir, ignore_errors=True)
+            round_size_scaling = {
+                "pages_small": small["fetched"],
+                "steady_pps_small": small["steady_pages_per_sec"],
+                "pages_big": big["fetched"],
+                "steady_pps_big": big["steady_pages_per_sec"],
+                "per_page_ratio_big_over_small": round(
+                    big["steady_pages_per_sec"] / small["steady_pages_per_sec"], 3
+                ),
+            }
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -318,6 +343,7 @@ def main() -> None:
         "frontier_pop_latency_s": crawl_full["pop_latency_s"],
         "crawl": crawl_full,
         "scaling": scaling,
+        "round_size_scaling": round_size_scaling,
     }
     print(json.dumps(result))
 

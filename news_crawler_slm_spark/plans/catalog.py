@@ -1048,6 +1048,63 @@ def token_idf(spark, sf_dir):
     )
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+@register(
+    "pii_scrub",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact me at user' || doc_id
+                       || '@example.com or +1-555-01'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing (C4/Dolma-style pretraining hygiene, engine addition):
+    count and redact email addresses and phone-number-shaped digit runs,
+    reporting per-doc match counts plus an md5 of the scrubbed text (the
+    full scrubbed column would be the real sink; the hash keeps the
+    oracle-compared result narrow).  The driver's synthetic corpus carries
+    no PII, so a deterministic in-query augmentation (doc_id % 7 == 0 gets
+    a synthetic email + phone) gives the scrubber real work on both
+    engines.  Pure regexp Column expressions — shuffle-free projection,
+    linear at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
 @register(
     "sample_inspector",
     """

@@ -801,8 +801,10 @@ def unigram_perplexity(spark, sf_dir):
     10^8-token vocab, drop the broadcast hint and let AQE pick a shuffle
     join on ``tok`` (uniform key distribution; no skew concern because
     stop-word fan-out lands on the probe side, not the build side).
-    ``toks`` is derived twice (vocab pass + scoring pass) — two column-pruned
-    parquet scans of (doc_id, text); cache it if scans dominate.
+    ``toks`` is derived twice (vocab pass + scoring pass) and the corpus
+    token total adds a third, explode-free scan — three column-pruned
+    parquet scans of at most (doc_id, text); cache ``toks`` if scans
+    dominate.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(

@@ -89,3 +89,40 @@ def test_first_seen_dedup_exactly_once_across_restarts(spark, tmp_path):
         "https://a/p1", "https://a/p2", "https://b/p1", "https://c/p1"
     }
     assert os.path.isdir(ckpt)
+
+
+def test_quality_gate_stream_equals_batch(spark, tmp_path):
+    """The streaming quality gate is a stateless projection+filter, so the
+    stream run over a set of files must equal the batch run row-for-row —
+    including the attached metric columns — and actually reject rows."""
+    from news_crawler_slm_spark.streaming.quality import quality_gate
+
+    src = str(tmp_path / "pages")
+    rows = [
+        ("https://q/keep1", _ts(0, 1), None, "the cat sat on the mat today", "en", "Q", 1),
+        ("https://q/short", _ts(0, 2), None, "too short", "en", "Q", 2),
+        ("https://q/punct", _ts(0, 3), None, "!!! ??? ... ### $$$ %%% @@@ ^^^", "en", "Q", 3),
+        ("https://q/keep2", _ts(0, 4), None, "a quick brown fox jumps over the lazy dog", "en", "Q", 4),
+        ("https://q/empty", _ts(0, 5), None, "", "en", "Q", 5),
+    ]
+    _write_pages(spark, src, rows)
+
+    q = (
+        quality_gate(pages_stream(spark, src), min_tokens=5, max_punct_ratio=0.3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("qualgate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from qualgate").collect()
+
+    batch = quality_gate(
+        spark.read.schema(schemas.PAGES).parquet(src), min_tokens=5, max_punct_ratio=0.3
+    ).collect()
+
+    got_m = {r["url"]: (r["n_tokens"], round(r["punct_ratio"], 9), round(r["stopword_ratio"], 9)) for r in got}
+    want_m = {r["url"]: (r["n_tokens"], round(r["punct_ratio"], 9), round(r["stopword_ratio"], 9)) for r in batch}
+    assert got_m == want_m
+    assert set(got_m) == {"https://q/keep1", "https://q/keep2"}  # rejects really dropped

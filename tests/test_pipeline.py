@@ -161,3 +161,63 @@ def test_token_budget_packing_and_training_shuffle_no_global_sort(spark, tmp_pat
     keys = [r["shuffle_key"] for r in by_pos]
     assert keys == sorted(keys)  # position is the rank in shuffled order
     assert len(set(keys)) == len(keys)  # multiplicative hash is a bijection
+
+
+def test_running_sum_property_random_keys_weights(spark):
+    """Hypothesis: for arbitrary unique keys (any spacing/clustering),
+    arbitrary non-negative weights, and any bucket count, the two-phase
+    prefix sum equals the sequential exclusive cumsum. One Spark job per
+    drawn case set (cases batched into a single DataFrame)."""
+    from hypothesis import given, settings, strategies as st
+
+    from news_crawler_slm_spark.operators.prefix_sum import running_sum_by_key
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=12, unique=True),
+        st.data(),
+        st.integers(1, 40),
+    )
+    def collect(keys, data, n_buckets):
+        weights = [data.draw(st.integers(0, 10**6)) for _ in keys]
+        cases.append((len(cases), keys, weights, n_buckets))
+
+    collect()
+
+    # batch all cases into one DataFrame keyed by case id; run the operator
+    # per distinct bucket count (bucket count is an operator arg)
+    from collections import defaultdict
+
+    by_buckets = defaultdict(list)
+    for cid, keys, weights, nb in cases:
+        by_buckets[nb].append((cid, keys, weights))
+    for nb, group in by_buckets.items():
+        rows = [
+            (cid, k, w)
+            for cid, keys, weights in group
+            for k, w in zip(keys, weights)
+        ]
+        df = spark.createDataFrame(rows, "cid int, k long, w long").repartition(4)
+        # composite key: cumsum must be per-case, so run per case via a
+        # shifted key space (cases are independent; shift keys into
+        # disjoint ranges to use one operator call)
+        SHIFT = 2**41
+        shifted = df.selectExpr("cid", "cid * CAST(pow(2,41) AS LONG) + (k + CAST(pow(2,40) AS LONG)) AS k2", "w")
+        out = running_sum_by_key(shifted, key="k2", weight="w", n_buckets=nb)
+        got_rows = out.collect()
+        got = {}
+        for r in got_rows:
+            cid = r["cid"]
+            k = r["k2"] - cid * SHIFT - 2**40
+            got[(cid, k)] = r["cum_before"]
+        for cid, keys, weights in group:
+            kw = sorted(zip(keys, weights))
+            # cumsum within the case starts at the total of all PRIOR
+            # cases in key order (cases share one operator call via shifted
+            # disjoint ranges, so lower cids accumulate first)
+            acc = sum(sum(ws) for c2, _ks2, ws in group if c2 < cid)
+            for k, w in kw:
+                assert got[(cid, k)] == acc, (cid, k, nb)
+                acc += w

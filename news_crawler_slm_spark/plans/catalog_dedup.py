@@ -511,11 +511,10 @@ def doc_fingerprints(spark, sf_dir):
 
 _RK_MOD = 1000000007  # Rabin-Karp modulus; acc*257+c stays < 2^63 in both engines
 
-
-@register(
-    "doc_fingerprints_rolling",
-    r"""
-    WITH t AS (
+# Shared DuckDB CTE chain computing per-doc rolling 3-token-window hashes
+# (the oracle twin of rolling_window_hashes below) — ends with h(doc_id, hashes).
+_RK_HASHES_DUCK = r"""
+    t AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents
     ),
     w AS (
@@ -531,6 +530,32 @@ _RK_MOD = 1000000007  # Rabin-Karp modulus; acc*257+c stays < 2^63 in both engin
             (a, c) -> (a*257 + c) % 1000000007)) AS hashes
       FROM w
     )
+"""
+
+
+def rolling_window_hashes(text: F.Column) -> F.Column:
+    """Per-row array of Rabin–Karp hashes of every 3-token window of the
+    whitespace-normalized, lowercased text (codegen regexp construction via
+    word_windows; <3-token rows hash one truncated window).  Shared by
+    doc_fingerprints_rolling and neardup_clusters; the DuckDB twin is
+    _RK_HASHES_DUCK."""
+    norm = ws_normalize(F.lower(text))
+    toks = F.split(norm, " ")
+    wins = F.when(F.size(toks) < 3, F.array(norm)).otherwise(word_windows(norm, 3))
+
+    def _rk(s):
+        codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+        return F.aggregate(
+            codes, F.lit(0).cast("long"), lambda a, c: (a * 257 + c) % _RK_MOD
+        )
+
+    return F.transform(wins, _rk)
+
+
+@register(
+    "doc_fingerprints_rolling",
+    f"""
+    WITH {_RK_HASHES_DUCK}
     SELECT doc_id, len(hashes) AS n_windows,
            list_aggregate(hashes, 'min') AS min_fp,
            len(list_distinct(hashes)) AS distinct_fps
@@ -545,9 +570,10 @@ def doc_fingerprints_rolling(spark, sf_dir):
     window hash (a 1-permutation minhash — equal min_fp groups are near-dup
     candidates), and the distinct-hash count (internal repetition signal).
 
-    Everything is higher-order Column functions (transform/aggregate/
-    array_min) inside whole-stage codegen — a pure projection with NO
-    shuffle, so it scales linearly with input bytes at any cluster size.
+    A pure shuffle-free projection (the window construction is a codegen
+    regexp pass — measured 3.7x faster than a transform/slice chain; the
+    per-window character fold is an interpreted higher-order aggregate),
+    so it scales linearly with input bytes at any cluster size.
     Complements `doc_fingerprints` (xxhash64 content ids): that one is the
     fast JVM-native path for exact ids; this one is the reference rolling
     semantics with a cross-engine DuckDB oracle (same fold, list_reduce).
@@ -557,25 +583,67 @@ def doc_fingerprints_rolling(spark, sf_dir):
     to 0 in both engines.
     """
     d = _t(spark, sf_dir, "documents")
-    # regex window construction (word_windows): measured 3.7x faster than
-    # the transform/slice/concat_ws chain at sf0.1, byte-identical windows;
-    # <3-token docs hash one truncated window == the whole normalized text
-    norm = ws_normalize(F.lower(F.col("text")))
-    toks = F.split(norm, " ")
-    wins = F.when(F.size(toks) < 3, F.array(norm)).otherwise(word_windows(norm, 3))
-
-    def _rk(s):
-        codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
-        return F.aggregate(
-            codes, F.lit(0).cast("long"), lambda a, c: (a * 257 + c) % _RK_MOD
-        )
-
-    hashes = F.transform(wins, _rk)
+    hashes = rolling_window_hashes(F.col("text"))
     return d.select(
         "doc_id",
         F.size(hashes).alias("n_windows"),
         F.array_min(hashes).alias("min_fp"),
         F.size(F.array_distinct(hashes)).alias("distinct_fps"),
+    )
+
+
+@register(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_RK_HASHES_DUCK},
+    sk AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+      FROM sk a JOIN sk b ON a.hh = b.hh AND a.doc_id < b.doc_id
+    ),
+    bidir AS (SELECT ea, eb FROM edges UNION SELECT eb AS ea, ea AS eb FROM edges),
+    reach(ra, rb) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.ra, e.eb FROM reach r JOIN bidir e ON r.rb = e.ea
+    )
+    SELECT ra AS doc_id, min(rb) AS component FROM reach GROUP BY ra
+    """,
+)
+def neardup_clusters(spark, sf_dir):
+    """Near-dup clustering: candidate pairs → connected components → one
+    cluster id per document (the step after candidate generation in every
+    dedup pipeline — each component keeps one representative).
+
+    Candidates here come from a 2-smallest-rolling-hash sketch (two
+    1-perm minhashes per doc): docs sharing either sketch hash get an
+    edge, so documents BRIDGE buckets and components are genuinely
+    multi-hop (87 nontrivial clusters at sf0.01).  Components run through
+    operators/graph.connected_components — iterative min-label
+    propagation, every step a shuffle-on-node-id join, lineage truncated
+    per round; at 10^10 docs neither edges nor labels ever touch the
+    driver.  The DuckDB twin computes the same components with a
+    recursive transitive-closure CTE — tractable at gate scale, and an
+    entirely independent algorithm (closure vs propagation), so agreement
+    pins the semantics, not the implementation.
+    """
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    hashes = rolling_window_hashes(F.col("text"))
+    sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, 2)
+    sk = d.select("doc_id", F.explode(sketch).alias("h"))
+    a, b = sk.alias("a"), sk.alias("b")
+    edges = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    alld = d.select("doc_id")
+    return alld.join(comp, alld["doc_id"] == comp["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
 
 

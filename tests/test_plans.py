@@ -101,3 +101,28 @@ def test_topk_no_global_sort(spark):
     df = entry_mod.queries()["top_customers_per_nation"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" not in plan
+
+
+def test_asof_join_equal_ts_tie_is_inclusive(spark, tmp_path):
+    """A view at exactly the click's timestamp must be visible (oracle
+    semantics: v.ts <= c.ts) — the side_ord ordering makes the window
+    inclusive at ties."""
+    import datetime as dt
+
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 100, "view", t0, 1.0),                        # same ts as the click
+        (1, 101, "click", t0, 1.0),
+        (1, 102, "click", t0 + dt.timedelta(minutes=5), 1.0),
+        (2, 200, "click", t0, 1.0),                       # no view at all
+        (2, 201, "view", t0 + dt.timedelta(minutes=1), 1.0),  # later than click
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    fn, _ = REGISTRY["events_asof_join"]
+    got = {r["event_id"]: r["last_view_ts"] for r in fn(spark, str(tmp_path)).collect()}
+    assert got == {101: t0, 102: t0, 200: None}

@@ -1108,6 +1108,77 @@ def pii_scrub(spark, sf_dir):
 
 
 @register(
+    "temperature_mixture_sample",
+    """
+    WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             round(least(1.0, 250.0 * sqrt(CAST(n_docs AS DOUBLE))
+                               / (SELECT z FROM tot)
+                               / CAST(n_docs AS DOUBLE)), 9) AS rate
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < r.rate
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def temperature_mixture_sample(spark, sf_dir):
+    """Domain mixing by temperature sampling (engine addition; the
+    multilingual/multi-domain pretraining primitive): per-source keep rate
+    ∝ sqrt(count)/count toward a 250-doc target — sqrt-temperature
+    (alpha = 0.5) upweights small domains the way pretraining mixes do —
+    with a deterministic multiplicative-hash threshold deciding which docs
+    survive (reproducible across runs AND partitionings; no RNG state).
+
+    Numeric discipline: alpha = 0.5 via ``sqrt`` specifically because IEEE
+    754 exact-rounds sqrt (bit-identical across engines) while ``pow`` may
+    differ in the last ulp between libm implementations; the rate is
+    rounded to 9 decimals on both sides so the order-dependent last-ulp of
+    the sqrt-sum z cannot flip a threshold comparison.  Output is
+    integers only (per-source corpus and kept counts).  Plan: count agg →
+    1-row z broadcast → tiny rates dim broadcast against the corpus —
+    one corpus-side shuffle total (the count agg).
+    """
+    d = _t(spark, sf_dir, "documents")
+    target = 250.0
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"))
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target)
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("z")
+                / F.col("n_docs").cast("double"),
+            ),
+            9,
+        ).alias("rate"),
+    )
+    hashfrac = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .where(hashfrac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source", "n_docs", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+@register(
     "sample_inspector",
     """
     SELECT doc_id, source, lang, substring(text, 1, 40) AS text_head

@@ -12,8 +12,9 @@ State shape per round:
 - seen, pages, crawl_log: append-only deltas — the snapshot manifest chains
   delta files (Iceberg append pattern). Writing O(round) not O(history) is
   what keeps a 10^10-URL crawl's commit cost flat.
-- exactly ONE counting action per round (crawl-log delta groupBy status),
-  which doubles as the stop condition and materializes the cached pop.
+- one counting action per round: ``popped.count()`` materializes the
+  cached pop and is the stop condition; fetched/failed counters ride the
+  crawl-log delta write as an ``Observation`` (no extra job).
 
 A snapshot commits atomically or not at all; ``run_crawl`` with the same
 catalog root resumes from the latest committed snapshot and produces

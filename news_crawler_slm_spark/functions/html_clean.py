@@ -238,6 +238,8 @@ _ENDTAG = re.compile(rf"</\s*({_TAGNAME})\s*>")
 _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in ("script", "style")
 }
+# Same close pattern as _markupbase._commentclose: '--' + optional ws + '>'.
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 
 
 _ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
@@ -345,11 +347,14 @@ def _fast_parse(s: str) -> _Root:
             top = stack[-1]
             i = em.end()
         elif s.startswith("<!--", i):
-            close = s.find("-->", i + 4)
-            if close < 0:
+            # Stdlib _markupbase closes comments at r'--\s*>' (e.g. '-- >'),
+            # not only at the literal '-->'; match it exactly or the fast
+            # path diverges from the HTMLParser fallback on '<!-- a -- > b -->'.
+            cm = _COMMENT_CLOSE.search(s, i + 4)
+            if cm is None:
                 raise _FastPathUnsupported("unterminated comment")
-            stack[-1].append(_Comment(s[i + 4 : close]))
-            i = close + 3
+            stack[-1].append(_Comment(s[i + 4 : cm.start()]))
+            i = cm.end()
         elif c == "!":
             if s.startswith("<![", i):
                 raise _FastPathUnsupported("marked section")

@@ -51,6 +51,14 @@ def running_sum_by_key(
     ``key`` must be unique per row and numeric (castable to long);
     ``weight`` must be integral — both hold for (doc_id, token_count)
     packing.  Extra columns pass through untouched.
+
+    Key-span limit: the bucket expression multiplies ``(key-lo) *
+    n_buckets`` in signed-64 arithmetic, so the key range (hi-lo+1) must
+    stay below 2^63 / n_buckets (~2^58 at the default 32 buckets) or the
+    multiply would wrap and bucket order would silently stop tracking key
+    order.  Raises ValueError beyond that — callers with full-range 64-bit
+    hash keys should pre-fold them (e.g. ``key % 2^32``, as the
+    training-shuffle path does) before packing.
     """
     bounds = df.agg(
         F.min(F.col(key).cast("long")).alias("lo"),
@@ -60,6 +68,12 @@ def running_sum_by_key(
         return df.withColumn(out_col, F.lit(0).cast("long"))
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = hi - lo + 1
+    if span > (2**63) // n_buckets:
+        raise ValueError(
+            f"key span {span} * n_buckets {n_buckets} would overflow signed "
+            f"64-bit bucket arithmetic (limit {(2**63) // n_buckets}); fold "
+            "the key into a narrower range first"
+        )
     b = F.floor(
         ((F.col(key).cast("long") - F.lit(lo)) * F.lit(n_buckets)) / F.lit(span)
     ).cast("int")

@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import knuth_shuffle_key, knuth_shuffle_key_sql
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -777,11 +779,17 @@ def quality_features(spark, sf_dir):
       FROM documents
     ),
     vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-    tot AS (SELECT sum(c) AS n FROM vocab)
-    SELECT t.doc_id, count(*) AS n_tokens,
-           round(exp(-avg(ln(v.c / (SELECT n FROM tot)))), 4) AS perplexity
-    FROM toks t JOIN vocab v USING (tok)
-    GROUP BY t.doc_id
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    per AS (
+      SELECT t.doc_id,
+             CAST(round(ln(v.c / (SELECT n FROM tot)) * 1000000.0, 0) AS BIGINT)
+               AS lnp_micro
+      FROM toks t JOIN vocab v USING (tok)
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           round(exp(-(CAST(sum(lnp_micro) AS DOUBLE) / 1000000.0) / count(*)), 4)
+             AS perplexity
+    FROM per GROUP BY doc_id
     """,
 )
 def unigram_perplexity(spark, sf_dir):
@@ -822,12 +830,28 @@ def unigram_perplexity(spark, sf_dir):
     probs = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (F.col("c") / F.col("n")).alias("p")
     )
+    # Order-independent accumulation: a float avg(ln p) varies with
+    # partition order and can flip round(...,4) at a boundary between the
+    # engines (the value_stats_pop failure class).  Per-token ln p is
+    # quantized to integer micro-nats — round(ln p * 1e6) is identical on
+    # both engines up to a ~1e-12-probability ulp boundary — then summed as
+    # BIGINT (exact, order-free); exp sees the same rational on both sides.
+    micro = F.round(F.log("p") * F.lit(1000000.0), 0).cast("long")
     return (
         toks.join(F.broadcast(probs), "tok")
+        .select("doc_id", micro.alias("lnp_micro"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.exp(-F.avg(F.log("p"))), 4).alias("perplexity"),
+        .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("__s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.exp(
+                    -(F.col("__s").cast("double") / F.lit(1000000.0))
+                    / F.col("n_tokens")
+                ),
+                4,
+            ).alias("perplexity"),
         )
     )
 
@@ -943,9 +967,9 @@ def benchmark_decontamination(spark, sf_dir):
 
 @register(
     "training_shuffle",
-    """
+    f"""
     WITH h AS (
-      SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+      SELECT doc_id, {knuth_shuffle_key_sql("doc_id")} AS shuffle_key
       FROM documents
     )
     SELECT doc_id, shuffle_key,
@@ -955,9 +979,9 @@ def benchmark_decontamination(spark, sf_dir):
 )
 def training_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle for training order: multiplicative-hash
-    key (Knuth 2654435761 mod 2^32 — a bijection of doc_id below 2^32, so
-    keys stay unique) plus each document's global 0-based position in the
-    shuffled order.
+    key (Knuth 2654435761 mod 2^32, via functions.hashing's overflow-safe
+    split-multiply — a bijection of doc_id below 2^32, so keys stay unique)
+    plus each document's global 0-based position in the shuffled order.
 
     The position is a global rank — the naive ``row_number() OVER (ORDER
     BY shuffle_key)`` is another SinglePartition trap.  Reuses the
@@ -970,9 +994,7 @@ def training_shuffle(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
-            "shuffle_key"
-        ),
+        knuth_shuffle_key(F.col("doc_id")).alias("shuffle_key"),
         F.lit(1).alias("__one"),
     )
     ranked = running_sum_by_key(
@@ -1109,7 +1131,7 @@ def pii_scrub(spark, sf_dir):
 
 @register(
     "temperature_mixture_sample",
-    """
+    f"""
     WITH counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM counts),
     rates AS (
@@ -1122,7 +1144,7 @@ def pii_scrub(spark, sf_dir):
     kept AS (
       SELECT d.source, count(*) AS n_kept
       FROM documents d JOIN rates r USING (source)
-      WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < r.rate
+      WHERE CAST({knuth_shuffle_key_sql("d.doc_id")} AS DOUBLE) / 4294967296.0 < r.rate
       GROUP BY d.source
     )
     SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept
@@ -1164,9 +1186,7 @@ def temperature_mixture_sample(spark, sf_dir):
             9,
         ).alias("rate"),
     )
-    hashfrac = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ).cast("double") / F.lit(4294967296.0)
+    hashfrac = knuth_shuffle_key(F.col("doc_id")).cast("double") / F.lit(4294967296.0)
     kept = (
         d.join(F.broadcast(rates), "source")
         .where(hashfrac < F.col("rate"))

@@ -632,18 +632,28 @@ def neardup_clusters(spark, sf_dir):
     entirely independent algorithm (closure vs propagation), so agreement
     pins the semantics, not the implementation.
     """
+    return neardup_components(_t(spark, sf_dir, "documents"))
+
+
+def neardup_components(docs, bucket_cap: int = 16):
+    """Reusable near-dup clustering core over any (doc_id, text) frame:
+    2-smallest-rolling-hash sketch → capped bucket join → distinct edges →
+    distributed connected components → (doc_id, component) with singletons
+    labeled by their own id.  Shared by the `neardup_clusters` catalog query
+    and the composed training pipeline (plans/training.py)."""
     from ..operators.graph import connected_components
 
-    d = _t(spark, sf_dir, "documents")
     hashes = rolling_window_hashes(F.col("text"))
     sketch = F.slice(F.array_sort(F.array_distinct(hashes)), 1, 2)
-    sk0 = d.select("doc_id", F.explode(sketch).alias("h"))
+    sk0 = docs.select("doc_id", F.explode(sketch).alias("h"))
     # bucket-size cap: a degenerate ultra-common sketch hash (boilerplate,
     # empty docs) would otherwise produce a quadratic edge bucket at web
     # scale; real dedup pipelines skip too-common buckets. Cap chosen so
     # the gate corpus is unaffected (max bucket ~4 at sf0.01).
     too_big = (
-        sk0.groupBy("h").agg(F.count("*").alias("bsz")).where(F.col("bsz") > 16)
+        sk0.groupBy("h")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
     )
     # the over-cap hash set is tiny by construction (few ultra-common
     # hashes exist) — broadcast ANTI join, never a broadcast of the
@@ -656,7 +666,7 @@ def neardup_clusters(spark, sf_dir):
         .distinct()
     )
     comp = connected_components(edges)
-    alld = d.select("doc_id")
+    alld = docs.select("doc_id")
     return alld.join(comp, alld["doc_id"] == comp["node"], "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )

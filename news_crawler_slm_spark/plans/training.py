@@ -2,19 +2,28 @@
 
 The catalog exposes each training-data operator as a standalone oracle-
 checked query; this module composes them the way a real corpus job runs
-them, as ONE lazy plan:
+them, as one plan:
 
-    quality gate → exact dedup → deterministic shuffle → token-budget pack
+    quality gate → exact dedup → near-dup dedup → shuffle → budget pack
 
 - quality gate: the same Column heuristics the streaming path applies
   (streaming/quality.py — shared implementation, batch and stream).
 - exact dedup: min doc_id per md5(text) content group (catalog
   `exact_dedup` semantics), via a window over the hash — one shuffle.
-- shuffle: Knuth multiplicative-hash bijection (catalog
-  `training_shuffle`), so epoch order is deterministic and unique.
+- near-dup dedup: sketch → capped bucket join → connected components →
+  keep the min-doc_id representative per component (catalog
+  `neardup_clusters`/`neardup_survivors_count` semantics, via the shared
+  catalog_dedup.neardup_components core).  The component loop is the one
+  non-lazy stage (iterative label propagation, a control loop of bounded
+  jobs); everything else stays one lazy plan.
+- shuffle: Knuth multiplicative-hash bijection (functions/hashing —
+  overflow-safe for all 64-bit doc_ids), so epoch order is deterministic
+  and unique.
 - packing: exclusive prefix sum of token counts in shuffle order through
   operators/prefix_sum (bucket-parallel, no SinglePartition exchange),
-  batch_id = floor(cum/budget).
+  batch_id = floor(cum/budget).  The gate→dedup lineage is persisted
+  around the prefix sum's three passes (bounds, bucket totals, final
+  window) so the expensive upstream executes once, not three times.
 
 Sequential-oracle equivalence is pinned in tests/test_pipeline.py.
 Reference analog: the single-process dataset pipeline feeding
@@ -28,6 +37,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import knuth_shuffle_key
 from ..operators.prefix_sum import running_sum_by_key
 from ..streaming.quality import quality_gate
 
@@ -37,6 +47,7 @@ class TrainingPrepParams:
     min_tokens: int = 5
     max_punct_ratio: float = 0.3
     token_budget: int = 512
+    neardup: bool = True
 
 
 def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFrame:
@@ -44,6 +55,10 @@ def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFr
     (doc_id, text, n_tokens, shuffle_key, cum_before, batch_id), where
     batch_id groups documents into ``token_budget``-sized training batches
     in deterministic shuffled order."""
+    from pyspark import StorageLevel
+
+    from .catalog_dedup import neardup_components
+
     gated = quality_gate(
         docs,
         min_tokens=params.min_tokens,
@@ -58,9 +73,20 @@ def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFr
         .drop("__h", "__rn")
     )
 
+    if params.neardup:
+        # keeper = the doc that IS its component label (min doc_id per
+        # component) — a broadcast-free semi join on doc_id
+        comp = neardup_components(deduped.select("doc_id", "text"))
+        keep = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
+        deduped = deduped.join(keep, "doc_id", "left_semi")
+
     keyed = deduped.withColumn(
-        "shuffle_key", (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        "shuffle_key", knuth_shuffle_key(F.col("doc_id"))
     )
+    # the prefix sum traverses its input three times (bounds agg, bucket
+    # totals, final window); persist so gate+dedup run once — the two
+    # control aggregations then read the materialized partitions
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     packed = running_sum_by_key(keyed, key="shuffle_key", weight="n_tokens")
     return packed.select(
         "doc_id",

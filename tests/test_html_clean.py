@@ -182,6 +182,9 @@ ADVERSARIAL = [
     "<p>a</p></p>b",                     # stray closer
     "<br/><br><img src=x>",              # void elements all forms
     "<!-- c --><!--no space--><p>t</p>",
+    "<!-- a -- > b -->",                 # stdlib closes at '-- >', not '-->'
+    "<p><!-- a -- > b --></p>",
+    "<!--x--\n>y",                       # newline inside the spaced closer
     "<!-- unterminated",                 # → fallback
     "<e-x data-a.b:c='1'>t</e-x>",       # exotic-but-legal names
     "<div\nclass='a'\n>t</div>",         # newlines inside tag

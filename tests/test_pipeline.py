@@ -259,9 +259,54 @@ def test_connected_components_convergence_guard(spark):
 # ---------------------------------------------------------------------------
 
 
+def _neardup_keepers(kept):
+    """Pure-python twin of catalog_dedup.neardup_components + min-id keeper:
+    3-token-window Rabin-Karp hashes, 2-smallest-distinct sketch, bucket
+    cap 16, union-find components, survivor iff doc_id == min(component)."""
+
+    def rk(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 257 + ord(ch)) % 1000000007
+        return acc
+
+    def sketch(t):
+        norm = " ".join(t.strip().lower().split())
+        tk = norm.split(" ")
+        wins = [norm] if len(tk) < 3 else [" ".join(tk[j : j + 3]) for j in range(len(tk) - 2)]
+        return sorted({rk(w) for w in wins})[:2]
+
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for i, t, _n in kept:
+        for h in sketch(t):
+            buckets[h].append(i)
+    parent = {i: i for i, _t, _n in kept}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ids in buckets.values():
+        if len(ids) > 16:
+            continue
+        for other in ids[1:]:
+            ra, rb = find(ids[0]), find(other)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp_min = defaultdict(lambda: 10**18)
+    for i, _t, _n in kept:
+        r = find(i)
+        comp_min[r] = min(comp_min[r], i)
+    return [(i, t, n) for i, t, n in kept if comp_min[find(i)] == i]
+
+
 def test_prepare_training_data_matches_sequential_oracle(spark):
-    """quality gate -> exact dedup -> deterministic shuffle -> budget pack,
-    as one lazy plan, equals the sequential pure-python pipeline."""
+    """quality gate -> exact dedup -> near-dup dedup -> deterministic
+    shuffle -> budget pack equals the sequential pure-python pipeline."""
     from news_crawler_slm_spark.plans.training import (
         TrainingPrepParams,
         prepare_training_data,
@@ -275,6 +320,9 @@ def test_prepare_training_data_matches_sequential_oracle(spark):
             text = "tiny"  # fails min_tokens
         elif i % 17 == 0:
             text = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"  # fails punct
+        elif i % 19 == 3:
+            # near-dups: long shared body, only the trailing token differs
+            text = f"alpha beta gamma delta epsilon zeta eta theta variant v{i}"
         else:
             text = " ".join(f"w{i}t{j}" for j in range(3 + i % 9)) + " the end"
         docs.append((i, text))
@@ -284,6 +332,8 @@ def test_prepare_training_data_matches_sequential_oracle(spark):
     out = prepare_training_data(df, params)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+    # the gate+dedup lineage is persisted around the prefix sum's 3 passes
+    assert "InMemoryTableScan" in plan, plan
     got = {r["doc_id"]: (r["n_tokens"], r["shuffle_key"], r["cum_before"], r["batch_id"])
            for r in out.collect()}
 
@@ -308,7 +358,9 @@ def test_prepare_training_data_matches_sequential_oracle(spark):
             continue
         seen_md5[t] = i  # min doc_id survives: survivors iterate in doc_id order
         kept.append((i, t, n))
-    shuffled = sorted(((i * 2654435761) % 4294967296, i, n) for i, t, n in kept)
+    kept2 = _neardup_keepers(kept)
+    assert len(kept2) < len(kept)  # the near-dup stage removed something
+    shuffled = sorted(((i * 2654435761) % 4294967296, i, n) for i, t, n in kept2)
     acc = 0
     want = {}
     for key, i, n in shuffled:

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from news_crawler_slm_spark.plans import REGISTRY  # noqa: E402
+from news_crawler_slm_spark.plans import (  # noqa: E402
+    REGISTRY,
+    driver_ordered_registry,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -43,8 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec[0] for name, spec in REGISTRY.items()}
+    # driver-gate priority order: the external gate checks the first 50
+    # entries, so never-checked / this-round-changed queries lead and the
+    # most redundantly-covered ones trail (see plans/__init__.py)
+    return {name: spec[0] for name, spec in driver_ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None}
+    return {
+        name: spec[1]
+        for name, spec in driver_ordered_registry().items()
+        if spec[1] is not None
+    }

@@ -57,6 +57,8 @@ CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 # best-of-N per core count: this VM's hypervisor steal varies minute-to-
 # minute by 2-3x (BASELINE.md), so a single sample is nearly meaningless
 CRAWL_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# per-query timed passes (interleaved across the whole headline list, best-of)
+QUERY_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "3"))
 
 # Headline queries: one per operator family (scan+agg, join, window, anti-join,
 # dedup sketches, ANN, text analysis, crawl primitives). Names must exist in
@@ -67,6 +69,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top_customers_per_nation",
     "orders_without_lineitems",
+    "skewed_hot_key_join",
     "hourly_event_counts",
     "sessionization",
     "token_filter",
@@ -132,18 +135,26 @@ def _run_to_noop(df) -> None:
 
 
 def bench_queries(spark) -> dict[str, float]:
+    """Interleaved best-of-N per query: one warm-up pass over the whole
+    headline list (codegen JIT + file-index caches + OS page cache), then
+    QUERY_REPEATS timed passes, each covering every query before any query
+    repeats.  Steal weather on this box varies 2-3x minute-to-minute, so a
+    single sample per query made numbers round-incomparable (round-2's
+    phantom q1/q3/q5 'regressions'); interleaving puts every query through
+    the same weather and best-of keeps the least-disturbed sample."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    out: dict[str, float] = {}
+    dfs = {name: qs[name](spark, SF_DIR) for name in HEADLINE}
     for name in HEADLINE:
-        fn = qs[name]
-        df = fn(spark, SF_DIR)
-        _run_to_noop(df)  # warm-up: codegen JIT + file-index caches
-        t0 = time.monotonic()
-        _run_to_noop(df)
-        out[name] = round(time.monotonic() - t0, 4)
-    return out
+        _run_to_noop(dfs[name])  # warm-up pass
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(QUERY_REPEATS):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            _run_to_noop(dfs[name])
+            best[name] = min(best[name], time.monotonic() - t0)
+    return {name: round(best[name], 4) for name in HEADLINE}
 
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import urls as U
+from ..operators.rank import with_global_rank
 from ..operators.topk import salted_top_k_per_group
 from .bloom import BloomFilter
 from .semantics import DEFAULT_CRAWL_DELAY, CrawlParams
@@ -153,9 +154,15 @@ def pop_round(
     order = [F.desc("priority"), F.asc("discovered_round"), F.asc("url")]
     popped = salted_top_k_per_group(cand, ["host"], order, F.col("budget"), "salt")
 
-    w_global = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
-    return popped.select(
-        (F.row_number().over(w_global) - 1).alias("seq"),
+    # global deterministic fetch sequence WITHOUT a SinglePartition window
+    # over the popped set: range-partitioned rank (operators/rank.py) — the
+    # pop is round-sized, but at a 10^6-page round the one-task sort was
+    # the pop's tail latency.
+    ranked = with_global_rank(
+        popped, [F.desc("priority"), F.asc("host"), F.asc("url")], "seq"
+    )
+    return ranked.select(
+        "seq",
         "url",
         "url_hash",
         "bucket",

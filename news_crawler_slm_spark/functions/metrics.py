@@ -28,9 +28,10 @@ the same definitions:
   and brevity penalty (single pred/ref pair), no smoothing — HF bleu
   default.
 - METEOR (evaluate_model.py:105-106): implemented from the published
-  algorithm with exact + Porter-stem match stages; the WordNet-synonym
-  stage is OMITTED (nltk corpus data absent offline) — see
-  ``meteor_score`` docstring for the three documented divergences.
+  algorithm with exact + Porter-stem + synonym match stages; the synonym
+  stage uses the bundled mini table (functions/synonyms.py — full WordNet
+  is absent offline, so scores are a lower bound) — see ``meteor_score``
+  docstring for the documented divergences.
 - safe_transform_to_json (evaluate_model.py:35-41): ``ast.literal_eval`` —
   accepts *python literal* syntax (single quotes, None/True/False) and
   REJECTS strict-JSON ``null``/``true`` — the reference's quirk, kept.
@@ -230,26 +231,34 @@ def bleu(pred: str, gold: str, max_n: int = 4) -> float:
 
 def _meteor_align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
     """Stage-wise greedy alignment (nltk meteor_score semantics): exact
-    matches first, then Porter-stem matches over the leftovers. For each
-    hypothesis token in order, claim the first unmatched reference token
-    whose key is equal. Returns (hyp_idx, ref_idx) pairs."""
+    matches first, then Porter-stem matches over the leftovers, then
+    synonym matches (bundled mini table, functions/synonyms.py) over what
+    remains. For each hypothesis token in order, claim the first unmatched
+    reference token the stage's predicate accepts. Returns (hyp_idx,
+    ref_idx) pairs."""
     from .stemmer import porter_stem
+    from .synonyms import are_synonyms
 
     matches: list[tuple[int, int]] = []
     h_left = list(enumerate(hyp))
     r_left = list(enumerate(ref))
-    for key in (lambda w: w, porter_stem):
+
+    def stage(match_fn) -> None:
+        nonlocal h_left
         next_h = []
         for i, hw in h_left:
-            hk = key(hw)
             for pos, (j, rw) in enumerate(r_left):
-                if key(rw) == hk:
+                if match_fn(hw, rw):
                     matches.append((i, j))
                     del r_left[pos]
                     break
             else:
                 next_h.append((i, hw))
         h_left = next_h
+
+    stage(lambda h, r: h == r)
+    stage(lambda h, r: porter_stem(h) == porter_stem(r))
+    stage(are_synonyms)
     return matches
 
 
@@ -266,9 +275,10 @@ def meteor_score(
     harmonic mean weighted toward recall (alpha=0.9), fragmentation penalty
     gamma*(chunks/matches)**beta.
 
-    Offline divergences (documented, not silent): (1) the WordNet-synonym
-    match stage is OMITTED (nltk corpus data is unavailable here), so
-    scores are a lower bound — identical whenever no synonym-only match
+    Offline divergences (documented, not silent): (1) the synonym stage
+    runs over the bundled mini table (functions/synonyms.py) — a strict
+    subset of WordNet (the nltk corpus is unavailable here), so scores
+    are a lower bound, identical whenever no rarer synonym-only match
     exists; (2) tokenization is lowercase whitespace split, not nltk
     ``word_tokenize`` — identical on whitespace-clean text; (3) the stem
     stage uses the ORIGINAL published Porter algorithm

@@ -130,8 +130,8 @@ def bleu_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def meteor_udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
-    """F9 — METEOR (exact + Porter-stem stages; WordNet stage omitted
-    offline, see metrics.meteor_score)."""
+    """F9 — METEOR (exact + Porter-stem + mini-table synonym stages;
+    see metrics.meteor_score for the offline divergences)."""
     from .metrics import meteor_score
 
     return pd.Series(

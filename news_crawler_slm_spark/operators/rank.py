@@ -1,0 +1,63 @@
+"""Distributed global rank — the scale-correct form of
+``row_number() OVER (ORDER BY ...)`` for composite sort keys.
+
+A global-ordered window compiles to an Exchange SinglePartition: every row
+funnels through one task — fine for control-sized sets, a scale-killer and
+a latency tax for data-sized ones (it was the tail stage of the frontier
+pop, where rank = the crawl's deterministic fetch sequence).
+
+``with_global_rank`` computes the identical value in one LAZY plan:
+
+1. range-partition on the sort key (``repartitionByRange``) — partition i
+   holds keys strictly ordered before partition i+1;
+2. per-partition counts → exclusive prefix sum over the partition ids (a
+   single-partition window over B rows — B = shuffle parallelism, control
+   state, not data) → broadcast;
+3. per-partition ``row_number`` + the broadcast offset.
+
+Both consumers of the range exchange (the counts aggregate and the final
+window) are the same subplan, so Spark's exchange reuse executes the
+shuffle ONCE and both read the same files — this is what makes the
+sampling-based range partitioner safe: partition bounds are decided once
+per execution, never independently per pass (asserted via ReusedExchange
+in tests/test_crawl.py).
+
+Unlike operators/prefix_sum (numeric single-column keys, weight sums),
+this handles arbitrary composite orderings (e.g. priority DESC, host ASC,
+url ASC) and needs no driver-side action at plan-build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_global_rank"]
+
+
+def with_global_rank(
+    df: DataFrame, order: list[Column], out_col: str = "rank"
+) -> DataFrame:
+    """Add ``out_col`` = this row's 0-based position in the total order
+    defined by ``order`` (which must be a total order — include a unique
+    tiebreaker column). Extra columns pass through untouched."""
+    ranged = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.row_number().over(w_local) - 1).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )

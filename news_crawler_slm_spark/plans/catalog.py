@@ -1074,6 +1074,14 @@ def token_idf(spark, sf_dir):
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PHONE_RE = r"\+?\d[\d-]{7,}\d"
+# Both twins below are ASCII-only constructs valid in Java regex AND RE2
+# (no backreferences/lookaround): IPv4 dotted quad, and a US-street-shaped
+# "number + Capitalized name + suffix" address (the Dolma scrubber family).
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_ADDR_RE = (
+    r"\b\d{1,5} [A-Z][a-z]+ "
+    r"(?:Street|St|Avenue|Ave|Road|Rd|Boulevard|Blvd|Lane|Ln|Drive|Dr)\b"
+)
 
 
 @register(
@@ -1085,27 +1093,36 @@ _PHONE_RE = r"\+?\d[\d-]{7,}\d"
                   THEN text || ' contact me at user' || doc_id
                        || '@example.com or +1-555-01'
                        || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                       || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.9 at 42 Maple Street apt 3'
                   ELSE text END AS t
       FROM documents
     )
     SELECT doc_id,
            len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
            len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
-           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+           len(regexp_extract_all(t, '{_IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t, '{_ADDR_RE}')) AS n_addrs,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_PHONE_RE}', '<PHONE>', 'g'),
+                    '{_IPV4_RE}', '<IP>', 'g'),
+                    '{_ADDR_RE}', '<ADDR>', 'g')) AS scrubbed_md5
     FROM aug
     """,
 )
 def pii_scrub(spark, sf_dir):
     """PII scrubbing (C4/Dolma-style pretraining hygiene, engine addition):
-    count and redact email addresses and phone-number-shaped digit runs,
-    reporting per-doc match counts plus an md5 of the scrubbed text (the
-    full scrubbed column would be the real sink; the hash keeps the
-    oracle-compared result narrow).  The driver's synthetic corpus carries
-    no PII, so a deterministic in-query augmentation (doc_id % 7 == 0 gets
-    a synthetic email + phone) gives the scrubber real work on both
-    engines.  Pure regexp Column expressions — shuffle-free projection,
-    linear at any scale."""
+    count and redact email addresses, phone-number-shaped digit runs, IPv4
+    addresses, and street-address-shaped spans, reporting per-doc match
+    counts plus an md5 of the scrubbed text (the full scrubbed column would
+    be the real sink; the hash keeps the oracle-compared result narrow).
+    The driver's synthetic corpus carries no PII, so a deterministic
+    in-query augmentation (doc_id % 7 == 0 gets a synthetic email + phone +
+    IP + street address) gives every scrubber real work on both engines.
+    Scrub order is fixed (email → phone → IP → addr) so the md5 is
+    well-defined.  Pure regexp Column expressions — shuffle-free
+    projection, linear at any scale."""
     d = _t(spark, sf_dir, "documents")
     aug = F.when(
         F.col("doc_id") % 7 == 0,
@@ -1115,17 +1132,29 @@ def pii_scrub(spark, sf_dir):
             F.col("doc_id"),
             F.lit("@example.com or +1-555-01"),
             F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".9 at 42 Maple Street apt 3"),
         ),
     ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+            ),
+            _IPV4_RE,
+            "<IP>",
+        ),
+        _ADDR_RE,
+        "<ADDR>",
+    )
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
         F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
-        F.md5(
-            F.regexp_replace(
-                F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-            )
-        ).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(aug, F.lit(_IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(aug, F.lit(_ADDR_RE), 0)).alias("n_addrs"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
     )
 
 

@@ -713,25 +713,38 @@ def neardup_survivors_count(spark, sf_dir):
     )
 
 
-def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
-    """One k-means-lite pass, fully distributed:
+def ivf_kmeans_centroids(spark, emb, k_cells: int = 10, max_iters: int = 8):
+    """Distributed k-means trained to (near-)convergence — Lloyd iterations
+    with deterministic, order-independent arithmetic throughout:
 
     1. init: the k vectors with the smallest xxhash64(vec_id) (deterministic,
        no RNG state; a global sort-limit-k — O(k) driver state).
-    2. one assignment + partial-aggregation pass via mapInPandas: each Arrow
-       batch assigns its vectors to the nearest init centroid (argmax cosine,
-       one BLAS matmul) and emits per-cell (count, Σ micro-quantized
-       components). Integer micro-sums (round(x*1e6)) make the reduction
-       ORDER-INDEPENDENT and bit-exact — float summation order across
-       batches/shuffles can't perturb the centroids.
+    2. per iteration, one assignment + partial-aggregation pass via
+       mapInPandas: each Arrow batch assigns its vectors to the nearest
+       current centroid (argmax cosine, one BLAS matmul) and emits per-cell
+       (count, Σ micro-quantized components). Integer micro-sums
+       (round(x*1e6)) make the reduction ORDER-INDEPENDENT and bit-exact —
+       float summation order across batches/shuffles can't perturb the
+       centroids, so the iteration trajectory is reproducible on any
+       partitioning (and replicated exactly by the numpy twin in
+       tests/test_similarity.py).
     3. driver reduce: k rows of (cell, cnt, Σmicro) -> centroid[d] =
-       Σmicro / (cnt * 1e6). O(k*dim) driver state — a control action, not a
-       data collect.
+       Σmicro / (cnt * 1e6). O(k*dim) driver control state per iteration.
+    4. stop when the integer state (per-cell counts + micro-sums) repeats —
+       assignments under the new centroids equal the previous pass, i.e.
+       Lloyd has converged — or after ``max_iters`` (k-means can cycle on
+       ties; the integer state makes the equality test exact, not an
+       epsilon). Empty cells drop out and indices re-compact each round.
+
+    The input is persisted for the duration of the loop (each iteration is
+    one scan; at 100 TB this is the standard cache-for-iterations trade —
+    MEMORY_AND_DISK so executors spill rather than recompute lineage).
 
     Returns {cell_index: [float centroid]} for non-empty cells.
     """
     import numpy as np
     import pandas as pd
+    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     seeds = (
@@ -740,9 +753,8 @@ def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
         .limit(k_cells)
         .collect()
     )
-    init = np.array([list(r["e"]) for r in seeds], dtype=np.float64)
-    init_unit = init / np.linalg.norm(init, axis=1, keepdims=True)
-    dim = init.shape[1]
+    C = np.array([list(r["e"]) for r in seeds], dtype=np.float64)
+    dim = C.shape[1]
 
     schema = T.StructType(
         [
@@ -752,35 +764,50 @@ def ivf_kmeans_centroids(spark, emb, k_cells: int = 10):
         ]
     )
 
-    def partials(batches):
-        for pdf in batches:
-            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
-            if X.size == 0:
-                continue
-            cells = (X @ init_unit.T).argmax(axis=1)
-            micro = np.rint(X * 1e6).astype(np.int64)
-            rows = []
-            for c in np.unique(cells):
-                m = micro[cells == c]
-                rows.append((int(c), int(m.shape[0]), m.sum(axis=0).tolist()))
-            yield pd.DataFrame(rows, columns=["cell", "cnt", "s"])
+    vecs = emb.select("e").persist(StorageLevel.MEMORY_AND_DISK)
+    prev_state = None
+    try:
+        for _ in range(max_iters):
+            C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    agg = (
-        emb.select("e")
-        .mapInPandas(partials, schema=schema)
-        .select("cell", "cnt", F.posexplode("s").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(F.sum("cnt").alias("cnt"), F.sum("v").alias("sv"))
-        .collect()
-    )
-    cnts: dict[int, int] = {}
-    sums: dict[int, list[int]] = {}
-    for r in agg:
-        sums.setdefault(r["cell"], [0] * dim)[r["pos"]] = r["sv"]
-        cnts[r["cell"]] = r["cnt"]
-    return {
-        c: [sums[c][d] / (cnts[c] * 1e6) for d in range(dim)] for c in sorted(cnts)
-    }
+            def partials(batches, C_unit=C_unit):
+                for pdf in batches:
+                    X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+                    if X.size == 0:
+                        continue
+                    cells = (X @ C_unit.T).argmax(axis=1)
+                    micro = np.rint(X * 1e6).astype(np.int64)
+                    rows = []
+                    for c in np.unique(cells):
+                        m = micro[cells == c]
+                        rows.append((int(c), int(m.shape[0]), m.sum(axis=0).tolist()))
+                    yield pd.DataFrame(rows, columns=["cell", "cnt", "s"])
+
+            agg = (
+                vecs.mapInPandas(partials, schema=schema)
+                .select("cell", "cnt", F.posexplode("s").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("cnt").alias("cnt"), F.sum("v").alias("sv"))
+                .collect()
+            )
+            cnts: dict[int, int] = {}
+            sums: dict[int, list[int]] = {}
+            for r in agg:
+                sums.setdefault(r["cell"], [0] * dim)[r["pos"]] = r["sv"]
+                cnts[r["cell"]] = r["cnt"]
+            state = {c: (cnts[c], tuple(sums[c])) for c in cnts}
+            C = np.array(
+                [
+                    [sums[c][d] / (cnts[c] * 1e6) for d in range(dim)]
+                    for c in sorted(cnts)
+                ]
+            )
+            if state == prev_state:  # fixed point: exact integer equality
+                break
+            prev_state = state
+    finally:
+        vecs.unpersist()
+    return {i: C[i].tolist() for i in range(C.shape[0])}
 
 
 @register("ann_ivf_topk", None)  # engine-defined cells: no SQL twin

@@ -260,6 +260,58 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "skewed_hot_key_join",
+    """
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_orderkey END AS k,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT coalesce(o.o_orderpriority, '<hot-unmatched>') AS priority,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_qty
+    FROM l LEFT JOIN orders o ON o.o_orderkey = l.k
+    GROUP BY 1
+    """,
+)
+def skewed_hot_key_join(spark, sf_dir):
+    """Deliberately skewed fact-fact join — the hot-key evidence query.
+
+    A quarter of lineitem rows are folded onto one hot join key (0, which
+    matches nothing in orders — a LEFT join keeps them), so one shuffle
+    partition carries ~25% of the fact table: the frontier's hot-host
+    problem in join form.  Correctness is partition-layout-independent
+    (checked vs the oracle); the SCALE story is AQE skew-join — with
+    adaptive execution on, the oversized partition is split into
+    advisory-sized sub-partitions at runtime (plan shows
+    ``SortMergeJoin(skew=true)``), which
+    tests/test_plans.py::test_skew_join_aqe_splits_hot_partition asserts
+    under production-shaped thresholds.  Unlike the salting the frontier
+    uses (explicit key decomposition when the hot key must stay one
+    group), a join tolerates runtime splitting because each probe row
+    joins independently — AQE is the right tool here, salting there.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_quantity",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li["k"] == o["o_orderkey"], "left")
+        .groupBy(
+            F.coalesce("o_orderpriority", F.lit("<hot-unmatched>")).alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            (F.sum(cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "sessionization",
     """
     WITH gaps AS (

@@ -135,6 +135,28 @@ def test_parallelism_invariance(tmp_path, sim_result):
 
 # ---------------------------------------------------------------- components
 
+def test_pop_plan_distributed_rank(spark):
+    """The pop's global fetch sequence must come from the range-partitioned
+    rank (operators/rank.py), not a SinglePartition window over the popped
+    set: the range exchange is REUSED between the counts aggregate and the
+    final window (one shuffle execution — what makes the sampling-based
+    range partitioner safe), and the only SinglePartition exchanges feed
+    the B-row offsets window, never the data."""
+    from news_crawler_slm_spark.crawl.frontier import frontier_from_seeds, pop_round
+    from news_crawler_slm_spark.crawl.rounds import init_state
+
+    dfs = web_dataframes(spark, SCALE)
+    state = init_state(spark, dfs["seeds"], dfs["robots"], PARAMS)
+    popped = pop_round(state.frontier, dfs["robots"], state.host_counts, PARAMS)
+    popped.collect()
+    plan = popped._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    # every SinglePartition exchange must sit under the tiny counts/offsets
+    # side (HashAggregate on __pid), not under the popped data itself
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        assert "__pid" in chunk[:2000], plan
+
+
 def test_first_round_budgets(spark):
     """Politeness: high-delay host (host 1, delay 30) pops ≤1 URL in round 1;
     no host exceeds floor(round_budget/delay)."""

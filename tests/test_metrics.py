@@ -160,6 +160,33 @@ def test_meteor_fragmentation_penalty():
     )
 
 
+def test_meteor_synonym_stage():
+    """The mini-table synonym stage (functions/synonyms.py) aligns
+    synonym-only pairs exactly like nltk's WordNet stage would."""
+    from news_crawler_slm_spark.functions.synonyms import are_synonyms
+
+    assert are_synonyms("quick", "fast")
+    assert are_synonyms("big", "enormous")
+    assert not are_synonyms("quick", "slow")
+    assert not are_synonyms("qzj", "fast")
+
+    # big↔large via the table, the other 3 tokens exact: m=4, P=R=1, 1 chunk
+    fmean_1 = (1.0 * 1.0) / (0.9 * 1.0 + (1 - 0.9) * 1.0)
+    want = (1 - 0.5 * (1 / 4) ** 3.0) * fmean_1
+    assert M.meteor_score("the dog is big", "the dog is large") == pytest.approx(
+        want, abs=1e-15
+    )
+    # synonym-only single-token pair: m=1, penalty = 0.5
+    assert M.meteor_score("big", "large") == pytest.approx(0.5 * fmean_1, abs=1e-15)
+    # out-of-table word: no match at any stage
+    assert M.meteor_score("qzj", "large") == 0.0
+    # exact matches claim tokens before the synonym stage sees them:
+    # crossed exact alignment -> 2 chunks -> penalty = gamma
+    assert M.meteor_score("large big", "big large") == pytest.approx(
+        0.5 * fmean_1, abs=1e-15
+    )
+
+
 def test_meteor_stem_stage_and_edges():
     # exact stage misses, Porter-stem stage aligns run/run: m=1, chunks=1,
     # penalty = 0.5 * (1/1)^3 = 0.5

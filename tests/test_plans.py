@@ -103,6 +103,62 @@ def test_topk_no_global_sort(spark):
     assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" not in plan
 
 
+def test_skew_join_aqe_splits_hot_partition(spark, tmp_path):
+    """The hot-key join's scale contract: under production-shaped AQE
+    thresholds (scaled down to test data volumes), the oversized shuffle
+    partition is detected and split at runtime — the executed plan carries
+    ``skew=true`` on the sort-merge join and an ``AQEShuffleRead skewed``.
+    Broadcast is disabled so the join actually shuffles (at 100 TB neither
+    side broadcasts).  The input is written as 16 parquet files: AQE splits
+    a skewed reduce partition at MAPPER granularity, so a single-file
+    (single-mapper) input — like the sf0.01 gate file — physically cannot
+    split; at real scale there are thousands of mappers."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    li = spark.range(n).select(
+        F.col("id").alias("l_orderkey"),
+        (F.rand(7) * 100).alias("l_quantity"),
+    )
+    li.repartition(16).write.parquet(str(tmp_path / "lineitem.parquet"))
+    o = spark.range(50_000).select(
+        F.col("id").alias("o_orderkey"),
+        F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias(
+            "o_orderpriority"
+        ),
+    )
+    o.repartition(4).write.parquet(str(tmp_path / "orders.parquet"))
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # the hot partition is ~hundreds of (compressed) KB here, not the
+        # production default of 256MB — scale the detection thresholds down
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = entry_mod.queries()["skewed_hot_key_join"](spark, str(tmp_path))
+        rows = df.collect()  # AQE decides skew splits at runtime: run first
+        # 5 priorities + the unmatched bucket (lineitem keys >= 50k)
+        assert len(rows) == 6
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_asof_join_equal_ts_tie_is_inclusive(spark, tmp_path):
     """A view at exactly the click's timestamp must be visible (oracle
     semantics: v.ts <= c.ts) — the side_ord ordering makes the window

@@ -17,27 +17,39 @@ def _topk(spark, name):
     return out
 
 
-def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5):
+def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5, max_iters=8):
     """Pure-numpy replication of the engine's whole IVF pipeline
     (catalog_dedup.ivf_kmeans_centroids + ann_ivf_topk): xxhash64 seed-pick
-    init, argmax-cosine assignment, EXACT integer-micro centroid means,
-    re-assignment to learned centroids, nprobe cell probe, exact re-rank."""
+    init, Lloyd iterations with argmax-cosine assignment and EXACT
+    integer-micro centroid means (stop on integer-state fixed point, same
+    rule as the engine), re-assignment to learned centroids, nprobe cell
+    probe, exact re-rank."""
     import numpy as np
 
     from xxh64_oracle import xxh64_long
 
     order = sorted(range(len(ids)), key=lambda i: (xxh64_long(int(ids[i])), ids[i]))
-    init = X[order[:k_cells]]
-    init_unit = init / np.linalg.norm(init, axis=1, keepdims=True)
-
-    cells0 = (X @ init_unit.T).argmax(axis=1)
+    C = X[order[:k_cells]].astype(np.float64)
+    dim = C.shape[1]
     micro = np.rint(X * 1e6).astype(np.int64)
-    centroids = {}
-    for c in np.unique(cells0):
-        m = micro[cells0 == c]
-        centroids[int(c)] = m.sum(axis=0) / (m.shape[0] * 1e6)
-    cell_ids = sorted(centroids)
-    C = np.array([centroids[c] for c in cell_ids])
+    prev_state = None
+    for _ in range(max_iters):
+        Cu = C / np.linalg.norm(C, axis=1, keepdims=True)
+        cells = (X @ Cu.T).argmax(axis=1)
+        cnts, sums = {}, {}
+        for c in np.unique(cells):
+            m = micro[cells == c]
+            cnts[int(c)] = m.shape[0]
+            sums[int(c)] = m.sum(axis=0)
+        state = {c: (cnts[c], tuple(sums[c].tolist())) for c in cnts}
+        C = np.array(
+            [[sums[c][d] / (cnts[c] * 1e6) for d in range(dim)] for c in sorted(cnts)]
+        )
+        if state == prev_state:
+            break
+        prev_state = state
+
+    cell_ids = list(range(C.shape[0]))
     C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
 
     assigned = np.array([cell_ids[i] for i in (X @ C_unit.T).argmax(axis=1)])

@@ -120,15 +120,27 @@ def frontier_from_seeds(seeds: DataFrame, robots: DataFrame, params: CrawlParams
 # Pop
 # --------------------------------------------------------------------------
 
-def pop_round(
+# Above this popped-set size the distributed rank (operators/rank.py) wins;
+# below it, a single-task sort of the (already cached) pop is cheaper than
+# the rank's ~3 extra stage waves (range-sampling job + offsets agg +
+# broadcast — measured ~0.3 s fixed at local bench scale). At 10^6-page
+# rounds the SinglePartition sort is the scale hazard, so the rank is the
+# default whenever the size is unknown.
+SEQ_RANK_THRESHOLD = 65536
+
+
+def pop_round_raw(
     frontier: DataFrame,
     robots: DataFrame,
     host_counts: DataFrame,
     params: CrawlParams,
 ) -> DataFrame:
-    """W5 — per-host top-budget pop with global deterministic sequence.
+    """W5 — per-host top-budget pop WITHOUT the global sequence.
 
-    Returns columns: seq, url, url_hash, bucket, host, priority, depth.
+    Returns columns: url, url_hash, bucket, host, priority, depth (+ the
+    pop bookkeeping columns). ``attach_seq`` adds the deterministic fetch
+    sequence; callers that materialize the pop first (rounds.build_round)
+    pass the known count so the seq implementation can be chosen by size.
     """
     budgets = (
         frontier.select("host")
@@ -152,24 +164,42 @@ def pop_round(
     # salted two-phase exact top-budget per host — spreads hot hosts over S
     # partitions in phase 1, exact reduce in phase 2 (operators/topk.py).
     order = [F.desc("priority"), F.asc("discovered_round"), F.asc("url")]
-    popped = salted_top_k_per_group(cand, ["host"], order, F.col("budget"), "salt")
+    return salted_top_k_per_group(cand, ["host"], order, F.col("budget"), "salt")
 
-    # global deterministic fetch sequence WITHOUT a SinglePartition window
-    # over the popped set: range-partitioned rank (operators/rank.py) — the
-    # pop is round-sized, but at a 10^6-page round the one-task sort was
-    # the pop's tail latency.
+
+def attach_seq(popped: DataFrame, n_popped: int | None = None) -> DataFrame:
+    """Add the global deterministic fetch sequence ``seq`` = rank in
+    (priority DESC, host, url).
+
+    Implementation is chosen by size: with a known small count (the caller
+    already materialized the pop), a single window over the cached rows is
+    cheapest; otherwise — unknown size, or a 10^6-page round — the
+    range-partitioned distributed rank (operators/rank.py), which never
+    funnels the popped data through one task."""
+    cols = ["seq", "url", "url_hash", "bucket", "host", "priority", "depth"]
+    if n_popped is not None and n_popped <= SEQ_RANK_THRESHOLD:
+        w_global = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
+        return popped.select(
+            (F.row_number().over(w_global) - 1).alias("seq"), *cols[1:]
+        )
     ranked = with_global_rank(
         popped, [F.desc("priority"), F.asc("host"), F.asc("url")], "seq"
     )
-    return ranked.select(
-        "seq",
-        "url",
-        "url_hash",
-        "bucket",
-        "host",
-        "priority",
-        "depth",
-    )
+    return ranked.select(*cols)
+
+
+def pop_round(
+    frontier: DataFrame,
+    robots: DataFrame,
+    host_counts: DataFrame,
+    params: CrawlParams,
+) -> DataFrame:
+    """W5 — per-host top-budget pop with global deterministic sequence
+    (scale-safe distributed rank; see attach_seq for the size-aware form).
+
+    Returns columns: seq, url, url_hash, bucket, host, priority, depth.
+    """
+    return attach_seq(pop_round_raw(frontier, robots, host_counts, params))
 
 
 # --------------------------------------------------------------------------

@@ -37,10 +37,11 @@ from ..functions.udfs import clean_html_udf
 from ..sources.tables import SnapshotCatalog
 from .frontier import (
     BloomStore,
+    attach_seq,
     dedup_new_urls,
     discover_links,
     frontier_from_seeds,
-    pop_round,
+    pop_round_raw,
 )
 from .semantics import CrawlParams
 
@@ -125,9 +126,16 @@ def build_round(
     fetcher: Fetcher,
     params: CrawlParams,
     bloom: BloomStore | None = None,
-) -> tuple[RoundDeltas, DataFrame, DataFrame]:
-    """Assemble one round's lazy plan. Returns (deltas, popped, fetched_slim);
-    popped/fetched_slim are cached and must be unpersisted by the caller.
+) -> tuple[RoundDeltas, DataFrame, DataFrame, int, float]:
+    """Assemble one round's plan. Returns (deltas, popped, fetched_slim,
+    n_popped, pop_latency_s); popped/fetched_slim are cached and must be
+    unpersisted by the caller.
+
+    The pop is materialized HERE (cache + count): the count is the round's
+    stop condition AND the measured frontier-pop latency, and knowing the
+    popped size lets attach_seq pick the cheapest correct fetch-sequence
+    implementation (single window over the cached rows at test/bench sizes,
+    distributed rank at 10^6-page rounds — frontier.py:SEQ_RANK_THRESHOLD).
 
     Memory shape (default, params.cache_fetch=False): only an html-FREE slim
     projection of the fetch result is cached (log/discovery/counters reuse
@@ -142,7 +150,11 @@ def build_round(
     exactly once, and pages can never desynchronize from the crawl log."""
     rnd = state.round + 1
 
-    popped = pop_round(state.frontier, robots, state.host_counts, params).cache()
+    popped_raw = pop_round_raw(state.frontier, robots, state.host_counts, params).cache()
+    t_pop = time.monotonic()
+    n_popped = popped_raw.count()
+    pop_latency = time.monotonic() - t_pop
+    popped = attach_seq(popped_raw, n_popped)
     fetched_full = fetcher(popped)
     if params.cache_fetch:
         from pyspark import StorageLevel
@@ -171,7 +183,7 @@ def build_round(
     )
 
     frontier_rest = state.frontier.join(
-        popped.select("url_hash"), "url_hash", "left_anti"
+        popped_raw.select("url_hash"), "url_hash", "left_anti"
     )
     candidates = discover_links(
         ok_slim.select("url", "priority", "depth", "out_links"), robots, params, rnd
@@ -185,7 +197,7 @@ def build_round(
     ).select(
         "bucket", "salt", "host", "url", "url_hash", "priority", "depth", "discovered_round"
     )
-    novel = novel.join(popped.select("url_hash"), "url_hash", "left_anti")
+    novel = novel.join(popped_raw.select("url_hash"), "url_hash", "left_anti")
 
     counts_new = (
         state.host_counts.unionByName(
@@ -198,11 +210,11 @@ def build_round(
     deltas = RoundDeltas(
         frontier=frontier_rest.unionByName(novel),
         host_counts=counts_new,
-        seen_delta=popped.select("bucket", "url_hash", "url"),
+        seen_delta=popped_raw.select("bucket", "url_hash", "url"),
         pages_delta=pages_delta,
         log_delta=log_delta,
     )
-    return deltas, popped, cache_handle
+    return deltas, popped_raw, cache_handle, n_popped, pop_latency
 
 
 def run_crawl(
@@ -245,17 +257,16 @@ def run_crawl(
     rounds_left = max_rounds if max_rounds is not None else params.max_rounds - state.round
     for _ in range(max(0, rounds_left)):
         t_round = time.monotonic()
-        deltas, popped, fetched_slim = build_round(state, robots, fetcher, params, bloom)
+        # build_round materializes the pop (cache + count, no fetch): the
+        # count is the stop condition, its duration the true frontier-pop
+        # latency, and the known size picks the seq implementation.
+        # fetched/failed counters ride the crawl_log write inside the
+        # commit via an Observation — no separate fetch-materializing
+        # counting action per round.
+        deltas, popped, fetched_slim, n_popped, pop_latency = build_round(
+            state, robots, fetcher, params, bloom
+        )
         rnd = state.round + 1
-
-        # Stop-condition action on the cached pop ONLY (no fetch): its
-        # duration is the true frontier-pop latency (windowed top-k +
-        # politeness budget). fetched/failed counters ride the crawl_log
-        # write inside the commit via an Observation — no separate
-        # fetch-materializing counting action per round.
-        t_pop = time.monotonic()
-        n_popped = popped.count()
-        pop_latency = time.monotonic() - t_pop
         if n_popped == 0:
             popped.unpersist()
             fetched_slim.unpersist()

@@ -60,3 +60,77 @@ def first_seen_dedup(pages: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------- sessions
+
+SESSION_OUTPUT_SCHEMA = (
+    "publisher string, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "start timestamp, last timestamp, n bigint"
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _ms(ts) -> int:
+    # naive timestamps are UTC under this engine's fixed session timezone;
+    # pd.Timestamp.value interprets naive input as UTC (datetime.timestamp()
+    # would use the worker's LOCAL zone — wrong on a non-UTC host)
+    return pd.Timestamp(ts).value // 1_000_000
+
+
+def _session_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    cols = ["publisher", "session_start", "session_end", "n_events"]
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], start, last, n)], columns=cols)
+        return
+    ts_all: list = []
+    for pdf in pdf_iter:
+        ts_all.extend(pdf["warc_ts"].tolist())
+    ts_all.sort()
+    closed: list[tuple] = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    for ts in ts_all:
+        if last is not None and _ms(ts) - _ms(last) > _SESSION_GAP_MS:
+            closed.append((key[0], start, last, n))
+            start, n = ts, 0
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
+    state.update((start, last, n))
+    # evict via event time: fire once the watermark passes last + gap
+    state.setTimeoutTimestamp(_ms(last) + _SESSION_GAP_MS)
+    if closed:
+        yield pd.DataFrame(closed, columns=cols)
+
+
+def session_windows(pages: DataFrame, delay: str = "1 minute") -> DataFrame:
+    """Gap-based session windows per publisher (30-minute silence closes a
+    session) — the streaming twin of the batch ``sessionization`` query,
+    built on ``applyInPandasWithState`` with an EVENT-TIME TIMEOUT: sessions
+    that close inside a micro-batch (a later event arrives past the gap)
+    emit immediately; the open tail session is held in state and emitted by
+    the timeout callback once the watermark passes last_event + gap, so
+    state is EVICTED — unlike the crawl seen-set (policy note in the module
+    doc), session state must not grow forever.  State per key is
+    (start, last, n): O(1) regardless of session length."""
+    return (
+        pages.select("publisher", "warc_ts")
+        .withWatermark("warc_ts", delay)
+        .groupBy("publisher")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -136,13 +136,16 @@ def test_parallelism_invariance(tmp_path, sim_result):
 # ---------------------------------------------------------------- components
 
 def test_pop_plan_distributed_rank(spark):
-    """The pop's global fetch sequence must come from the range-partitioned
-    rank (operators/rank.py), not a SinglePartition window over the popped
-    set: the range exchange is REUSED between the counts aggregate and the
+    """At scale (size unknown, or above SEQ_RANK_THRESHOLD) the pop's
+    global fetch sequence comes from the range-partitioned rank
+    (operators/rank.py), not a SinglePartition window over the popped set:
+    the range exchange is REUSED between the counts aggregate and the
     final window (one shuffle execution — what makes the sampling-based
     range partitioner safe), and the only SinglePartition exchanges feed
-    the B-row offsets window, never the data."""
-    from news_crawler_slm_spark.crawl.frontier import frontier_from_seeds, pop_round
+    the B-row offsets window, never the data.  attach_seq with a known
+    small count instead uses one window over the already-cached pop — and
+    both implementations must produce identical sequences."""
+    from news_crawler_slm_spark.crawl.frontier import attach_seq, pop_round, pop_round_raw
     from news_crawler_slm_spark.crawl.rounds import init_state
 
     dfs = web_dataframes(spark, SCALE)
@@ -156,13 +159,19 @@ def test_pop_plan_distributed_rank(spark):
     for chunk in plan.split("Exchange SinglePartition")[1:]:
         assert "__pid" in chunk[:2000], plan
 
+    # small-count path ≡ rank path, row for row
+    raw = pop_round_raw(state.frontier, dfs["robots"], state.host_counts, PARAMS)
+    small = {(r["url"], r["seq"]) for r in attach_seq(raw, raw.count()).collect()}
+    big = {(r["url"], r["seq"]) for r in popped.collect()}
+    assert small == big
+
 
 def test_first_round_budgets(spark):
     """Politeness: high-delay host (host 1, delay 30) pops ≤1 URL in round 1;
     no host exceeds floor(round_budget/delay)."""
     dfs = web_dataframes(spark, SCALE)
     state = init_state(spark, dfs["seeds"], dfs["robots"], PARAMS)
-    deltas, popped, fetched_raw = build_round(
+    deltas, popped, fetched_raw, _n, _lat = build_round(
         state, dfs["robots"], synthetic_fetcher(dfs["web"]), PARAMS
     )
     per_host = {

@@ -22,7 +22,7 @@ def _round_plans(spark):
     dfs = web_dataframes(spark, WebScale(n_hosts=8, pages_per_host_max=12))
     params = CrawlParams(round_budget=6.0, n_buckets=4)
     state = init_state(spark, dfs["seeds"], dfs["robots"], params)
-    deltas, popped, slim = build_round(
+    deltas, popped, slim, _n, _lat = build_round(
         state, dfs["robots"], synthetic_fetcher(dfs["web"]), params, None
     )
     return deltas, popped, slim
@@ -47,14 +47,15 @@ def test_fetch_join_broadcasts_popped_and_html_never_shuffles(spark):
 def test_frontier_pop_no_global_frontier_sort(spark):
     """Per-host budget is a COLUMN, so Catalyst's WindowGroupLimit rewrite
     cannot apply — the scalable invariant is instead: every sort over the
-    frontier is partition-LOCAL (windows partitioned by host/salt), and the
-    only single-partition exchange is the final global-seq window over the
-    already-budget-bounded popped set (SURVEY.md §4.3)."""
+    frontier is partition-LOCAL (windows partitioned by host/salt).  The
+    raw pop (what build_round returns/caches) has NO single-partition
+    exchange at all; the seq assignment on top is size-aware (attach_seq)
+    and its scale path is plan-checked in test_crawl.py."""
     deltas, popped, slim = _round_plans(spark)
     plan = _plan(popped)
     # "Sort [...], true, 0" would be a global sort of the frontier
     assert not re.search(r"Sort \[[^\]]*\], true,", plan), "global sort found"
-    assert plan.count("Exchange SinglePartition") <= 1
+    assert "Exchange SinglePartition" not in plan
     popped.unpersist()
     slim.unpersist()
 

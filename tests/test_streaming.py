@@ -91,6 +91,58 @@ def test_first_seen_dedup_exactly_once_across_restarts(spark, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_session_windows_in_batch_close_and_timeout_eviction(spark, tmp_path):
+    """Gap sessions close two ways: a later event past the gap closes the
+    previous session INSIDE the batch; the open tail session is evicted by
+    the event-time timeout once later data advances the watermark past
+    last + gap. Final emitted sessions == hand-computed gap sessions."""
+    from news_crawler_slm_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        ("https://a/1", _ts(0, 0), None, "x", "en", "A", 1),
+        ("https://a/2", _ts(0, 10), None, "x", "en", "A", 2),
+        ("https://a/3", _ts(0, 20), None, "x", "en", "A", 3),
+        ("https://a/4", _ts(1, 30), None, "x", "en", "A", 4),  # >30m gap
+        ("https://a/5", _ts(1, 35), None, "x", "en", "A", 5),
+        ("https://b/1", _ts(0, 5), None, "x", "en", "B", 6),
+    ]
+    _write_pages(spark, src, rows)
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+    got1 = {
+        (r.publisher, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # A's first session closed in-batch (an event past the gap arrived);
+    # B's tail already timed out in the run's trailing no-data batch (its
+    # timeout 0:35 < the post-batch watermark 1:34); A's open tail
+    # (timeout 2:05) is still in state
+    assert got1 == {
+        ("A", _ts(0, 0), _ts(0, 20), 3),
+        ("B", _ts(0, 5), _ts(0, 5), 1),
+    }
+
+    # two sentinel batches push the watermark past every open timeout
+    _write_pages(spark, src, [("https://z/1", _ts(0) + dt.timedelta(days=1), None, "x", "en", "ZZZ", 7)])
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+    _write_pages(spark, src, [("https://z/2", _ts(0) + dt.timedelta(days=2), None, "x", "en", "ZZZ", 8)])
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+
+    got = {
+        (r.publisher, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.publisher != "ZZZ"
+    }
+    assert got == {
+        ("A", _ts(0, 0), _ts(0, 20), 3),
+        ("A", _ts(1, 30), _ts(1, 35), 2),
+        ("B", _ts(0, 5), _ts(0, 5), 1),
+    }
+
+
 def test_quality_gate_stream_equals_batch(spark, tmp_path):
     """The streaming quality gate is a stateless projection+filter, so the
     stream run over a set of files must equal the batch run row-for-row —

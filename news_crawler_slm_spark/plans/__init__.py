@@ -37,6 +37,7 @@ _DRIVER_FIRST = [
     "events_asof_join",
     "json_eval_scores",
     "skewed_hot_key_join",
+    "paragraph_dedup",
     "pii_scrub",
     "unigram_perplexity",
     "training_shuffle",
@@ -81,6 +82,7 @@ _DRIVER_LAST = [
     "complete_sources",
     "prompt_format",
     "sample_inspector",
+    "repetition_rejects",
 ]
 
 

@@ -713,6 +713,76 @@ def neardup_survivors_count(spark, sf_dir):
     )
 
 
+_BOILER = "Subscribe to our newsletter for updates"
+
+
+@register(
+    "paragraph_dedup",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_BOILER}. ' || text ELSE text END AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(t, '\.\s+')) AS para,
+             generate_subscripts(regexp_split_to_array(t, '\.\s+'), 1) AS pos
+      FROM aug
+    ),
+    r AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+      FROM p
+    )
+    SELECT doc_id, count(*) AS n_paras,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           md5(coalesce(string_agg(para, '. ' ORDER BY pos)
+                          FILTER (WHERE rn = 1), '')) AS kept_md5
+    FROM r GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Exact PARAGRAPH dedup (C4/Dolma boilerplate removal): split each
+    document into sentence/paragraph units, keep only the globally FIRST
+    occurrence of each unit (min (doc_id, pos) per md5(paragraph)), and
+    report per-doc unit counts plus an md5 of the reconstructed kept text.
+    The driver's synthetic corpus has no shared boilerplate, so a
+    deterministic in-query augmentation (doc_id % 5 == 0 gets a shared
+    boilerplate sentence prepended) gives the dedup real work on both
+    engines — the boilerplate survives only in the smallest doc_id.
+
+    Scale shape: the shuffle key is md5(paragraph) (fixed width, uniform —
+    never the document body); first-occurrence is one window over that
+    hash; reconstruction is a per-doc groupBy with a sorted collect of the
+    kept units (bounded by document size, not corpus size).  Linear at any
+    corpus scale — the same plan C4 ran over Common Crawl.
+    """
+    d = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_BOILER + ". "), F.col("text")),
+    ).otherwise(F.col("text"))
+    paras = d.select(
+        "doc_id", F.posexplode(F.split(aug, r"\.\s+")).alias("pos", "para")
+    )
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    r = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "para"))
+    return r.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda x: x["para"]
+                ),
+                ". ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
 def ivf_kmeans_centroids(spark, emb, k_cells: int = 10, max_iters: int = 8):
     """Distributed k-means trained to (near-)convergence — Lloyd iterations
     with deterministic, order-independent arithmetic throughout:

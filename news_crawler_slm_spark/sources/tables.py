@@ -34,6 +34,10 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Maintenance commits (compaction) take ids at/above this floor so they can
+# never collide with crawl-round snapshot ids (rounds are contiguous from 1).
+COMPACTION_ID_BASE = 1_000_000_000
+
 
 @dataclass
 class Snapshot:
@@ -259,6 +263,65 @@ class SnapshotCatalog:
             os.fsync(f.fileno())
         os.replace(tmp, self._current_path())
         return snap
+
+    def next_snapshot_id(self, floor: int = 0) -> int:
+        """Smallest unused id that is also > ``floor`` — for out-of-band
+        commits that must never collide with an id another writer will
+        use."""
+        import re
+
+        ids = [floor]
+        for f in os.listdir(os.path.join(self.root, "manifests")):
+            m = re.match(r"snap-(\d+)\.json$", f)
+            if m:
+                ids.append(int(m.group(1)))
+        return max(ids) + 1
+
+    def compact(
+        self,
+        table: str,
+        snapshot_id: int | None = None,
+        output_partitions: int | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> Snapshot:
+        """Rewrite ``table``'s append chain into ONE data directory and
+        commit that as a new snapshot — the Iceberg rewrite-data-files
+        action.  An append-chain table accrues one delta file set per round
+        (the O(round) commit cost that makes a 10^10-URL crawl affordable),
+        so after many rounds reads pay a long union of small scans;
+        compaction pays one full rewrite to restore a single scan.
+
+        History stays immutable: earlier snapshots keep referencing the old
+        delta directories (time travel intact — asserted in
+        tests/test_snapshot_catalog.py), only the NEW manifest points at
+        the compacted path.  Counters carry over from the parent (so a
+        crawl resume still finds its round number) plus a
+        ``compacted_<table>`` marker.
+
+        Snapshot-id discipline: crawl rounds use the contiguous low id
+        range (snapshot k = round k), so maintenance commits default to a
+        RESERVED HIGH range (COMPACTION_ID_BASE, Iceberg's
+        separate-sequence-number idea) — a resumed crawl continuing at
+        round k+1 can then never collide with a compaction snapshot and
+        silently overwrite its data dir (that exact bug is pinned by
+        tests/test_crawl.py::test_resume_after_compaction_equals_uninterrupted).
+        """
+        parent = self.current_snapshot_id()
+        if parent is None:
+            raise ValueError("nothing to compact: catalog has no snapshot")
+        if snapshot_id is None:
+            snapshot_id = self.next_snapshot_id(floor=COMPACTION_ID_BASE)
+        parent_snap = self.snapshot(parent)
+        assert parent_snap is not None
+        counters = dict(parent_snap.counters)
+        counters[f"compacted_{table}"] = len(parent_snap.tables[table])
+        return self.commit(
+            snapshot_id,
+            tables={table: self.read_table(table)},
+            counters=counters,
+            output_partitions=output_partitions,
+            partition_by=partition_by,
+        )
 
     # ------------------------------------------------------------- utils
     def destroy(self) -> None:

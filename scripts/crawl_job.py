@@ -45,6 +45,14 @@ def main() -> int:
     ap.add_argument("--max-articles", type=int, default=1000)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run, compact the append-chain tables (seen, pages, "
+        "crawl_log) into single data dirs — one rewrite restores O(1)-path "
+        "reads after many O(round) delta commits; time travel to earlier "
+        "snapshots keeps the delta layout",
+    )
     args = ap.parse_args()
 
     # Under spark-submit the session already carries the submitted master;
@@ -98,6 +106,20 @@ def main() -> int:
     )
     wall = time.monotonic() - t0
     fetched = sum(p["fetched"] for p in progress)
+
+    compacted = {}
+    if args.compact:
+        from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+        cat = SnapshotCatalog(spark, args.catalog)
+        snap = cat.snapshot()
+        present = snap.tables if snap is not None else {}
+        for t in ("seen", "pages", "crawl_log"):
+            if t in present and len(present[t]) > 1:
+                part = {"seen": {"seen": ["bucket"]}}.get(t)
+                cat.compact(t, partition_by=part)
+                compacted[t] = len(present[t])
+
     print(
         json.dumps(
             {
@@ -106,6 +128,7 @@ def main() -> int:
                 "fetched": fetched,
                 "wall_s": round(wall, 2),
                 "pages_per_sec": round(fetched / wall, 2) if wall > 0 else None,
+                "compacted": compacted or None,
             }
         )
     )

@@ -135,6 +135,26 @@ def test_parallelism_invariance(tmp_path, sim_result):
 
 # ---------------------------------------------------------------- components
 
+def test_resume_after_compaction_equals_uninterrupted(spark, tmp_path, sim_result):
+    """Compacting the append chains between runs must be invisible to the
+    crawl: resume from a compacted catalog and the final crawl log / seen
+    set equal the uninterrupted run's."""
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "cat_compact")
+
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS, max_rounds=2)
+    cat = SnapshotCatalog(spark, root)
+    for t in ("seen", "pages", "crawl_log"):
+        cat.compact(t, output_partitions=1,
+                    partition_by={"seen": {"seen": ["bucket"]}}.get(t))
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS)
+
+    assert _crawl_log(SnapshotCatalog(spark, root)) == sim_result.crawl_log
+    got_seen = {r["url"] for r in cat.read_table("seen").collect()}
+    assert got_seen == sim_result.seen
+
+
 def test_pop_plan_distributed_rank(spark):
     """At scale (size unknown, or above SEQ_RANK_THRESHOLD) the pop's
     global fetch sequence comes from the range-partitioned rank

@@ -51,3 +51,28 @@ def test_uncommitted_manifest_is_invisible(spark, tmp_path):
     df.write.mode("overwrite").parquet(os.path.join(root, "data", "t", "snap-2"))
     assert cat.current_snapshot_id() == 1
     assert {r.a for r in cat.read_table("t").collect()} == {1}
+
+
+def test_compact_append_chain_preserves_content_and_history(spark, tmp_path):
+    """compact() rewrites the append chain into one path: content and
+    counters identical, old snapshots still time-travel to the delta
+    layout, and the new manifest lists a single data dir for the table."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat4"))
+    for rnd in (1, 2, 3):
+        delta = spark.createDataFrame([(rnd * 10 + i,) for i in range(3)], "id long")
+        cat.commit(rnd, appends={"log": delta}, counters={"round": rnd})
+    assert len(cat.snapshot(3).tables["log"]) == 3
+
+    snap = cat.compact("log", snapshot_id=100, output_partitions=1)
+    assert snap.tables["log"] == [
+        os.path.join(str(tmp_path / "cat4"), "data", "log", "snap-100")
+    ]
+    got = sorted(r.id for r in cat.read_table("log").collect())
+    assert got == [10, 11, 12, 20, 21, 22, 30, 31, 32]
+    # counters carried forward (a crawl resume still sees its round) + marker
+    assert snap.counters["round"] == 3
+    assert snap.counters["compacted_log"] == 3
+    # time travel to the pre-compaction snapshot still reads the deltas
+    assert len(cat.snapshot(3).tables["log"]) == 3
+    old = sorted(r.id for r in cat.read_table("log", snapshot_id=2).collect())
+    assert old == [10, 11, 12, 20, 21, 22]

@@ -179,8 +179,13 @@ def attach_seq(popped: DataFrame, n_popped: int | None = None) -> DataFrame:
     cols = ["seq", "url", "url_hash", "bucket", "host", "priority", "depth"]
     if n_popped is not None and n_popped <= SEQ_RANK_THRESHOLD:
         w_global = Window.orderBy(F.desc("priority"), F.asc("host"), F.asc("url"))
+        # cast matches the rank path's LongType: crawl_log deltas from
+        # rounds on either side of the threshold must share one parquet
+        # type, or read_table's manifest schema (latest commit wins) breaks
+        # on older delta files
         return popped.select(
-            (F.row_number().over(w_global) - 1).alias("seq"), *cols[1:]
+            (F.row_number().over(w_global) - 1).cast("long").alias("seq"),
+            *cols[1:],
         )
     ranked = with_global_rank(
         popped, [F.desc("priority"), F.asc("host"), F.asc("url")], "seq"

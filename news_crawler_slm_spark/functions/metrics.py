@@ -239,6 +239,11 @@ def _meteor_align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
     from .stemmer import porter_stem
     from .synonyms import are_synonyms
 
+    # stems computed once per token (O(H+R)), not inside the pair loop —
+    # this runs per corpus row in the Arrow UDF hot path
+    h_stem = [porter_stem(w) for w in hyp]
+    r_stem = [porter_stem(w) for w in ref]
+
     matches: list[tuple[int, int]] = []
     h_left = list(enumerate(hyp))
     r_left = list(enumerate(ref))
@@ -248,7 +253,7 @@ def _meteor_align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
         next_h = []
         for i, hw in h_left:
             for pos, (j, rw) in enumerate(r_left):
-                if match_fn(hw, rw):
+                if match_fn(i, hw, j, rw):
                     matches.append((i, j))
                     del r_left[pos]
                     break
@@ -256,9 +261,9 @@ def _meteor_align(hyp: list[str], ref: list[str]) -> list[tuple[int, int]]:
                 next_h.append((i, hw))
         h_left = next_h
 
-    stage(lambda h, r: h == r)
-    stage(lambda h, r: porter_stem(h) == porter_stem(r))
-    stage(are_synonyms)
+    stage(lambda i, h, j, r: h == r)
+    stage(lambda i, h, j, r: h_stem[i] == r_stem[j])
+    stage(lambda i, h, j, r: are_synonyms(h, r))
     return matches
 
 

@@ -40,7 +40,20 @@ def with_global_rank(
 ) -> DataFrame:
     """Add ``out_col`` = this row's 0-based position in the total order
     defined by ``order`` (which must be a total order — include a unique
-    tiebreaker column). Extra columns pass through untouched."""
+    tiebreaker column). Extra columns pass through untouched.
+
+    Correctness requires exchange reuse (module doc): with it disabled the
+    counts branch and the window branch would sample range bounds
+    independently and silently produce wrong ranks — so the operator
+    refuses to build rather than corrupt."""
+    spark = df.sparkSession
+    if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
+        raise RuntimeError(
+            "with_global_rank requires spark.sql.exchange.reuse=true: "
+            "without exchange reuse the two consumers of the range shuffle "
+            "would sample independent partition bounds and ranks would be "
+            "silently wrong"
+        )
     ranged = df.repartitionByRange(*order).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -73,21 +73,34 @@ def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFr
         .drop("__h", "__rn")
     )
 
+    exact_deduped = None
     if params.neardup:
+        # the gate+exact-dedup lineage feeds BOTH the component edge build
+        # (eager, inside the propagation loop) and the downstream keyed
+        # plan — persist it so the expensive upstream materializes once
+        exact_deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
         # keeper = the doc that IS its component label (min doc_id per
         # component) — a broadcast-free semi join on doc_id
-        comp = neardup_components(deduped.select("doc_id", "text"))
+        comp = neardup_components(exact_deduped.select("doc_id", "text"))
         keep = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
-        deduped = deduped.join(keep, "doc_id", "left_semi")
+        deduped = exact_deduped.join(keep, "doc_id", "left_semi")
 
     keyed = deduped.withColumn(
         "shuffle_key", knuth_shuffle_key(F.col("doc_id"))
     )
     # the prefix sum traverses its input three times (bounds agg, bucket
-    # totals, final window); persist so gate+dedup run once — the two
+    # totals, final window); persist so the dedup join runs once — the two
     # control aggregations then read the materialized partitions
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     packed = running_sum_by_key(keyed, key="shuffle_key", weight="n_tokens")
+    # running_sum_by_key's control aggregations materialized `keyed`, so
+    # the upstream cache is no longer needed; `keyed` itself stays
+    # persisted (the returned plan's final window reads it) — callers
+    # running this repeatedly in one session can release it with
+    # keyed-level unpersist via spark.catalog.clearCache() after
+    # materializing the result
+    if exact_deduped is not None:
+        exact_deduped.unpersist()
     return packed.select(
         "doc_id",
         "text",

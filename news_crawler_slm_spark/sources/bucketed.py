@@ -50,16 +50,15 @@ def write_bucketed(
 
 
 def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
-    """True iff both managed tables exist and share bucket spec metadata
-    (same bucket columns + count), i.e. an equi-join on the bucket key will
-    plan without an Exchange."""
+    """True iff both managed tables share bucket spec metadata (same bucket
+    columns + count), i.e. an equi-join on the bucket key will plan without
+    an Exchange.  A missing table raises (AnalysisException) rather than
+    reading as "not ready" — misconfiguration should surface, not mask."""
 
     def spec(name: str):
         rows = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
         info = {r["col_name"]: r["data_type"] for r in rows}
         return info.get("Num Buckets"), info.get("Bucket Columns")
 
-    try:
-        return spec(left) == spec(right) and spec(left)[0] is not None
-    except Exception:
-        return False
+    l_spec = spec(left)
+    return l_spec == spec(right) and l_spec[0] is not None

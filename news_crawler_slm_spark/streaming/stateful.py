@@ -100,10 +100,16 @@ def _session_fn(
     for ts in ts_all:
         if last is not None and _ms(ts) - _ms(last) > _SESSION_GAP_MS:
             closed.append((key[0], start, last, n))
-            start, n = ts, 0
+            start, last, n = ts, ts, 0
         if start is None:
-            start = ts
-        last = ts
+            start, last = ts, ts
+        else:
+            # a LATE event (cross-batch, admitted by the watermark) can sort
+            # before the open session's bounds: absorb it by min/max instead
+            # of letting last (and the eviction timeout) move backwards.
+            # Exact whenever watermark delay <= gap: an admitted event is
+            # >= max_seen - delay > last - gap, so it always merges.
+            start, last = min(start, ts), max(last, ts)
         n += 1
     state.update((start, last, n))
     # evict via event time: fire once the watermark passes last + gap

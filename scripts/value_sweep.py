@@ -81,8 +81,9 @@ def main() -> int:
             if ok_schema:
                 sm = _value_multiset(scols, srows)
                 om = _value_multiset(ocols, orows)
-                diff_s = [x for x in sm if x not in set(om)][:3]
-                diff_o = [x for x in om if x not in set(sm)][:3]
+                om_set, sm_set = set(om), set(sm)
+                diff_s = [x for x in sm if x not in om_set][:3]
+                diff_o = [x for x in om if x not in sm_set][:3]
                 print(f"     spark-only: {diff_s}")
                 print(f"     oracle-only: {diff_o}")
     print(f"\n{len(fails)} mismatches: {fails}")

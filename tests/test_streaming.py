@@ -17,8 +17,8 @@ from news_crawler_slm_spark.streaming.ingest import (
 from news_crawler_slm_spark.streaming.stateful import first_seen_dedup
 
 
-def _ts(h, m=0):
-    return dt.datetime(2026, 1, 1, h, m)
+def _ts(h, m=0, s=0):
+    return dt.datetime(2026, 1, 1, h, m, s)
 
 
 def _write_pages(spark, path, rows):
@@ -141,6 +141,34 @@ def test_session_windows_in_batch_close_and_timeout_eviction(spark, tmp_path):
         ("A", _ts(1, 30), _ts(1, 35), 2),
         ("B", _ts(0, 5), _ts(0, 5), 1),
     }
+
+
+def test_session_window_absorbs_late_event_within_watermark(spark, tmp_path):
+    """A cross-batch late event admitted by the watermark (ts < open
+    session's last, but >= watermark) must merge into the session by
+    min/max — never move session_end or the eviction timeout backwards.
+    Matches the batch twin, which orders by ts."""
+    from news_crawler_slm_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, src, [("https://l/1", _ts(12, 0), None, "x", "en", "L", 1)])
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+    # late by 30s — watermark after batch 1 is 11:59, so it is admitted
+    _write_pages(spark, src, [("https://l/2", _ts(11, 59, 30), None, "x", "en", "L", 2)])
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+    # sentinel advances the watermark far past the session's timeout
+    _write_pages(spark, src, [("https://z/9", _ts(12) + dt.timedelta(days=1), None, "x", "en", "ZZZ", 3)])
+    run_available_now(session_windows(pages_stream(spark, src)), out, ckpt)
+
+    got = {
+        (r.publisher, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.publisher == "L"
+    }
+    assert got == {("L", _ts(11, 59, 30), _ts(12, 0), 2)}
 
 
 def test_quality_gate_stream_equals_batch(spark, tmp_path):

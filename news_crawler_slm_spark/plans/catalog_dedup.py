@@ -140,12 +140,26 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register("minhash_lsh_candidates", None)  # xxhash64-based: rows-only check
-def minhash_lsh_candidates(spark, sf_dir):
+def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     """MinHash + LSH near-dup candidates: 3-gram shingle → 16 minhash
     signatures via xxhash64(seed ⊕ shingle) → 4 bands × 4 rows → band-bucket
     join. The shuffle key is (band, bucket-hash) — constant width per doc
     regardless of document size; exact Jaccard verification then runs only
-    inside candidate pairs. Pure-Python oracle in tests/test_dedup.py."""
+    inside candidate pairs.
+
+    Hot-bucket cap: a (band, bucket) holding m docs emits m·(m-1)/2 pairs —
+    boilerplate or near-empty documents collapse many docs into one bucket
+    and the self-join goes quadratic at web scale (the classic LSH blow-up).
+    Buckets over ``bucket_cap`` members are dropped before the join via a
+    broadcast ANTI join against the (tiny by construction) over-cap bucket
+    set — the same discipline as neardup_components, and what production
+    dedup pipelines do (an over-cap bucket is boilerplate, not a near-dup
+    signal; its members still meet in their other bands when genuinely
+    similar). Cap chosen so the gate corpus is unaffected (max bucket ≈ 2
+    at sf0.01/sf0.1); the planted hot-bucket test in tests/test_dedup.py
+    pins that an over-cap pile-up emits zero pairs from that bucket while
+    normal pairs survive. Pure-Python oracle (same cap) in
+    tests/test_dedup.py."""
     n, n_hashes, bands = 3, 16, 4
     rows_per_band = n_hashes // bands
     toks = _t(spark, sf_dir, "documents").select(
@@ -176,8 +190,16 @@ def minhash_lsh_candidates(spark, sf_dir):
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = banded.alias("a")
-    b_ = banded.alias("b")
+    too_big = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+    )
+    capped = banded.join(
+        F.broadcast(too_big.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
+    a = capped.alias("a")
+    b_ = capped.alias("b")
     return (
         a.join(
             b_,

@@ -18,7 +18,6 @@ sliding-dedup variant would pass a ProcessingTimeTimeout and drop keys.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,15 +35,18 @@ def _first_seen_fn(
         for _ in pdf_iter:
             pass
         return
-    best: dict[str, Any] | None = None
+    # vectorized first-row pick: lexicographic min over (warc_ts, url) is a
+    # sort_values head — no per-row Python even inside the (tiny) url group
+    best: pd.DataFrame | None = None
     for pdf in pdf_iter:
-        for row in pdf.itertuples(index=False):
-            cand = {"url": row.url, "warc_ts": row.warc_ts, "lang": row.lang}
-            if best is None or (cand["warc_ts"], cand["url"]) < (best["warc_ts"], best["url"]):
-                best = cand
+        if len(pdf) == 0:
+            continue
+        cand = pdf.sort_values(["warc_ts", "url"], kind="mergesort").iloc[:1]
+        both = cand if best is None else pd.concat([best, cand])
+        best = both.sort_values(["warc_ts", "url"], kind="mergesort").iloc[:1]
     state.update((True,))
     if best is not None:
-        yield pd.DataFrame([best])
+        yield best[["url", "warc_ts", "lang"]]
 
 
 def first_seen_dedup(pages: DataFrame) -> DataFrame:
@@ -118,6 +120,20 @@ def _session_fn(
         yield pd.DataFrame(closed, columns=cols)
 
 
+_DELAY_UNITS_MS = {
+    "microsecond": 1e-3, "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+}
+
+
+def _delay_ms(delay: str) -> int:
+    """Parse a Spark CalendarInterval-style watermark delay ('N unit[s]')."""
+    parts = delay.strip().lower().split()
+    if len(parts) != 2 or parts[1].rstrip("s") not in _DELAY_UNITS_MS:
+        raise ValueError(f"unsupported watermark delay {delay!r}")
+    return int(float(parts[0]) * _DELAY_UNITS_MS[parts[1].rstrip("s")])
+
+
 def session_windows(pages: DataFrame, delay: str = "1 minute") -> DataFrame:
     """Gap-based session windows per publisher (30-minute silence closes a
     session) — the streaming twin of the batch ``sessionization`` query,
@@ -127,7 +143,19 @@ def session_windows(pages: DataFrame, delay: str = "1 minute") -> DataFrame:
     the timeout callback once the watermark passes last_event + gap, so
     state is EVICTED — unlike the crawl seen-set (policy note in the module
     doc), session state must not grow forever.  State per key is
-    (start, last, n): O(1) regardless of session length."""
+    (start, last, n): O(1) regardless of session length.
+
+    ``delay`` must be <= the 30-minute session gap: the min/max late-event
+    absorption in _session_fn is exact only then (an admitted event is
+    >= max_seen - delay > last - gap, so it always merges into the open
+    session); a larger delay would silently merge sessions the batch twin
+    splits — rejected here rather than documented away."""
+    if _delay_ms(delay) > _SESSION_GAP_MS:
+        raise ValueError(
+            f"watermark delay {delay!r} exceeds the {_SESSION_GAP_MS // 60000}-minute "
+            "session gap: late events could span a closed-session boundary and "
+            "session_windows would diverge from the batch sessionization query"
+        )
     return (
         pages.select("publisher", "warc_ts")
         .withWatermark("warc_ts", delay)

@@ -45,9 +45,10 @@ def test_xxh64_oracle_matches_spark(spark):
         assert xxh64_str(r["s"]) == r["h"], repr(r["s"])
 
 
-def _minhash_oracle(docs, n=3, n_hashes=16, bands=4):
+def _minhash_oracle(docs, n=3, n_hashes=16, bands=4, bucket_cap=64):
     """Pure-Python re-derivation of the banded MinHash plan
-    (catalog_dedup.minhash_lsh_candidates)."""
+    (catalog_dedup.minhash_lsh_candidates), including the hot-bucket cap:
+    (band, bucket) groups over bucket_cap members emit no pairs."""
     rows_per_band = n_hashes // bands
     cache: dict[tuple[int, str], int] = {}
 
@@ -71,6 +72,8 @@ def _minhash_oracle(docs, n=3, n_hashes=16, bands=4):
             buckets.setdefault((b, xxh64_str(key)), []).append(doc_id)
     pairs = set()
     for members in buckets.values():
+        if len(members) > bucket_cap:
+            continue
         ms = sorted(members)
         for i, a in enumerate(ms):
             for b in ms[i + 1 :]:
@@ -103,6 +106,38 @@ def test_minhash_lsh_finds_planted_neardup(spark, sf_dir, tmp_path):
         for r in D.minhash_lsh_candidates(spark, out).collect()
     }
     assert (base["doc_id"], 99999) in got or (99999, base["doc_id"]) in got
+
+
+def test_minhash_lsh_hot_bucket_capped(spark, sf_dir, tmp_path):
+    """THE 100-TB LSH guard: plant a boilerplate pile-up — `m` identical
+    docs, all 4 bands collapsing into one bucket each, which uncapped would
+    emit m*(m-1)/2 = 11,175 pairs from a single bucket — and assert the cap
+    drops those buckets entirely (zero pairs among the planted ids) while a
+    genuine sub-cap near-dup pair on different text still surfaces. Also
+    pins the global bound: every surviving bucket has <= cap members, so no
+    bucket contributes more than cap*(cap-1)/2 pairs."""
+    cap = 64
+    m = 150  # planted hot-bucket size, well over the cap
+    hot = [(200000 + i, "spam spam spam spam spam spam spam") for i in range(m)]
+    base = _docs(sf_dir)[:20]
+    pair_a = (300001, "alpha beta gamma delta epsilon zeta eta theta")
+    pair_b = (300002, "alpha beta gamma delta epsilon zeta eta iota")
+    rows = [(int(d), t) for d, t in base] + hot + [pair_a, pair_b]
+    out = str(tmp_path / "hotbucket")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        f"{out}/documents.parquet"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(spark, out).collect()
+    }
+    hot_ids = {d for d, _ in hot}
+    assert not any(a in hot_ids and b in hot_ids for a, b in got)
+    # the near-dup pair shares 3 of 4 bands (only the mutated-suffix band
+    # differs) and its buckets are size 2 — far under the cap: must survive
+    assert (300001, 300002) in got
+    # independent pure-Python oracle agrees on the capped result
+    assert got == _minhash_oracle(rows, bucket_cap=cap)
 
 
 def _simhash_oracle(docs):

@@ -171,6 +171,123 @@ def test_session_window_absorbs_late_event_within_watermark(spark, tmp_path):
     assert got == {("L", _ts(11, 59, 30), _ts(12, 0), 2)}
 
 
+def test_session_windows_stream_equals_batch_on_sf001_events(spark, tmp_path):
+    """Stream ≡ batch sessionization at fixture scale: the sf0.01 events
+    table (10k events, 150 skewed users, 30 days) is replayed as a 4-batch
+    time-ordered file stream through ``session_windows``, plus a controlled
+    cross-batch LATE event (admitted by the 30-min watermark) — and the
+    emitted session set must equal a batch window-function twin computed
+    over the very same files, with per-user session counts also matching
+    the independently-oracled ``sessionization`` registry query (lag/cumsum
+    vs stateful timeout eviction: two different algorithms, one answer)."""
+    from pyspark.sql import Window
+
+    from news_crawler_slm_spark.plans import REGISTRY
+    from news_crawler_slm_spark.streaming.stateful import session_windows
+
+    sf = "/root/testdata/sf0.01"
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.concat(F.lit("https://e/"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("x").alias("text"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("publisher"),
+        F.col("event_id").cast("long").alias("position"),
+    )
+    wq = Window.orderBy("warc_ts", "url")
+    quarts = e.withColumn("q", F.ntile(4).over(wq)).cache()
+    b2max = quarts.where(F.col("q") == 2).agg(F.max("warc_ts")).collect()[0][0]
+
+    def _late(mins_before, eid):
+        return (
+            f"https://late/{eid}", b2max - dt.timedelta(minutes=mins_before),
+            None, "x", "en", "LATEPUB", 900000 + eid,
+        )
+
+    for q in (1, 2, 3, 4):
+        batch = quarts.where(F.col("q") == q).drop("q")
+        batch.coalesce(1).write.mode("append").parquet(src)
+        if q == 2:  # open a LATEPUB session near the batch-2 boundary
+            _write_pages(spark, src, [_late(20, 1), _late(10, 2)])
+        if q == 3:  # 15 min late vs batch-2 max — inside the 30-min watermark
+            _write_pages(spark, src, [_late(15, 3)])
+        run_available_now(session_windows(pages_stream(spark, src), "30 minutes"), out, ckpt)
+    quarts.unpersist()
+
+    # sentinel flushes every open tail session via the event-time timeout
+    far = b2max + dt.timedelta(days=400)
+    for i in (1, 2):
+        _write_pages(spark, src, [(f"https://z/{i}", far + dt.timedelta(days=i), None, "x", "en", "ZZZ", i)])
+        run_available_now(session_windows(pages_stream(spark, src), "30 minutes"), out, ckpt)
+
+    got = {
+        (r.publisher, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+        if r.publisher != "ZZZ"
+    }
+
+    # batch twin over the SAME files, with the stream's exact gap semantics
+    # (millisecond-truncated timestamps — _session_fn compares in ms)
+    pages = spark.read.schema(schemas.PAGES).parquet(src).where(F.col("publisher") != "ZZZ")
+    wp = Window.partitionBy("publisher").orderBy("warc_ts", "url")
+    ts_ms = F.floor(F.unix_micros("warc_ts") / 1000)
+    lag_ms = F.lag(ts_ms).over(wp)
+    new_s = F.when(lag_ms.isNull() | (ts_ms - lag_ms > 30 * 60 * 1000), 1).otherwise(0)
+    twin = (
+        pages.select("publisher", "warc_ts", "url", new_s.alias("ns"))
+        .withColumn("sid", F.sum("ns").over(wp.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("publisher", "sid")
+        .agg(
+            F.min("warc_ts").alias("session_start"),
+            F.max("warc_ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    want = {
+        (r.publisher, r.session_start, r.session_end, r.n_events)
+        for r in twin.collect()
+    }
+    assert got == want
+    assert len(got) > 1000  # fixture-scale: thousands of sessions, not toys
+    # the late LATEPUB event merged into ONE 3-event session on both sides
+    late_sessions = [g for g in got if g[0] == "LATEPUB"]
+    assert len(late_sessions) == 1 and late_sessions[0][3] == 3
+
+    # independent oracle: per-user session/event counts from the registry's
+    # lag/cumsum query (driver-checked vs DuckDB) on the original events
+    reg = {
+        f"u{r.user_id}": (r.n_sessions, r.n_events)
+        for r in REGISTRY["sessionization"][0](spark, sf).collect()
+    }
+    mine: dict[str, list[int]] = {}
+    for pub, _s, _e, n in got:
+        if pub != "LATEPUB":
+            acc = mine.setdefault(pub, [0, 0])
+            acc[0] += 1
+            acc[1] += n
+    assert {k: tuple(v) for k, v in mine.items()} == reg
+
+
+def test_session_windows_rejects_delay_over_gap(spark, tmp_path):
+    """ADVICE r03: delay > gap silently merged sessions the batch twin
+    splits — now rejected at construction."""
+    import pytest
+
+    src = str(tmp_path / "pages")
+    _write_pages(spark, src, _BATCH1)
+    from news_crawler_slm_spark.streaming.stateful import session_windows
+
+    with pytest.raises(ValueError, match="session gap"):
+        session_windows(pages_stream(spark, src), "31 minutes")
+    # boundary value is legal
+    session_windows(pages_stream(spark, src), "30 minutes")
+
+
 def test_quality_gate_stream_equals_batch(spark, tmp_path):
     """The streaming quality gate is a stateless projection+filter, so the
     stream run over a set of files must equal the batch run row-for-row —

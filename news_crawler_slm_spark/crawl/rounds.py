@@ -229,6 +229,8 @@ def run_crawl(
     output_partitions: int | None = 1,
     on_round: Callable[[int, dict, float, float], None] | None = None,
     commit_parallelism: int = 2,
+    compact_every: int | None = None,
+    compact_tables: tuple[str, ...] = ("seen", "pages", "crawl_log"),
 ) -> CrawlState:
     """Run (or resume) a crawl; one snapshot per round.
 
@@ -239,6 +241,17 @@ def run_crawl(
 
     ``output_partitions=1`` suits test-scale states; pass None at scale to
     keep natural partitioning.
+
+    ``compact_every=K`` rewrites each append-chain table in
+    ``compact_tables`` into a single data directory after every K-th round
+    (SnapshotCatalog.compact — maintenance snapshots in the reserved high
+    id range, so a later resume's round ids can never collide). Without it
+    a 10^4-round crawl accrues 10^4 delta dirs per chain and every
+    seen-anti-join/page read pays a 10^4-way union of small scans — the
+    read amplification compaction exists to fix. The loop re-reads state
+    after compacting, so the very next round's plans already scan the
+    single compacted directory. Resume across a compaction boundary is
+    byte-identical to an uninterrupted run (tests/test_crawl.py).
     """
     catalog = SnapshotCatalog(spark, catalog_root, commit_parallelism=commit_parallelism)
     bloom = BloomStore(catalog_root, params) if use_bloom else None
@@ -316,6 +329,13 @@ def run_crawl(
         counters = snap.counters
         popped.unpersist()
         fetched_slim.unpersist()
+        if compact_every is not None and rnd % compact_every == 0:
+            for t in compact_tables:
+                catalog.compact(
+                    t,
+                    output_partitions=output_partitions,
+                    partition_by={"seen": ["bucket"]} if t == "seen" else None,
+                )
         # re-read committed state: truncates lineage; every round is a pure
         # function of durable snapshots
         state = CrawlState(

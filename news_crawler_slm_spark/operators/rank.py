@@ -36,7 +36,8 @@ __all__ = ["with_global_rank"]
 
 
 def with_global_rank(
-    df: DataFrame, order: list[Column], out_col: str = "rank"
+    df: DataFrame, order: list[Column], out_col: str = "rank",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = this row's 0-based position in the total order
     defined by ``order`` (which must be a total order — include a unique
@@ -45,7 +46,15 @@ def with_global_rank(
     Correctness requires exchange reuse (module doc): with it disabled the
     counts branch and the window branch would sample range bounds
     independently and silently produce wrong ranks — so the operator
-    refuses to build rather than corrupt."""
+    refuses to build rather than corrupt.
+
+    The range repartition always gets an EXPLICIT partition count
+    (``num_partitions``, default spark.sql.shuffle.partitions): a
+    repartitionByRange without one is eligible for AQE partition
+    coalescing, and the correctness argument needs both consumers of the
+    reused exchange to observe the identical partition layout — pinning
+    the count removes the coalescing degree of freedom rather than
+    trusting runtime plan shapes."""
     spark = df.sparkSession
     if spark.conf.get("spark.sql.exchange.reuse", "true").lower() != "true":
         raise RuntimeError(
@@ -54,7 +63,9 @@ def with_global_rank(
             "would sample independent partition bounds and ranks would be "
             "silently wrong"
         )
-    ranged = df.repartitionByRange(*order).withColumn(
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(num_partitions, *order).withColumn(
         "__pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__n"))

@@ -32,6 +32,7 @@ finetune_model.py (cited for scope; there is no distributed equivalent).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -50,11 +51,39 @@ class TrainingPrepParams:
     neardup: bool = True
 
 
+@contextmanager
+def training_data_session(docs: DataFrame, params: TrainingPrepParams):
+    """Scoped variant of ``prepare_training_data``: yields the same result
+    plan, and unpersists the internal ``keyed`` cache on exit — the
+    returned plan depends on that cache, so consume (collect/write) the
+    result INSIDE the block. Repeated pipeline runs in one session then
+    release their cached partitions deterministically instead of
+    accumulating them (or nuking unrelated caches with
+    spark.catalog.clearCache)."""
+    result, keyed = _build_training_data(docs, params)
+    try:
+        yield result
+    finally:
+        keyed.unpersist()
+
+
 def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFrame:
     """docs needs (doc_id, text). Returns one row per surviving document:
     (doc_id, text, n_tokens, shuffle_key, cum_before, batch_id), where
     batch_id groups documents into ``token_budget``-sized training batches
-    in deterministic shuffled order."""
+    in deterministic shuffled order.
+
+    The plan depends on an internal persisted stage that this function
+    cannot release (the caller owns the result's lifetime); use
+    ``training_data_session`` when running the pipeline repeatedly in one
+    session so each run's cache is unpersisted on scope exit."""
+    return _build_training_data(docs, params)[0]
+
+
+def _build_training_data(
+    docs: DataFrame, params: TrainingPrepParams
+) -> tuple[DataFrame, DataFrame]:
+    """-> (result plan, the persisted ``keyed`` stage backing it)."""
     from pyspark import StorageLevel
 
     from .catalog_dedup import neardup_components
@@ -95,13 +124,11 @@ def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFr
     packed = running_sum_by_key(keyed, key="shuffle_key", weight="n_tokens")
     # running_sum_by_key's control aggregations materialized `keyed`, so
     # the upstream cache is no longer needed; `keyed` itself stays
-    # persisted (the returned plan's final window reads it) — callers
-    # running this repeatedly in one session can release it with
-    # keyed-level unpersist via spark.catalog.clearCache() after
-    # materializing the result
+    # persisted (the returned plan's final window reads it) and is handed
+    # back so training_data_session can release it on scope exit
     if exact_deduped is not None:
         exact_deduped.unpersist()
-    return packed.select(
+    result = packed.select(
         "doc_id",
         "text",
         "n_tokens",
@@ -111,3 +138,4 @@ def prepare_training_data(docs: DataFrame, params: TrainingPrepParams) -> DataFr
         .cast("long")
         .alias("batch_id"),
     )
+    return result, keyed

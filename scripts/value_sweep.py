@@ -91,4 +91,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # cap the exit status: a raw mismatch count >= 256 would wrap modulo 256
+    # and could read as 0 (success) to CI callers; the count is on stdout
+    raise SystemExit(min(main(), 125))

@@ -1,0 +1,93 @@
+"""Loopback HTTP gateway fixture: serves the deterministic synthetic web
+corpus over real HTTP (ThreadingHTTPServer, keep-alive) so the engine's
+``http_fetcher`` mapInPandas stage exercises its full network path — DNS-free
+gateway addressing, connection reuse, timeouts, retries, politeness pacing —
+with no internet. The request log (host, monotonic arrival time, path) lets
+tests assert per-host crawl-delay spacing; ``flaky`` URLs return one 503
+before succeeding, proving the retry path runs."""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from news_crawler_slm_spark.crawl.semantics import host_of, path_of
+
+
+class Gateway:
+    def __init__(self, web_rows, flaky_urls=()):
+        # corpus keyed by (host, path): url -> row fields
+        self.pages = {}
+        for url, html, links, ok, lang, publisher in web_rows:
+            self.pages[(host_of(url), path_of(url))] = (html, links, ok, lang, publisher)
+        self.flaky = dict.fromkeys(flaky_urls, 0)  # url -> times 503'd so far
+        self.request_log: list[tuple[str, float, str]] = []
+        self._lock = threading.Lock()
+
+        gw = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # keep-alive: one socket per task
+
+            def log_message(self, *a):  # silence stderr chatter
+                pass
+
+            def do_GET(self):
+                t = time.monotonic()
+                host, _, path = self.path.lstrip("/").partition("/")
+                path = "/" + path
+                url = f"https://{host}{path}"
+                with gw._lock:
+                    gw.request_log.append((host, t, path))
+                    flake = url in gw.flaky and gw.flaky[url] == 0
+                    if flake:
+                        gw.flaky[url] += 1
+                page = gw.pages.get((host, path))
+                if flake:
+                    self._respond(503, b"transient")
+                elif page is None:
+                    self._respond(404, b"not found")
+                elif not page[2]:  # corpus fetch_ok=False -> permanent 5xx
+                    self._respond(503, b"down")
+                else:
+                    html, links, _ok, lang, publisher = page
+                    self._respond(
+                        200,
+                        html,
+                        {
+                            "Content-Language": lang,
+                            "X-Publisher": publisher,
+                            "X-Out-Links": json.dumps(links),
+                        },
+                    )
+
+            def _respond(self, status, body, headers=None):
+                self.send_response(status)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_port}"
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+
+    def per_host_request_times(self) -> dict[str, list[float]]:
+        with self._lock:
+            log = list(self.request_log)
+        out: dict[str, list[float]] = {}
+        for host, t, _p in log:
+            out.setdefault(host, []).append(t)
+        for ts in out.values():
+            ts.sort()
+        return out
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+        self._thread.join(timeout=5)

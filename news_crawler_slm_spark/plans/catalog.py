@@ -827,19 +827,23 @@ def unigram_perplexity(spark, sf_dir):
             F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         ).alias("n")
     )
-    probs = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", (F.col("c") / F.col("n")).alias("p")
-    )
     # Order-independent accumulation: a float avg(ln p) varies with
     # partition order and can flip round(...,4) at a boundary between the
     # engines (the value_stats_pop failure class).  Per-token ln p is
     # quantized to integer micro-nats — round(ln p * 1e6) is identical on
     # both engines up to a ~1e-12-probability ulp boundary — then summed as
     # BIGINT (exact, order-free); exp sees the same rational on both sides.
-    micro = F.round(F.log("p") * F.lit(1000000.0), 0).cast("long")
+    # The quantization runs ONCE PER VOCAB ENTRY (inside the broadcast dim,
+    # |vocab| rows), not per token occurrence — the r03->r04 fix for the
+    # measured ~15% cost of the exactness pass (scripts/drift_ab.py).
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c") / F.col("n")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("lnp_micro"),
+    )
     return (
         toks.join(F.broadcast(probs), "tok")
-        .select("doc_id", micro.alias("lnp_micro"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("__s"))
         .select(

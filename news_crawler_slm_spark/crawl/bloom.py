@@ -94,8 +94,14 @@ class CuckooFilter:
     BloomFilter but supports deletes (needed if seen-set entries are ever
     retired, e.g. recrawl-after-TTL). 4-slot buckets, 16-bit fingerprints.
 
-    Not the default hot path; property-tested for zero false negatives in
-    tests/test_crawl.py.
+    The BloomStore fallback path (``filter_kind="cuckoo"``) uses this class
+    through the same serialize/probe interface as BloomFilter.  A cuckoo
+    table that fills past its kick budget cannot be rebuilt from its own
+    fingerprints, so instead of corrupting (dropping an entry = a FALSE
+    NEGATIVE = a wrongly-re-crawled URL) it flips a ``saturated`` flag:
+    a saturated filter answers "maybe seen" for everything, degrading
+    gracefully to the exact anti-join for that bucket — zero false
+    negatives always (property-tested in tests/test_crawl.py).
     """
 
     SLOTS = 4
@@ -104,6 +110,7 @@ class CuckooFilter:
         n_buckets = max(2, 1 << int(math.ceil(math.log2(max(1, n_expected) / self.SLOTS + 1))))
         self.n_buckets = n_buckets
         self.max_kicks = max_kicks
+        self.saturated = False
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)  # 0 = empty
 
     def _fp(self, h: int) -> int:
@@ -144,11 +151,64 @@ class CuckooFilter:
         return False  # table full — caller should rebuild larger
 
     def contains(self, h: int) -> bool:
+        if self.saturated:
+            return True
         h = h & 0xFFFFFFFFFFFFFFFF
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
         return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    # ------------------------------------------------------ store interface
+    def add_many(self, hashes: np.ndarray) -> None:
+        """Sequential inserts (cuckoo displacement is inherently ordered);
+        per-round per-bucket volumes are the small side of the crawl. A
+        failed insert saturates the filter (class doc) instead of losing
+        the entry."""
+        for h in np.asarray(hashes, dtype=np.int64).tolist():
+            if self.saturated:
+                return
+            if not self.add(int(h)):
+                self.saturated = True
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: fingerprint + both candidate buckets for
+        the whole batch in numpy (no per-row Python)."""
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        if self.saturated:
+            return np.ones(n, dtype=bool)
+        u = np.asarray(hashes, dtype=np.int64).view(_U64)
+        fp = ((u >> _U64(48)) & _U64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask = _U64(self.n_buckets - 1)
+        i1 = (u & mask).astype(np.int64)
+        i2 = ((i1.view(_U64) ^ (fp.astype(_U64) * _U64(0x5BD1E995))) & mask).astype(
+            np.int64
+        )
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def to_bytes(self) -> bytes:
+        header = np.array(
+            [self.n_buckets, self.max_kicks, int(self.saturated)], dtype=np.int64
+        ).tobytes()
+        return header + self.table.tobytes()
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "CuckooFilter":
+        n_buckets, max_kicks, saturated = np.frombuffer(blob[:24], dtype=np.int64)
+        cf = CuckooFilter(n_expected=1, max_kicks=int(max_kicks))
+        cf.n_buckets = int(n_buckets)
+        cf.saturated = bool(saturated)
+        cf.table = (
+            np.frombuffer(blob[24:], dtype=np.uint16)
+            .reshape(int(n_buckets), CuckooFilter.SLOTS)
+            .copy()
+        )
+        return cf
 
     def delete(self, h: int) -> bool:
         h = h & 0xFFFFFFFFFFFFFFFF

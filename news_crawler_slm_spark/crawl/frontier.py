@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from ..functions import urls as U
 from ..operators.rank import with_global_rank
 from ..operators.topk import salted_top_k_per_group
-from .bloom import BloomFilter
+from .bloom import BloomFilter, CuckooFilter
 from .semantics import DEFAULT_CRAWL_DELAY, CrawlParams
 
 # --------------------------------------------------------------------------
@@ -263,10 +263,35 @@ class BloomStore:
     a partition only ever loads the buckets present in its own batch.
     """
 
-    def __init__(self, root: str, params: CrawlParams, bits_per_bucket: int = 1 << 20):
+    def __init__(
+        self,
+        root: str,
+        params: CrawlParams,
+        bits_per_bucket: int = 1 << 20,
+        filter_kind: str = "bloom",
+    ):
+        """``filter_kind``: "bloom" (default hot path) or "cuckoo" — the
+        north-rule fallback, same no-false-negative prefilter contract plus
+        per-entry deletes (recrawl-after-TTL retirement). Both kinds share
+        the serialize/add_many/contains_many interface; a cuckoo bucket
+        that exhausts its kick budget saturates to always-maybe (never a
+        false negative — see bloom.CuckooFilter). Memory parity: the
+        cuckoo's entry budget is bits_per_bucket/16 (16-bit fingerprints)."""
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
         self.root = root
         self.params = params
         self.bits = bits_per_bucket
+        self.filter_kind = filter_kind
+
+    def _new_filter(self):
+        if self.filter_kind == "cuckoo":
+            return CuckooFilter(n_expected=self.bits // 16)
+        return BloomFilter(n_expected=1, m_bits=self.bits)
+
+    def _from_bytes(self, blob: bytes):
+        cls = CuckooFilter if self.filter_kind == "cuckoo" else BloomFilter
+        return cls.from_bytes(blob)
 
     def _dir(self, snap: int) -> str:
         return os.path.join(self.root, "bloom", f"snap-{snap}")
@@ -275,7 +300,7 @@ class BloomStore:
         prev_dir = self._dir(prev_snap) if prev_snap is not None else None
         new_dir = self._dir(snap)
         os.makedirs(new_dir, exist_ok=True)
-        bits = self.bits
+        new_filter, from_bytes = self._new_filter, self._from_bytes
 
         def build(key, pdf):
             (bucket,) = key
@@ -284,9 +309,9 @@ class BloomStore:
             )
             if prev_path and os.path.exists(prev_path):
                 with open(prev_path, "rb") as f:
-                    bf = BloomFilter.from_bytes(f.read())
+                    bf = from_bytes(f.read())
             else:
-                bf = BloomFilter(n_expected=1, m_bits=bits)
+                bf = new_filter()
             bf.add_many(pdf["url_hash"].to_numpy(dtype=np.int64))
             tmp = os.path.join(new_dir, f".bucket-{bucket}.tmp")
             with open(tmp, "wb") as f:
@@ -316,8 +341,10 @@ class BloomStore:
             candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )
 
+        from_bytes = self._from_bytes
+
         def run(batches):
-            cache: dict[int, BloomFilter | None] = {}
+            cache: dict[int, object | None] = {}
             for pdf in batches:
                 out = np.zeros(len(pdf), dtype=bool)
                 for bucket, idx in pdf.groupby("bucket").groups.items():
@@ -325,7 +352,7 @@ class BloomStore:
                         path = os.path.join(snap_dir, f"bucket-{bucket}.bin")
                         if os.path.exists(path):
                             with open(path, "rb") as f:
-                                cache[bucket] = BloomFilter.from_bytes(f.read())
+                                cache[bucket] = from_bytes(f.read())
                         else:
                             cache[bucket] = None
                     bf = cache[bucket]

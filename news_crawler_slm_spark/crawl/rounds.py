@@ -225,6 +225,7 @@ def run_crawl(
     fetcher: Fetcher,
     params: CrawlParams = CrawlParams(),
     use_bloom: bool = True,
+    seen_filter: str = "bloom",
     max_rounds: int | None = None,
     output_partitions: int | None = 1,
     on_round: Callable[[int, dict, float, float], None] | None = None,
@@ -254,7 +255,11 @@ def run_crawl(
     byte-identical to an uninterrupted run (tests/test_crawl.py).
     """
     catalog = SnapshotCatalog(spark, catalog_root, commit_parallelism=commit_parallelism)
-    bloom = BloomStore(catalog_root, params) if use_bloom else None
+    bloom = (
+        BloomStore(catalog_root, params, filter_kind=seen_filter)
+        if use_bloom
+        else None
+    )
 
     snap = catalog.snapshot()
     if snap is not None:

@@ -18,7 +18,9 @@ the order is curated each round instead:
   DuckDB-oracle check in tests/test_plans.py.
 
 Union across rounds: after r03 every registered query has at least one
-green driver row (r01, r02, or r03).
+green driver row; the standing rotation rule (r04+) is that any query
+whose newest green row is two rounds old re-enters the front window, so
+no query's driver coverage ever ages past two rounds.
 """
 
 from . import (  # noqa: F401
@@ -30,45 +32,13 @@ from . import (  # noqa: F401
 )
 from .catalog import REGISTRY  # noqa: F401
 
-# Round 3 front: never driver-checked (json_key_set_ops, events_asof_join),
-# changed or added this round, then the r01-green set the r02 cap dropped.
+# Round 4 front: queries whose SEMANTICS or plan changed this round
+# (minhash gained the hot-bucket cap; perplexity moved quantization into
+# the vocab dim), then every query whose newest green driver row is r02 or
+# older (the r03 tail) — no query's newest row may age past two rounds.
 _DRIVER_FIRST = [
-    "json_key_set_ops",
-    "events_asof_join",
-    "json_eval_scores",
-    "skewed_hot_key_join",
-    "paragraph_dedup",
-    "pii_scrub",
-    "unigram_perplexity",
-    "training_shuffle",
-    "temperature_mixture_sample",
-    "neardup_clusters",
-    "neardup_survivors_count",
-    "q5_local_supplier_volume",
-    "orders_without_lineitems",
-    "top_customers_per_nation",
-    "hourly_event_counts",
-    "sessionization",
-    "events_running_rank",
-    "edit_distance_metrics",
-    "seq_similarity_metrics",
-    "json_eval_rollup",
-    "embedding_neardup_pairs",
-    "multimodal_image_meta",
-    "image_resize_stub",
-    "frame_sample_stats",
-    "audio_duration_by_lang",
-]
-
-# Round 3 tail: rows-only queries (no SQL oracle) + stable r02-green simple
-# aggregations, all of them also value-checked by the repo's own oracle
-# tests every run.
-_DRIVER_LAST = [
     "minhash_lsh_candidates",
-    "simhash_fingerprints",
-    "ann_lsh_topk",
-    "doc_fingerprints",
-    "ann_ivf_topk",
+    "unigram_perplexity",
     "count_per_source",
     "lang_distribution",
     "token_count_distribution",
@@ -83,6 +53,36 @@ _DRIVER_LAST = [
     "prompt_format",
     "sample_inspector",
     "repetition_rejects",
+    "simhash_fingerprints",
+    "ann_lsh_topk",
+    "doc_fingerprints",
+    "ann_ivf_topk",
+]
+
+# Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
+# all also value-checked by the repo's own identical DuckDB-oracle tests
+# every run (tests/test_plans.py) — they rotate back to the front window
+# no later than r06 by the two-round-staleness rule above.
+_DRIVER_LAST = [
+    "json_key_set_ops",
+    "events_asof_join",
+    "json_eval_scores",
+    "json_eval_rollup",
+    "edit_distance_metrics",
+    "seq_similarity_metrics",
+    "skewed_hot_key_join",
+    "paragraph_dedup",
+    "pii_scrub",
+    "training_shuffle",
+    "temperature_mixture_sample",
+    "neardup_clusters",
+    "neardup_survivors_count",
+    "embedding_neardup_pairs",
+    "multimodal_image_meta",
+    "image_resize_stub",
+    "frame_sample_stats",
+    "audio_duration_by_lang",
+    "q5_local_supplier_volume",
 ]
 
 

@@ -187,6 +187,46 @@ def test_engine_without_bloom_identical(spark, tmp_path, sim_result):
     assert _crawl_log(catalog) == sim_result.crawl_log
 
 
+def test_engine_with_cuckoo_filter_identical(spark, tmp_path, sim_result):
+    """The north-rule cuckoo-filter FALLBACK, run through the whole engine:
+    run_crawl(seen_filter="cuckoo") stores per-bucket cuckoo blobs instead
+    of blooms (same no-false-negative prefilter contract, plus deletes) —
+    and the committed crawl state must be identical."""
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "cuckoo_cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS,
+              seen_filter="cuckoo")
+    catalog = SnapshotCatalog(spark, root)
+    assert _crawl_log(catalog) == sim_result.crawl_log
+    assert {r["url"] for r in catalog.read_table("seen").collect()} == sim_result.seen
+
+
+def test_cuckoo_store_interface_and_saturation():
+    """The serialize/add_many/contains_many interface BloomStore drives:
+    batch inserts + vectorized probe agree with the scalar path, survive a
+    serialization round-trip, and an over-capacity filter SATURATES to
+    always-maybe rather than ever answering a false negative."""
+    import numpy as np
+
+    hs = (np.arange(200, dtype=np.int64) * 2654435761) ^ 0x5DEECE66D
+    cf = CuckooFilter(n_expected=1000)
+    cf.add_many(hs)
+    assert not cf.saturated
+    rt = CuckooFilter.from_bytes(cf.to_bytes())
+    assert rt.contains_many(hs).all()  # zero false negatives post-roundtrip
+    probes = hs * 31 + 7
+    got = rt.contains_many(probes)
+    assert [bool(g) for g in got] == [rt.contains(int(p)) for p in probes]
+
+    tiny = CuckooFilter(n_expected=4)
+    tiny.add_many((np.arange(5000, dtype=np.int64) * 40503) ^ 991)
+    assert tiny.saturated
+    assert tiny.contains_many(np.array([123456789, -5], dtype=np.int64)).all()
+    rt2 = CuckooFilter.from_bytes(tiny.to_bytes())
+    assert rt2.saturated and rt2.contains(42)
+
+
 def test_parallelism_invariance(tmp_path, sim_result):
     """Different core count + shuffle partitioning — same crawl log."""
     from news_crawler_slm_spark.session import get_spark

@@ -81,11 +81,15 @@ def dedup_survivors_count(spark, sf_dir):
     WITH toks AS (
       SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
-    ), grams AS (
+    ), grams0 AS (
       SELECT DISTINCT doc_id, source,
              unnest(list_transform(generate_series(1, len(t) - 2),
                                    i -> array_to_string(t[i:i+2], ' '))) AS g
       FROM toks WHERE len(t) >= 3
+    ), grams AS (
+      SELECT doc_id, source, g FROM grams0
+      WHERE (source, g) IN (SELECT (source, g) FROM grams0
+                            GROUP BY source, g HAVING count(*) <= 64)
     ), sizes AS (
       SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id
     ), inter AS (
@@ -101,20 +105,37 @@ def dedup_survivors_count(spark, sf_dir):
     WHERE isect / CAST(sa.sz + sb.sz - isect AS DOUBLE) >= 0.5
     """,
 )
-def ngram_jaccard_pairs(spark, sf_dir):
+def ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 64):
     """n-gram Jaccard near-dup: distinct 3-gram shingles → inverted-index
     self-join (shuffle key = the shingle, never the document) → per-pair
     intersection counts → |A∩B| / (|A|+|B|-|A∩B|). Blocked by source so the
     candidate-pair blowup stays bounded (at 100 TB the block key is an LSH
-    band — see minhash_lsh_candidates)."""
+    band — see minhash_lsh_candidates).
+
+    Stop-shingle cap (the LSH hot-bucket discipline applied to the exact
+    inverted index): a shingle appearing in m docs of one source emits
+    m·(m-1)/2 intersection rows — boilerplate shingles make the self-join
+    quadratic at web scale, so shingles with per-source document frequency
+    over ``df_cap`` are dropped from the index AND the sizes (Jaccard over
+    the df-filtered shingle space — what every production similarity index
+    does with stop-shingles). Cap chosen invisible to the gate corpus
+    (max df = 6 at sf0.1); the DuckDB oracle applies the same HAVING."""
     toks = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", ws_normalize(F.col("text")).alias("norm")
     )
     n = 3
-    grams = (
+    grams0 = (
         toks.select("doc_id", "source", F.explode(word_windows(F.col("norm"), n)).alias("g"))
         .distinct()
     )
+    hot = (
+        grams0.groupBy("source", "g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+    )
+    # over-cap shingles are few by construction (boilerplate) — broadcast
+    # ANTI join, mirroring the minhash band-bucket cap
+    grams = grams0.join(F.broadcast(hot.select("source", "g")), ["source", "g"], "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")

@@ -140,6 +140,49 @@ def test_minhash_lsh_hot_bucket_capped(spark, sf_dir, tmp_path):
     assert got == _minhash_oracle(rows, bucket_cap=cap)
 
 
+def test_ngram_jaccard_stop_shingle_capped(spark, tmp_path):
+    """The inverted-index twin of the LSH hot-bucket guard: 150 docs
+    sharing one boilerplate shingle would emit ~11k intersection rows from
+    that single posting list; the df-cap drops it (no pair may owe its
+    candidacy to an over-cap shingle) while a genuine near-dup pair under
+    the cap still surfaces — and the Spark result must equal the DuckDB
+    oracle on the same planted corpus (the cap lives in both engines)."""
+    import duckdb
+
+    boiler = "click here to subscribe now"
+    rows = []
+    for i in range(150):
+        # shared boilerplate + one unique token: pairwise jaccard 3/5 = 0.6,
+        # so WITHOUT the cap every one of the 150*149/2 = 11,175 pairs
+        # passes the 0.5 threshold — the cap is what kills them
+        rows.append((i, f"{boiler} unique{i}a", "s0", "en", 10))
+    rows.append((9001, "alpha beta gamma delta epsilon zeta", "s0", "en", 10))
+    rows.append((9002, "alpha beta gamma delta epsilon eta", "s0", "en", 10))
+    out = str(tmp_path / "stopshingle")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string, n_chars long"
+    ).write.parquet(f"{out}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(spark, out).collect()
+    }
+    assert (9001, 9002) in got
+    assert not any(a < 9000 and b < 9000 for a, b in got)  # boilerplate killed
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{out}/documents.parquet/*.parquet'"
+    )
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    want = {
+        (int(a), int(b)): j
+        for a, b, j in con.execute(REGISTRY["ngram_jaccard_pairs"][1]).fetchall()
+    }
+    assert got == want
+
+
 def _simhash_oracle(docs):
     fps = {}
     for doc_id, text in docs:

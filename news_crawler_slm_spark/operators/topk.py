@@ -18,7 +18,13 @@ def top_k_per_group(
     df: DataFrame, group_cols: list[str], order: list[Column], k: Column | int
 ) -> DataFrame:
     """Plain windowed top-k (Catalyst rewrites the rank-filter to a
-    per-partition group-limit — no global sort)."""
+    per-partition group-limit — no global sort).
+
+    ``order`` must be a TOTAL order within each group (include a unique
+    tiebreaker): with duplicate sort keys row_number breaks ties by
+    physical row order, so which duplicate survives is plan-dependent —
+    true of this operator, the salted variant, and every top-k in the
+    engine (the crawl's canonical order ends in `url` for this reason)."""
     w = Window.partitionBy(*group_cols).orderBy(*order)
     kcol = F.lit(k) if isinstance(k, int) else k
     return (

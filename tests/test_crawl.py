@@ -417,6 +417,10 @@ from hypothesis import strategies as _st
         ),
         min_size=0,
         max_size=120,
+        # the operator's contract (like every top-k in this engine) requires
+        # a TOTAL order: with duplicate (v, id) keys across salts either
+        # duplicate may legitimately win, so ids must be unique
+        unique_by=lambda r: r[3],
     ),
     _st.integers(1, 6),  # k
 )

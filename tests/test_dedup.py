@@ -208,6 +208,40 @@ def test_simhash_fingerprints_value_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_neardup_pairs_value_oracle(spark, sf_dir):
+    """Manku-style banded Hamming pair generation: pure-Python twin of the
+    whole pipeline (dup-union corpus → simhash → 4×16-bit bands →
+    cap-filtered band buckets → Hamming <= 3 pairs). The 50 re-crawled
+    docs guarantee Hamming-0 pairs, so the check is never vacuous."""
+    base = _docs(sf_dir)
+    docs = base + [(d + 10000, t) for d, t in base if d < 50]
+    fps = _simhash_oracle(docs)
+
+    def u64(x):
+        return x & ((1 << 64) - 1)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, fp in fps.items():
+        for b in range(4):
+            buckets.setdefault((b, (u64(fp) >> (16 * b)) & 0xFFFF), []).append(doc_id)
+    want = set()
+    for members in buckets.values():
+        if len(members) > 64:  # the hot-bucket cap
+            continue
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                ham = bin(u64(fps[a]) ^ u64(fps[b])).count("1")
+                if ham <= 3:
+                    want.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) >= 50  # every re-crawled doc pairs with its original
+
+
 def test_simhash_hamming_neardup_property(spark, sf_dir):
     """Near-identical docs get near-identical simhashes: flipping two tokens
     out of ~50 must keep Hamming distance well under the random-pair level

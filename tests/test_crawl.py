@@ -145,13 +145,18 @@ def test_http_fetcher_matches_simulator(spark, tmp_path, corpus, sim_result):
         assert got_pages == sim_result.pages
 
         # politeness: consecutive same-host arrivals spaced >= the host's
-        # crawl delay (half-delay tolerance for loopback transit jitter),
-        # and at least one host was paced more than once in a round
+        # crawl delay. The CLIENT enforces exact send spacing; the server
+        # sees send + transit/thread-scheduling jitter, so the per-gap
+        # floor is loose (0.3x) and the per-host MEAN carries the real
+        # assertion (jitter cancels in the mean). At least one host must
+        # have been paced more than once inside a round.
         times = gw.per_host_request_times()
         tight = 0
         for host, ts in times.items():
             gaps = [b - a for a, b in zip(ts, ts[1:])]
-            assert all(g >= delays[host] * 0.5 for g in gaps), (host, gaps)
+            assert all(g >= delays[host] * 0.3 for g in gaps), (host, gaps)
+            if gaps:
+                assert sum(gaps) / len(gaps) >= delays[host] * 0.7, (host, gaps)
             tight += sum(1 for g in gaps if g < 2.0)
         assert tight > 0  # intra-round pacing was actually exercised
 

@@ -333,6 +333,69 @@ class BloomStore:
                     with open(os.path.join(prev_dir, fn), "rb") as fsrc, open(dst, "wb") as fdst:
                         fdst.write(fsrc.read())
 
+    def retire(self, retired: DataFrame, seen_after: DataFrame, snap: int) -> None:
+        """Remove retired url fingerprints from snapshot ``snap``'s filter
+        blobs (the TTL-recrawl maintenance step; rounds.retire_and_requeue).
+
+        - ``cuckoo``: INCREMENTAL per-fingerprint delete — the reason the
+          cuckoo fallback exists; no scan of the surviving seen set.
+        - ``bloom``: bits cannot be unset, so each AFFECTED bucket is
+          rebuilt exactly from the post-retirement seen table (a
+          partition-pruned scan of just those buckets — correct, but
+          O(bucket) instead of O(retired), which is the trade the cuckoo
+          removes at 10^10-URL scale with recurring recrawls).
+
+        Either way the no-false-negative invariant (filter ⊇ seen) holds
+        by construction; retirement never needs to be "undone" in the
+        filter because a filter over-approximating seen is always safe.
+        Executor-side per bucket, same as update()."""
+        snap_dir = self._dir(snap)
+        from_bytes, new_filter = self._from_bytes, self._new_filter
+
+        if self.filter_kind == "cuckoo":
+
+            def drop(key, pdf):
+                (bucket,) = key
+                path = os.path.join(snap_dir, f"bucket-{bucket}.bin")
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        cf = from_bytes(f.read())
+                    for h in pdf["url_hash"].to_numpy(dtype=np.int64).tolist():
+                        cf.delete(int(h))
+                    tmp = os.path.join(snap_dir, f".bucket-{bucket}.retire.tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(cf.to_bytes())
+                    os.replace(tmp, path)
+                return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+
+            work = retired.select("bucket", "url_hash")
+        else:
+
+            def drop(key, pdf):
+                (bucket,) = key
+                bf = new_filter()
+                keep = pdf[~pdf["retired"]]
+                bf.add_many(keep["url_hash"].to_numpy(dtype=np.int64))
+                tmp = os.path.join(snap_dir, f".bucket-{bucket}.retire.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(bf.to_bytes())
+                os.replace(tmp, os.path.join(snap_dir, f"bucket-{bucket}.bin"))
+                return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
+
+            affected = retired.select("bucket").distinct()
+            work = (
+                seen_after.select("bucket", "url_hash")
+                .withColumn("retired", F.lit(False))
+                .unionByName(
+                    retired.select("bucket", "url_hash").withColumn(
+                        "retired", F.lit(True)
+                    )
+                )
+                .join(F.broadcast(affected), "bucket", "left_semi")
+            )
+
+        work.groupBy("bucket").applyInPandas(drop, "bucket int, n long").collect()
+
     def probe(self, candidates: DataFrame, snap: int) -> DataFrame:
         """Adds ``maybe_seen`` boolean. Zero false negatives by construction
         (property-tested)."""

@@ -352,3 +352,163 @@ def run_crawl(
         if on_round is not None:
             on_round(rnd, counters, time.monotonic() - t_round, pop_latency)
     return state
+
+
+def live_pages(catalog: SnapshotCatalog) -> DataFrame:
+    """Latest fetch per url over the append-only pages chain.
+
+    After TTL recrawls (retire_and_requeue) a url can legitimately hold
+    several pages rows — history is immutable, the recrawl APPENDS. Readers
+    that want "the current copy of the web" take the max-fetch_round row per
+    url: one shuffle on url, per-group work O(recrawl count) — tiny groups,
+    scale-safe at 10^10 urls."""
+    from pyspark.sql import Window
+
+    p = catalog.read_table("pages")
+    w = Window.partitionBy("url").orderBy(F.desc("fetch_round"))
+    return p.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def retire_and_requeue(
+    spark: SparkSession,
+    catalog_root: str,
+    robots: DataFrame,
+    params: CrawlParams = CrawlParams(),
+    ttl_rounds: int = 10,
+    requeue_priority: float = 0.0,
+    use_bloom: bool = True,
+    seen_filter: str = "bloom",
+    output_partitions: int | None = 1,
+) -> int:
+    """TTL recrawl maintenance: retire every seen url whose LAST fetch
+    attempt is ``ttl_rounds`` or more rounds old, and requeue it into the
+    frontier so the next rounds fetch a fresh copy. Returns the retired
+    count (0 = no-op, nothing committed).
+
+    Reference analog: the reference re-runs a finished publisher only by
+    deleting it from finished_publishers.txt and truncating its file
+    (crawl_articles.py:61-79 — whole-publisher granularity, destructive).
+    Here retirement is per-url and append-preserving: pages/crawl_log
+    history stays immutable (``live_pages`` picks the newest copy), only
+    the mutable state tables (seen / frontier / host_counts) are rewritten
+    in ONE atomic maintenance snapshot (reserved high id range, same
+    discipline as compaction — a resumed crawl can never collide with it).
+
+    Semantics (deterministic, oracle-twinned in tests/test_crawl.py):
+    - retired  = {url in seen : max(crawl_log.round for url) <= round-ttl}
+    - seen     -> seen MINUS retired (exact url_hash anti-join)
+    - frontier -> frontier UNION requeued, where requeued = retired urls
+      that still pass today's robots gate (rules may have changed since the
+      original crawl), at (requeue_priority, depth 0, discovered_round =
+      current round); urls already re-discovered into the frontier are
+      anti-joined out.
+    - host_counts.fetched -= per-host count of retired urls whose last
+      status was "fetched" (the per-host max_articles cap counts LIVE
+      articles, so retirement frees budget for the recrawl), floored at 0.
+    - the seen-filter blobs drop the retired fingerprints
+      (BloomStore.retire): incremental per-entry deletes for "cuckoo" —
+      the reason that fallback exists — or an exact rebuild of affected
+      buckets for "bloom". Blob retirement runs AFTER the snapshot commit;
+      a crash between leaves the filter over-approximating seen, which is
+      always safe (no-false-negative invariant), and a re-invocation
+      recomputes retired from the already-rewritten seen so fingerprints
+      are never double-deleted (the cuckoo collision-safety condition).
+
+    Scale shape: everything keys on (bucket, url_hash) — raw urls ride
+    along in their partitions but never key a shuffle; the crawl_log scan
+    is one groupBy(url_hash) over the append chain (compact it first on a
+    long crawl); no driver-side data, one count action.
+    """
+    catalog = SnapshotCatalog(spark, catalog_root)
+    snap = catalog.snapshot()
+    if snap is None:
+        raise ValueError("retire_and_requeue: catalog has no committed snapshot")
+    rnd = int(snap.counters["round"])
+    cutoff = rnd - ttl_rounds
+
+    seen = catalog.read_table("seen")
+    frontier = catalog.read_table("frontier")
+    host_counts = catalog.read_table("host_counts")
+    log = catalog.read_table("crawl_log")
+
+    # last attempt per url: url popped at most once per round, so max_by is
+    # tie-free; key the join on url_hash (the engine-wide url identity) —
+    # the url string itself never keys a shuffle.
+    last = log.groupBy("url").agg(
+        F.max("round").alias("last_round"),
+        F.max_by("status", "round").alias("last_status"),
+    )
+    from pyspark import StorageLevel
+
+    retired = (
+        seen.join(
+            last.select(
+                F.xxhash64("url").alias("url_hash"), "last_round", "last_status"
+            ),
+            "url_hash",
+        )
+        .where(F.col("last_round") <= F.lit(cutoff))
+        .select("bucket", "url_hash", "url", "last_status")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_retired = retired.count()
+    if n_retired == 0:
+        retired.unpersist()
+        return 0
+
+    seen_after = seen.join(retired.select("url_hash"), "url_hash", "left_anti")
+
+    from .frontier import disallowed_col
+    from ..functions import urls as U
+
+    requeued = (
+        retired.withColumn("host", U.host_of(F.col("url")))
+        .join(F.broadcast(robots.select("host", "disallow", "allow")), "host", "left")
+        .where(~disallowed_col(F.col("url"), F.col("disallow"), F.col("allow")))
+        .select(
+            "bucket",
+            U.url_salt(F.col("url"), params.n_salts).alias("salt"),
+            "host",
+            "url",
+            "url_hash",
+            F.lit(requeue_priority).cast("double").alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(rnd).alias("discovered_round"),
+        )
+        .join(frontier.select("url_hash"), "url_hash", "left_anti")
+    )
+    frontier_after = frontier.unionByName(requeued)
+
+    dec = (
+        retired.where(F.col("last_status") == "fetched")
+        .withColumn("host", U.host_of(F.col("url")))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_retired"))
+    )
+    hc_after = host_counts.join(dec, "host", "left").select(
+        "host",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("fetched") - F.coalesce(F.col("n_retired"), F.lit(0)),
+        ).alias("fetched"),
+    )
+
+    from ..sources.tables import COMPACTION_ID_BASE
+
+    counters = dict(snap.counters)
+    counters["retired"] = int(counters.get("retired", 0)) + n_retired
+    catalog.commit(
+        catalog.next_snapshot_id(floor=COMPACTION_ID_BASE),
+        tables={"frontier": frontier_after, "seen": seen_after, "host_counts": hc_after},
+        counters=counters,
+        output_partitions=output_partitions,
+        partition_by={"frontier": ["bucket"], "seen": ["bucket"]},
+    )
+
+    if use_bloom:
+        store = BloomStore(catalog_root, params, filter_kind=seen_filter)
+        # read seen from the NEW snapshot: single rewritten dir, and the
+        # bloom-kind bucket rebuild must see exactly the post-retire truth
+        store.retire(retired.select("bucket", "url_hash"), catalog.read_table("seen"), rnd)
+    retired.unpersist()
+    return n_retired

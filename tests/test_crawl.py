@@ -299,6 +299,164 @@ def test_auto_compaction_bounded_files_and_kill_resume(spark, tmp_path, sim_resu
     assert compactions >= 3  # the loop really compacted (>= one boundary)
 
 
+def _retire_twin(sim_result, robots, ttl_rounds):
+    """Pure-python oracle of retire_and_requeue's semantics: (retired set,
+    requeued set, expected per-host fetched counts after retirement)."""
+    import collections
+
+    from news_crawler_slm_spark.crawl.semantics import host_of, is_disallowed
+
+    cutoff = sim_result.rounds_run - ttl_rounds
+    last = {}
+    for r, _s, h, u, stat in sim_result.crawl_log:
+        if u not in last or r > last[u][0]:
+            last[u] = (r, stat, h)
+    retired = {u for u in sim_result.seen if last[u][0] <= cutoff}
+    robots_by_host = {h: (list(d or []), list(a or [])) for h, d, a, _cd in robots}
+    requeued = {
+        u
+        for u in retired
+        if not is_disallowed(u, *robots_by_host.get(host_of(u), (None, None)))
+    }
+    fetched = collections.Counter(
+        h for _r, _s, h, _u, stat in sim_result.crawl_log if stat == "fetched"
+    )
+    dec = collections.Counter(
+        last[u][2] for u in retired if last[u][1] == "fetched"
+    )
+    hc = {h: max(0, n - dec.get(h, 0)) for h, n in fetched.items()}
+    return retired, requeued, hc
+
+
+def test_retire_and_requeue_matches_twin_and_recrawls(spark, tmp_path, corpus, sim_result):
+    """TTL recrawl: the maintenance snapshot's seen/frontier/host_counts
+    must equal the pure-python twin exactly, the bloom store must stay a
+    superset of the surviving seen set, and a continued crawl must actually
+    RE-fetch requeued urls — appending fresh pages rows that live_pages
+    resolves to the newest copy, byte-identical to the original corpus."""
+    from news_crawler_slm_spark.crawl.frontier import BloomStore
+    from news_crawler_slm_spark.crawl.rounds import live_pages, retire_and_requeue
+    from news_crawler_slm_spark.crawl.semantics import host_of
+
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "retire_cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS)
+    catalog = SnapshotCatalog(spark, root)
+    rounds_run = sim_result.rounds_run
+
+    ttl = rounds_run - 2  # retire urls whose last attempt was in rounds 1..2
+    retired, requeued, exp_hc = _retire_twin(sim_result, corpus["robots"], ttl)
+    assert retired and retired != sim_result.seen  # a real partial retirement
+
+    n = retire_and_requeue(
+        spark, root, dfs["robots"], PARAMS, ttl_rounds=ttl, requeue_priority=5.0
+    )
+    assert n == len(retired)
+    # idempotence: the rewritten seen no longer matches, so a re-run no-ops
+    assert retire_and_requeue(
+        spark, root, dfs["robots"], PARAMS, ttl_rounds=ttl, requeue_priority=5.0
+    ) == 0
+
+    seen_now = {r["url"] for r in catalog.read_table("seen").collect()}
+    assert seen_now == sim_result.seen - retired
+
+    front = {
+        r["url"]: (r["host"], r["priority"], r["depth"], r["discovered_round"])
+        for r in catalog.read_table("frontier").collect()
+    }
+    assert set(front) == set(sim_result.frontier) | requeued
+    for u in requeued:
+        assert front[u] == (host_of(u), 5.0, 0, rounds_run), u
+    for u, (h, p, d, r) in sim_result.frontier.items():
+        assert front[u] == (h, p, d, r), u
+
+    hc_now = {r["host"]: r["fetched"] for r in catalog.read_table("host_counts").collect()}
+    for h, expected in exp_hc.items():
+        assert hc_now.get(h, 0) == expected, h
+
+    # filter ⊇ seen (no false negatives survive the bucket rebuilds)
+    store = BloomStore(root, PARAMS)
+    probed = store.probe(catalog.read_table("seen"), rounds_run)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+    # ---- continue the crawl: requeued urls must be re-fetched
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS, max_rounds=3)
+    later = [
+        (r["round"], r["url"], r["status"])
+        for r in catalog.read_table("crawl_log").collect()
+        if r["round"] > rounds_run
+    ]
+    recrawled = {u for _r, u, _s in later if u in requeued}
+    assert recrawled  # the recrawl really happened
+    refetched = {
+        u for _r, u, s in later if u in requeued and s == "fetched" and u in sim_result.pages
+    }
+    assert refetched
+    lp = {r["url"]: (r["text"], r["fetch_round"]) for r in live_pages(catalog).collect()}
+    pages_rows = catalog.read_table("pages").groupBy("url").count()
+    twice = {r["url"]: r["count"] for r in pages_rows.collect()}
+    for u in refetched:
+        text, fr = lp[u]
+        assert fr > rounds_run and text == sim_result.pages[u][0], u
+        assert twice[u] == 2, u  # history immutable: old copy still there
+    # re-popped urls are seen again
+    seen_final = {r["url"] for r in catalog.read_table("seen").collect()}
+    assert recrawled <= seen_final
+
+
+def test_retire_with_cuckoo_incremental_deletes(spark, tmp_path, corpus, sim_result):
+    """The cuckoo fallback's raison d'être: retirement DELETES fingerprints
+    in place (no bucket rebuild). Survivors must all still probe maybe-seen
+    (zero false negatives), retired urls must overwhelmingly probe
+    definitely-new (only 16-bit fp collisions may linger), and the
+    continued crawl stays consistent."""
+    from news_crawler_slm_spark.crawl.frontier import BloomStore
+    from news_crawler_slm_spark.crawl.rounds import retire_and_requeue
+    from news_crawler_slm_spark.functions import urls as U
+
+    dfs = web_dataframes(spark, SCALE)
+    fetcher = synthetic_fetcher(dfs["web"])
+    root = str(tmp_path / "retire_cuckoo_cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS,
+              seen_filter="cuckoo")
+    catalog = SnapshotCatalog(spark, root)
+    rounds_run = sim_result.rounds_run
+
+    ttl = rounds_run - 2
+    retired, requeued, _hc = _retire_twin(sim_result, corpus["robots"], ttl)
+    n = retire_and_requeue(
+        spark, root, dfs["robots"], PARAMS, ttl_rounds=ttl,
+        requeue_priority=5.0, seen_filter="cuckoo",
+    )
+    assert n == len(retired)
+
+    store = BloomStore(root, PARAMS, filter_kind="cuckoo")
+    probed = store.probe(catalog.read_table("seen"), rounds_run)
+    assert probed.where(~F.col("maybe_seen")).count() == 0
+
+    # the deletes really happened: retired fingerprints now probe new
+    rdf = spark.createDataFrame([(u,) for u in sorted(retired)], "url string").select(
+        U.host_bucket(U.host_of(F.col("url")), PARAMS.n_buckets).alias("bucket"),
+        F.xxhash64(F.col("url")).alias("url_hash"),
+    )
+    still_maybe = store.probe(rdf, rounds_run).where(F.col("maybe_seen")).count()
+    assert still_maybe <= max(1, len(retired) // 10), (still_maybe, len(retired))
+
+    # continued crawl under the cuckoo filter re-fetches and stays exact
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS,
+              max_rounds=2, seen_filter="cuckoo")
+    later = {
+        r["url"]
+        for r in catalog.read_table("crawl_log").collect()
+        if r["round"] > rounds_run
+    }
+    assert later & requeued
+    # every url the continuation popped re-entered seen exactly once
+    seen_rows = catalog.read_table("seen").groupBy("url").count()
+    assert seen_rows.where(F.col("count") > 1).count() == 0
+
+
 def test_pop_plan_distributed_rank(spark):
     """At scale (size unknown, or above SEQ_RANK_THRESHOLD) the pop's
     global fetch sequence comes from the range-partitioned rank

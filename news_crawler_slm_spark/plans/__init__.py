@@ -37,6 +37,8 @@ from .catalog import REGISTRY  # noqa: F401
 # the vocab dim), then every query whose newest green driver row is r02 or
 # older (the r03 tail) — no query's newest row may age past two rounds.
 _DRIVER_FIRST = [
+    "substring_dup_stats",  # new this round: never driver-checked
+    "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked
     "minhash_lsh_candidates",
     "unigram_perplexity",
@@ -65,6 +67,9 @@ _DRIVER_FIRST = [
 # every run (tests/test_plans.py) — they rotate back to the front window
 # no later than r06 by the two-round-staleness rule above.
 _DRIVER_LAST = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "hourly_event_counts",
     "json_key_set_ops",
     "events_asof_join",
     "json_eval_scores",

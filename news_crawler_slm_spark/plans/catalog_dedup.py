@@ -1075,3 +1075,173 @@ def ann_ivf_topk(spark, sf_dir, k_cells: int = 10, nprobe: int = 2, k: int = 5):
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", F.round(F.col("cos_raw"), 6).alias("cosine"))
     )
+
+
+# ===========================================================================
+# Exact substring (rolling W-gram) dedup — Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" (ExactSubstr). The reference
+# corpus pipeline (crawl_articles.py -> compute_statistics) has no dedup at
+# all; this is the canonical training-data operation layered on top. The
+# paper builds a suffix array over the whole corpus on one machine; the
+# distributed re-expression is the bounded-window form every Spark-scale
+# pipeline uses (fixed W-token windows, global first-occurrence keeps the
+# span) — same duplicated-span semantics for spans >= W, shuffle keys are
+# md5 window hashes, never document text.
+# ===========================================================================
+
+_SUBSTR_W = 15
+
+_SUBSTR_WINS_SQL = rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - {_SUBSTR_W - 1}),
+                                   i -> {{'pos': i,
+                                          'g': array_to_string(t[i:i+{_SUBSTR_W - 1}], ' ')}}),
+                    recursive := true)
+      FROM toks WHERE len(t) >= {_SUBSTR_W}
+    ), flagged AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) > 1 AS dup
+      FROM wins
+    )
+"""
+
+
+@register(
+    "substring_dup_stats",
+    _SUBSTR_WINS_SQL
+    + """
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE dup) AS dup_windows,
+           round(count(*) FILTER (WHERE dup) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def substring_dup_stats(spark, sf_dir, w: int = _SUBSTR_W):
+    """Per-document duplicated-substring statistics: every overlapping
+    W-token window is hashed; a window occurrence is DUPLICATED unless it
+    is the globally first occurrence of that window text (min (doc_id,
+    pos) order — the ExactSubstr keeper rule). Docs shorter than W tokens
+    have no windows and no row (same WHERE in the oracle).
+
+    Scale shape — why this is NOT a window-function plan: a boilerplate
+    W-gram shared by millions of docs would funnel its every occurrence
+    through one row_number() partition. Instead: (1) partial-aggregate
+    occurrences to one row per (window-hash, doc) with a count and the
+    doc's min pos — map-side combine eats the within-doc repetition; (2)
+    pick the global keeper per hash with an unordered min(struct) window
+    over the doc-level rows; (3) re-aggregate per doc. Every shuffle key
+    is the md5 hash (fixed 32 bytes) or doc_id; per-occurrence rows are
+    never sorted, and the explode is W x token count — linear in corpus
+    bytes, the standard trade vs the paper's single-node suffix array.
+    """
+    d = _t(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        F.posexplode(word_windows(ws_normalize(F.col("text")), w)).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("g").alias("h"))
+    per_doc = wins.groupBy("h", "doc_id").agg(
+        F.count("*").alias("cnt"), F.min("pos").alias("min_pos")
+    )
+    keeper = F.min(F.struct("doc_id", "min_pos")).over(Window.partitionBy("h"))
+    flagged = per_doc.withColumn(
+        "dup_cnt",
+        F.col("cnt")
+        - F.when(keeper == F.struct("doc_id", "min_pos"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum("dup_cnt").alias("dup_windows"),
+        F.round(F.sum("dup_cnt") / F.sum("cnt").cast("double"), 6).alias("dup_ratio"),
+    )
+
+
+@register(
+    "substring_dedup_clean",
+    _SUBSTR_WINS_SQL
+    + f"""
+    , covered AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {_SUBSTR_W - 1})) AS idx
+      FROM flagged WHERE dup
+    ), cov AS (
+      SELECT doc_id, list(idx) AS li FROM covered GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           length(t.t) AS n_tokens,
+           coalesce(length(cov.li), 0) AS n_removed,
+           md5(coalesce(array_to_string([t.t[i] FOR i IN generate_series(1, len(t.t))
+                                         IF cov.li IS NULL OR NOT list_contains(cov.li, i)],
+                                        ' '), '')) AS clean_md5
+    FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    """,
+)
+def substring_dedup_clean(spark, sf_dir, w: int = _SUBSTR_W):
+    """ExactSubstr span REMOVAL: every token covered by any duplicated
+    (non-keeper) W-window is dropped; overlapping duplicated spans merge
+    by construction (token-index union). Returns per-doc token counts,
+    removed-token counts, and an md5 of the rebuilt text (the gate compares
+    the full rebuilt string through the hash; the rebuilt text itself stays
+    distributed). Docs with no duplicated window — including docs shorter
+    than W — pass through with n_removed = 0 and the md5 of their
+    whitespace-normalized text.
+
+    Scale shape: occurrence->keeper resolution is an aggregated-side join
+    on the md5 window hash (no per-occurrence window sort); covered token
+    indices explode W rows per duplicated window only; the rebuild is a
+    per-doc sorted collect bounded by document length (same discipline as
+    paragraph_dedup). All shuffles key on md5 hash or doc_id.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(ws_normalize(F.col("text")), " ").alias("t"))
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.size("t") >= w, word_windows(F.array_join(F.col("t"), " "), w))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("g").alias("h"))
+    keepers = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
+    dup_wins = wins.join(keepers, "h").where(
+        F.struct("doc_id", "pos") != F.col("k")
+    )
+    covered = (
+        dup_wins.select(
+            "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + w - 1)).alias("idx")
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"), F.posexplode("t").alias("i0", "tok")
+    ).select("doc_id", "n_tokens", (F.col("i0") + 1).alias("idx"), "tok")
+    kept = tok_rows.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    # fully-covered docs vanish from the anti-join: restore them with an
+    # empty rebuild (md5('')), keeping the output one row per document
+    base = toks.select("doc_id", F.size("t").alias("n_tok_all"))
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok_all").alias("n_tokens"),
+            (F.col("n_tok_all") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )

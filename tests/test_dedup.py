@@ -265,3 +265,46 @@ def test_doc_fingerprints_value_oracle(spark, sf_dir):
         want_fp = xxh64_str(text)
         want_prefix = xxh64_str(" ".join(_toks(text)[:8]))
         assert got[doc_id] == (want_fp, want_prefix), doc_id
+
+
+def test_substring_dedup_planted_spans(spark, tmp_path):
+    """Hand-computed ExactSubstr case (W=15): doc 20 copies a 20-token span
+    from doc 10 (6 duplicated windows covering exactly the copied tokens),
+    doc 30 is a verbatim copy of doc 10 (everything removed), doc 40 is
+    shorter than W (no windows; passes through clean). The keeper rule is
+    global-first by (doc_id, pos), so doc 10 loses nothing."""
+    import hashlib
+
+    a = [f"a{i}" for i in range(30)]          # doc 10: a0..a29, 30 tokens
+    b = [f"b{i}" for i in range(15)]
+    d10 = " ".join(a)
+    d20 = " ".join(b[:10] + a[4:24] + b[10:])  # 35 tokens; a-span at idx 11..30
+    d30 = d10                                  # full copy
+    d40 = "x0 x1 x2 x3 x4"                     # 5 tokens < W
+    out = str(tmp_path / "substr")
+    spark.createDataFrame(
+        [(10, d10), (20, d20), (30, d30), (40, d40)], ["doc_id", "text"]
+    ).write.parquet(f"{out}/documents.parquet")
+
+    stats = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in D.substring_dup_stats(spark, out).collect()
+    }
+    # doc 10: 30-15+1 = 16 windows, all keepers; doc 20: 35-15+1 = 21
+    # windows, the 6 fully inside the copied span (start 11..16) are dups;
+    # doc 30: 16 windows, all dups; doc 40: no windows -> no row
+    assert stats == {10: (16, 0), 20: (21, 6), 30: (16, 16)}
+
+    clean = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_md5"])
+        for r in D.substring_dedup_clean(spark, out).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 20's dup windows start at 11..16, each 15 wide -> covered 11..30
+    d20_clean = " ".join(b[:10] + b[10:])
+    assert clean == {
+        10: (30, 0, md5(d10)),
+        20: (35, 20, md5(d20_clean)),
+        30: (30, 30, md5("")),
+        40: (5, 0, md5(d40)),
+    }

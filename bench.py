@@ -76,6 +76,7 @@ HEADLINE = [
     "shrink_first_n",
     "exact_dedup",
     "minhash_lsh_candidates",
+    "substring_dup_stats",
     "simhash_fingerprints",
     "ann_cosine_topk",
     "quality_features",

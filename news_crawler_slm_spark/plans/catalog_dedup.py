@@ -180,37 +180,15 @@ def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     at sf0.01/sf0.1); the planted hot-bucket test in tests/test_dedup.py
     pins that an over-cap pile-up emits zero pairs from that bucket while
     normal pairs survive. Pure-Python oracle (same cap) in
-    tests/test_dedup.py."""
-    n, n_hashes, bands = 3, 16, 4
-    rows_per_band = n_hashes // bands
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id", ws_normalize(F.col("text")).alias("norm")
-    )
-    grams = (
-        toks.select("doc_id", F.explode(word_windows(F.col("norm"), n)).alias("g"))
-        .distinct()
-    )
-    sigs = grams.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("g")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    tests/test_dedup.py.
+
+    Sketching (shingle → signatures → band buckets) lives in the shared
+    core ``operators/incremental_dedup.py:minhash_bands`` — the same
+    definition powers the incremental index, so batch and incremental can
+    never drift."""
+    from ..operators.incremental_dedup import minhash_bands
+
+    banded = minhash_bands(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     too_big = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("bsz"))

@@ -224,16 +224,9 @@ def _parse_warc_bytes(raw: bytes, path: str):
         )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Scan WARC files (plain or .gz) under ``path`` (dir or glob) into
-    the typed pages shape (READ_SCHEMA). One task per file — the Common
-    Crawl parallelism unit; no shuffle, no schema inference."""
-    bin_df = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc*")
-        .load(path)
-        .select("path", "content")
-    )
+def _parsed_frame(bin_df: DataFrame) -> DataFrame:
+    """(path, content) binary rows -> typed pages rows; shared by the
+    batch scan and the streaming reader."""
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -270,3 +263,49 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         "record_id",
         "warc_file",
     )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Scan WARC files (plain or .gz) under ``path`` (dir or glob) into
+    the typed pages shape (READ_SCHEMA). One task per file — the Common
+    Crawl parallelism unit; no shuffle, no schema inference."""
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return _parsed_frame(bin_df)
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Structured-Streaming WARC source: new files landing under ``path``
+    become micro-batches of typed pages rows — the archive-drop ingestion
+    pattern (a crawler ships finished .warc.gz segments into a directory;
+    downstream consumes them exactly-once via the stream checkpoint).
+    ``maxFilesPerTrigger`` bounds micro-batch size at scale. Composes with
+    streaming/ingest.py windowed aggregations on ``warc_ts`` and the
+    stateful first-seen dedup (tests/test_warc.py pins stream ≡ batch and
+    checkpointed incremental pickup)."""
+    # streaming sources require an explicit schema; binaryFile's is fixed
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("modificationTime", T.TimestampType(), False),
+            T.StructField("length", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_df = reader.load(path).select("path", "content")
+    return _parsed_frame(bin_df)

@@ -148,3 +148,36 @@ def test_warc_export_of_crawled_catalog(spark, tmp_path):
     assert manifest["n_records"].sum() == n
     back = read_warc(spark, out)
     assert _by_url(back) == _by_url(pages)
+
+
+def test_warc_stream_incremental_exactly_once(spark, tmp_path):
+    """Streaming WARC ingestion: segment drops become micro-batches; a
+    checkpointed re-run picks up ONLY new segments (exactly-once), and the
+    streamed row set equals the batch read of the same files."""
+    from news_crawler_slm_spark.sources.warc import read_warc_stream
+    from news_crawler_slm_spark.streaming.ingest import run_available_now
+
+    drops = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _pages_df(spark).where(F.col("position") < 2).coalesce(1)
+    write_warc(batch1, f"{drops}/seg-0000", compress=True)
+
+    stream = read_warc_stream(spark, drops).drop("warc_file")
+    run_available_now(stream, sink, ckpt)
+    got1 = spark.read.parquet(sink)
+    assert {r["url"] for r in got1.collect()} == {
+        r["url"] for r in batch1.collect()
+    }
+
+    # drop a second segment; same checkpoint -> only the new file streams
+    batch2 = _pages_df(spark).where(F.col("position") >= 2).coalesce(1)
+    write_warc(batch2, f"{drops}/seg-0001", compress=True)
+    run_available_now(read_warc_stream(spark, drops).drop("warc_file"), sink, ckpt)
+
+    streamed = spark.read.parquet(sink)
+    want = _by_url(read_warc(spark, drops))
+    got = _by_url(streamed)
+    assert got == want  # all four urls, each exactly once
+    assert streamed.count() == 4

@@ -90,3 +90,50 @@ def test_probe_joins_only_touched_buckets(spark, sf_dir):
     # disjoint shingles -> no cross pairs with the corpus; the two new
     # docs share 3 of 4 bands -> they pair with each other
     assert got == {(900001, 900002)}
+
+
+def test_crawl_snapshots_feed_incremental_index(spark, tmp_path):
+    """Composition with the crawl engine: each crawl round's pages DELTA
+    (read via snapshot time travel) is one dedup increment; after the
+    crawl, the accumulated pair set equals a batch sketch over the final
+    pages table. This is the production loop — the index grows with the
+    crawl, no round ever re-sketches history."""
+    from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+    from news_crawler_slm_spark.crawl.semantics import CrawlParams
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+    params = CrawlParams(round_budget=6.0, max_articles=12, max_rounds=4)
+    dfs = web_dataframes(spark, WebScale(n_hosts=8, pages_per_host_max=10, seed=11))
+    root = str(tmp_path / "cat")
+    run_crawl(spark, root, dfs["seeds"], dfs["robots"], synthetic_fetcher(dfs["web"]), params)
+    catalog = SnapshotCatalog(spark, root)
+
+    def docs_at(snap_id):
+        return (
+            catalog.read_table("pages", snap_id)
+            .select(F.xxhash64("url").alias("doc_id"), "text")
+        )
+
+    chain = list(reversed(catalog.lineage()))  # root -> current
+    index, got = None, set()
+    prev_ids = None
+    for snap in chain:
+        if "pages" not in snap.tables:
+            continue
+        cur = docs_at(snap.snapshot_id)
+        inc = (
+            cur if prev_ids is None
+            else cur.join(prev_ids, "doc_id", "left_anti")
+        )
+        if inc.take(1):
+            pairs, index = incremental_neardup(index, inc)
+            got |= _pairs(pairs)
+        prev_ids = cur.select("doc_id")
+
+    # batch twin over the final corpus
+    final = docs_at(None)
+    batch_pairs, _ = incremental_neardup(None, final)
+    assert got == _pairs(batch_pairs)
+    # a multi-round crawl really produced multiple increments
+    assert len([s for s in chain if "pages" in s.tables]) >= 3

@@ -72,6 +72,23 @@ def shingles_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda v: shingles(_as_str(v)))
 
 
+@F.pandas_udf(T.StringType())
+def strip_accents_nfc_udf(text: pd.Series) -> pd.Series:
+    """Unicode canonicalization (NFC + accent strip) — DuckDB twin is
+    strip_accents(nfc_normalize(x)); see functions/normalize.py."""
+    from .normalize import strip_accents_nfc
+
+    return text.map(lambda v: strip_accents_nfc(_as_str(v)))
+
+
+@F.pandas_udf(T.StringType())
+def repair_mojibake_udf(text: pd.Series) -> pd.Series:
+    """ftfy-style cp1252/latin-1 mojibake repair; see functions/normalize.py."""
+    from .normalize import repair_mojibake
+
+    return text.map(lambda v: repair_mojibake(_as_str(v)))
+
+
 # ------------------------------------------------------------ metric UDFs
 # (F7-F9, F11, F15 — functions/metrics.py holds the row semantics)
 

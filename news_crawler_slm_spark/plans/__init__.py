@@ -40,6 +40,8 @@ _DRIVER_FIRST = [
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked
+    "bigram_perplexity",  # new this round: never driver-checked
+    "unicode_normalize",  # new this round: never driver-checked
     "minhash_lsh_candidates",
     "unigram_perplexity",
     "count_per_source",
@@ -67,6 +69,10 @@ _DRIVER_FIRST = [
 # every run (tests/test_plans.py) — they rotate back to the front window
 # no later than r06 by the two-round-staleness rule above.
 _DRIVER_LAST = [
+    # displaced by the five never-checked r04 queries in the front window —
+    # both r03-hash-green, so they re-enter the front no later than r05:
+    "sessionization",
+    "events_running_rank",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "hourly_event_counts",

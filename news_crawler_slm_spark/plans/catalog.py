@@ -860,6 +860,89 @@ def unigram_perplexity(spark, sf_dir):
     )
 
 
+@register(
+    "bigram_perplexity",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2
+    ),
+    bc AS (
+      SELECT g, split_part(g, ' ', 1) AS w1, count(*) AS c12
+      FROM pairs GROUP BY g
+    ),
+    ctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    probs AS (
+      SELECT g, CAST(round(ln(c12 / c1) * 1000000.0, 0) AS BIGINT) AS lnp_micro
+      FROM bc JOIN ctx USING (w1)
+    )
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(exp(-(CAST(sum(pr.lnp_micro) AS DOUBLE) / 1000000.0)
+                     / count(*)), 4) AS bigram_perplexity
+    FROM pairs p JOIN probs pr USING (g)
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity: P(w2|w1) = c(w1 w2) / c(w1-as-context), scored
+    as exp(-mean(ln P)) over each document's token transitions.  The
+    first-order extension of ``unigram_perplexity`` — the CCNet-style
+    quality filter one modelling step up (context-conditioned instead of
+    marginal), with MLE probabilities over the corpus itself so every
+    transition being scored is observed (no smoothing term to diverge on).
+    Docs with fewer than two tokens have no transitions and no row (same
+    WHERE in the oracle).
+
+    Scale shape — where this differs from the unigram plan: the
+    probability dim is one row per DISTINCT BIGRAM, which grows with the
+    corpus (far past Heaps-law vocab) and is NOT broadcastable at 100 TB —
+    the occurrence->probability join keys on the bigram string and stays a
+    shuffle join (AQE broadcasts it automatically at small SF).  Bigram
+    construction reuses the codegen regexp window (word_windows, k=2) —
+    no per-token explode, no per-doc sequence window, shuffle-free until
+    the count.  The context denominator c(w1) is derived from the bigram
+    counts themselves (sum over w2) rather than a second corpus pass: one
+    extra shuffle over the already-aggregated dim, zero over occurrences.
+    Per-bigram ln P is quantized to integer micro-nats inside the dim
+    (|bigrams| rows, not per occurrence) then summed as BIGINT — the same
+    order-independent exactness discipline as unigram_perplexity.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+    big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
+    bc = big.groupBy("g").agg(F.count("*").alias("c12"))
+    bc = bc.withColumn("w1", F.split("g", " ").getItem(0))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    probs = bc.join(ctx, "w1").select(
+        "g",
+        F.round(F.log(F.col("c12") / F.col("c1")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    return (
+        big.join(probs, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lnp_micro").alias("__s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.exp(
+                    -(F.col("__s").cast("double") / F.lit(1000000.0))
+                    / F.col("n_bigrams")
+                ),
+                4,
+            ).alias("bigram_perplexity"),
+        )
+    )
+
+
 # ===========================================================================
 # Training-data pipeline ops (engine additions beyond the reference): batch
 # packing, decontamination, deterministic corpus shuffle.  The reference
@@ -1073,6 +1156,51 @@ def token_idf(spark, sf_dir):
         )
         .orderBy(F.col("df").desc(), "tok")
         .limit(50)
+    )
+
+
+@register(
+    "unicode_normalize",
+    r"""
+    WITH dec AS (
+      SELECT doc_id, translate(text, 'aeiou', 'àéîöü') AS dtext FROM documents
+    )
+    SELECT doc_id,
+           length(dtext) - length(translate(dtext, 'àéîöü', '')) AS n_accented,
+           md5(strip_accents(nfc_normalize(dtext))) AS norm_md5
+    FROM dec
+    """,
+)
+def unicode_normalize(spark, sf_dir):
+    """Unicode canonicalization (NFC + accent strip) as an Arrow-batched
+    scalar op — the fix for canonically-unnormalized crawl text, where
+    NFC/NFD representation mixtures make byte-equal-looking strings hash
+    apart and silently defeat exact dedup.  The synthetic corpus is pure
+    ASCII, so the query first DECORATES it deterministically (vowels →
+    accented vowels via translate, identically on both engines) and then
+    compares md5 of each engine's own normalization output: Spark runs the
+    Python unicodedata pipeline (functions/normalize.py via
+    strip_accents_nfc_udf), DuckDB runs strip_accents(nfc_normalize(x)) —
+    hash equality proves the two normalizers agree character-for-character
+    on the decorated class.  n_accented (chars the decoration touched) is
+    computed with builtin translate/length on both sides.
+
+    Scale shape: pure per-row projection — no shuffle, no join; the only
+    Python is one Arrow-vectorized UDF over the already-pruned (doc_id,
+    text) columns.  The companion mojibake repair (repair_mojibake_udf) is
+    the same plan shape; it has no SQL twin and is pinned by crafted-pair
+    tests instead (tests/test_text_ops.py).
+    """
+    from ..functions.udfs import strip_accents_nfc_udf
+
+    d = _t(spark, sf_dir, "documents")
+    dtext = F.translate(F.col("text"), "aeiou", "àéîöü")
+    return d.select(
+        "doc_id",
+        (F.length(dtext) - F.length(F.translate(dtext, "àéîöü", ""))).alias(
+            "n_accented"
+        ),
+        F.md5(strip_accents_nfc_udf(dtext)).alias("norm_md5"),
     )
 
 

@@ -1064,7 +1064,7 @@ def ann_ivf_topk(spark, sf_dir, k_cells: int = 10, nprobe: int = 2, k: int = 5):
 # distributed re-expression is the bounded-window form every Spark-scale
 # pipeline uses (fixed W-token windows, global first-occurrence keeps the
 # span) — same duplicated-span semantics for spans >= W, shuffle keys are
-# md5 window hashes, never document text.
+# 8-byte xxhash64 window hashes, never document text.
 # ===========================================================================
 
 _SUBSTR_W = 15
@@ -1113,15 +1113,17 @@ def substring_dup_stats(spark, sf_dir, w: int = _SUBSTR_W):
     doc's min pos — map-side combine eats the within-doc repetition; (2)
     pick the global keeper per hash with an unordered min(struct) window
     over the doc-level rows; (3) re-aggregate per doc. Every shuffle key
-    is the md5 hash (fixed 32 bytes) or doc_id; per-occurrence rows are
-    never sorted, and the explode is W x token count — linear in corpus
-    bytes, the standard trade vs the paper's single-node suffix array.
+    is the 8-byte xxhash64 window hash (a long, narrower to shuffle than a
+    32-char md5 string; the oracle keys on raw window text, so the hash
+    representation is free) or doc_id; per-occurrence rows are never
+    sorted, and the explode is W x token count — linear in corpus bytes,
+    the standard trade vs the paper's single-node suffix array.
     """
     d = _t(spark, sf_dir, "documents")
     wins = d.select(
         "doc_id",
         F.posexplode(word_windows(ws_normalize(F.col("text")), w)).alias("p0", "g"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("g").alias("h"))
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.xxhash64("g").alias("h"))
     per_doc = wins.groupBy("h", "doc_id").agg(
         F.count("*").alias("cnt"), F.min("pos").alias("min_pos")
     )
@@ -1168,10 +1170,12 @@ def substring_dedup_clean(spark, sf_dir, w: int = _SUBSTR_W):
     whitespace-normalized text.
 
     Scale shape: occurrence->keeper resolution is an aggregated-side join
-    on the md5 window hash (no per-occurrence window sort); covered token
-    indices explode W rows per duplicated window only; the rebuild is a
-    per-doc sorted collect bounded by document length (same discipline as
-    paragraph_dedup). All shuffles key on md5 hash or doc_id.
+    on the 8-byte xxhash64 window hash (no per-occurrence window sort;
+    long key, not a 32-char md5 string — the output clean_md5 is what the
+    oracle compares, the internal key is free); covered token indices
+    explode W rows per duplicated window only; the rebuild is a per-doc
+    sorted collect bounded by document length (same discipline as
+    paragraph_dedup). All shuffles key on the window hash or doc_id.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(ws_normalize(F.col("text")), " ").alias("t"))
@@ -1181,7 +1185,7 @@ def substring_dedup_clean(spark, sf_dir, w: int = _SUBSTR_W):
             F.when(F.size("t") >= w, word_windows(F.array_join(F.col("t"), " "), w))
             .otherwise(F.array().cast("array<string>"))
         ).alias("p0", "g"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("g").alias("h"))
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.xxhash64("g").alias("h"))
     keepers = wins.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("k"))
     dup_wins = wins.join(keepers, "h").where(
         F.struct("doc_id", "pos") != F.col("k")

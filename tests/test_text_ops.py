@@ -234,3 +234,68 @@ def test_word_windows_property_matches_pure_python(spark):
         toks = text.split()
         want = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
         assert got[i] == want, (text, k, got[i], want)
+
+
+# --------------------------------------------------- unicode normalization
+
+def _mojibake(s: str, passes: int = 1) -> str:
+    """Damage a clean string the way the wild does: UTF-8 bytes decoded as
+    latin-1 (C1 chars appear verbatim), `passes` times."""
+    for _ in range(passes):
+        s = s.encode("utf-8").decode("latin-1")
+    return s
+
+
+def test_repair_mojibake_crafted_pairs():
+    from news_crawler_slm_spark.functions.normalize import repair_mojibake
+
+    clean = ["Café crème", "naïve — dash", "“quoted”", "€99 œuvre"]
+    for c in clean:
+        assert repair_mojibake(_mojibake(c)) == c, c
+        # double-encoded unwraps too (one layer per pass)
+        assert repair_mojibake(_mojibake(c, 2)) == c, c
+
+    # untouched classes: pure ASCII, legitimately-accented text, and a lone
+    # marker char whose "repair" would not round-trip as UTF-8
+    for s in ["clean ascii text", "Café crème", "Ã"]:
+        assert repair_mojibake(s) == s, s
+
+
+def test_strip_accents_nfc_composed_equals_decomposed():
+    import unicodedata
+
+    from news_crawler_slm_spark.functions.normalize import strip_accents_nfc
+
+    composed = "école déjà vü"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # the dedup-defeating representation split
+    assert strip_accents_nfc(composed) == strip_accents_nfc(decomposed) == "ecole deja vu"
+    # non-decomposable letters pass through (ICU-less strip_accents behavior)
+    assert strip_accents_nfc("øđ") == "øđ"
+
+
+def test_normalize_udfs_match_pure_functions(spark):
+    from news_crawler_slm_spark.functions import normalize as NZ
+    from news_crawler_slm_spark.functions.udfs import (
+        repair_mojibake_udf,
+        strip_accents_nfc_udf,
+    )
+
+    rows = [
+        _mojibake("Café crème"),
+        _mojibake("“quoted”", 2),
+        "école",
+        "plain",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(rows)], ["i", "text"])
+    got = {
+        r["i"]: (r["m"], r["a"])
+        for r in df.select(
+            "i",
+            repair_mojibake_udf("text").alias("m"),
+            strip_accents_nfc_udf("text").alias("a"),
+        ).collect()
+    }
+    for i, s in enumerate(rows):
+        assert got[i] == (NZ.repair_mojibake(s), NZ.strip_accents_nfc(s)), s

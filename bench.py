@@ -81,6 +81,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "quality_features",
     "unigram_perplexity",
+    "bigram_perplexity",
     "doc_fingerprints_rolling",
     "token_budget_packing",
     "training_shuffle",

@@ -42,6 +42,7 @@ _DRIVER_FIRST = [
     "simhash_neardup_pairs",  # new this round: never driver-checked
     "bigram_perplexity",  # new this round: never driver-checked
     "unicode_normalize",  # new this round: never driver-checked
+    "nb_lang_classifier",  # new this round: never driver-checked
     "minhash_lsh_candidates",
     "unigram_perplexity",
     "count_per_source",
@@ -69,8 +70,9 @@ _DRIVER_FIRST = [
 # every run (tests/test_plans.py) — they rotate back to the front window
 # no later than r06 by the two-round-staleness rule above.
 _DRIVER_LAST = [
-    # displaced by the five never-checked r04 queries in the front window —
-    # both r03-hash-green, so they re-enter the front no later than r05:
+    # displaced by the six never-checked r04 queries in the front window —
+    # all three r03-hash-green, so they re-enter the front no later than r05:
+    "top_customers_per_nation",
     "sessionization",
     "events_running_rank",
     "q1_pricing_summary",

@@ -943,6 +943,142 @@ def bigram_perplexity(spark, sf_dir):
     )
 
 
+@register(
+    "nb_lang_classifier",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS tok
+      FROM documents
+    ),
+    dtok AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    ltc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    ltot AS (SELECT lang, sum(c) AS ct FROM ltc GROUP BY lang),
+    vsz AS (SELECT count(DISTINCT tok) AS v FROM toks),
+    prior AS (
+      SELECT lang,
+             CAST(round(ln(count(*) /
+                    CAST((SELECT count(*) FROM documents) AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT) AS lp
+      FROM documents GROUP BY lang
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    probs AS (
+      SELECT lt.lang, vb.tok,
+             CAST(round(ln((coalesce(c.c, 0) + 1) /
+                    CAST(lt.ct + (SELECT v FROM vsz) AS DOUBLE))
+                  * 1000000.0, 0) AS BIGINT) AS lpt
+      FROM vocab vb
+      CROSS JOIN ltot lt
+      LEFT JOIN ltc c ON c.lang = lt.lang AND c.tok = vb.tok
+    ),
+    scored AS (
+      SELECT d.doc_id, p.lang, pr.lp + sum(d.n * p.lpt) AS s
+      FROM dtok d JOIN probs p USING (tok) JOIN prior pr ON pr.lang = p.lang
+      GROUP BY d.doc_id, p.lang, pr.lp
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+      FROM scored
+    )
+    SELECT r.doc_id, r.lang AS pred_lang,
+           CAST(r.lang = t.lang AS INT) AS correct
+    FROM ranked r JOIN documents t USING (doc_id)
+    WHERE r.rn = 1
+    """,
+)
+def nb_lang_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, TRAINED AND SCORED in
+    one distributed plan — the corpus-scale analog of the fastText-style
+    linear classifiers real pipelines train for language-ID/quality
+    filtering (CCNet, RefinedWeb).  Training is nothing but aggregation:
+    per-(lang, token) counts, per-lang totals, vocabulary size, and doc
+    priors.  Scoring is a join: per-doc token counts x the Laplace-smoothed
+    log-probability dim, argmax over languages (ties broken by language
+    name, deterministically on both engines).  Complements
+    ``langid_heuristic`` (fixed marker lists): this one LEARNS its
+    parameters from the labeled corpus.
+
+    Exactness discipline: every log-probability — smoothed token prob
+    ln((c+1)/(ct+V)) and prior ln(n_l/N) — is quantized to integer
+    micro-nats INSIDE the parameter dims (|vocab|x|langs| and |langs|
+    rows), per-doc-lang scores are exact BIGINT sums (n * lpt), and the
+    argmax compares integers — no float summation order anywhere (the
+    value_stats_pop failure class).  Spark's argmax is min(struct(-s,
+    lang)) ≡ the oracle's row_number ORDER BY s DESC, lang.
+
+    Scale shape: the parameter dim is |vocab| x |langs| rows — Heaps-law
+    vocab times a small constant, broadcastable exactly like the unigram
+    perplexity dim (drop the hint past ~10^8 rows and AQE shuffle-joins on
+    tok, skew-free).  The scoring join fans each distinct (doc, tok) row
+    out |langs| times AFTER the per-doc count aggregation (map-side
+    combine eats within-doc repetition first); one final shuffle on doc_id
+    resolves the argmax.  Priors and V are 1-row/|langs|-row broadcasts.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dtok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    ltc = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    ltot = ltc.groupBy("lang").agg(F.sum("c").alias("ct"))
+    vsz = toks.agg(F.count_distinct("tok").alias("v"))
+    n_docs = d.agg(F.count("*").alias("n_all"))
+    prior = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            F.round(F.log(F.col("nl") / F.col("n_all").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    vocab = toks.select("tok").distinct()
+    probs = (
+        vocab.crossJoin(F.broadcast(ltot))
+        .join(ltc, ["lang", "tok"], "left")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("ct") + F.col("v")).cast("double")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lpt"),
+        )
+    )
+    scored = (
+        dtok.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("lpt")).alias("st"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("st") + F.col("lp")).alias("s"))
+    )
+    best = scored.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("s")).alias("ns"), F.col("lang"))).alias("b")
+    )
+    return (
+        best.select("doc_id", F.col("b.lang").alias("pred_lang"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )
+
+
 # ===========================================================================
 # Training-data pipeline ops (engine additions beyond the reference): batch
 # packing, decontamination, deterministic corpus shuffle.  The reference

@@ -299,3 +299,35 @@ def test_normalize_udfs_match_pure_functions(spark):
     }
     for i, s in enumerate(rows):
         assert got[i] == (NZ.repair_mojibake(s), NZ.strip_accents_nfc(s)), s
+
+
+def test_nb_lang_classifier_learns_separable_vocab(spark, tmp_path):
+    """Learning contract on a corpus NB must ace: three languages with
+    disjoint vocabularies plus shared filler. Every doc classified
+    correctly, despite a skewed prior that a prior-only classifier would
+    follow onto the minority classes' docs."""
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    vocab = {
+        "aa": ["alpha", "arch", "atom"],
+        "bb": ["beta", "bloom", "brink"],
+        "cc": ["gamma", "glade", "grove"],
+    }
+    docs = []
+    i = 0
+    # skewed: 12 aa docs, 4 bb, 4 cc — priors alone would call everything aa
+    for lang, n in (("aa", 12), ("bb", 4), ("cc", 4)):
+        for k in range(n):
+            toks = ["filler", "common"] + vocab[lang] * (2 + k % 3)
+            docs.append((i, " ".join(toks), lang))
+            i += 1
+    spark.createDataFrame(
+        [(d, t, l, "s0", len(t)) for d, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    fn, _ = REGISTRY["nb_lang_classifier"]
+    rows = {r["doc_id"]: r for r in fn(spark, str(tmp_path)).collect()}
+    assert len(rows) == len(docs)
+    truth = {d: l for d, _, l in docs}
+    assert all(r["pred_lang"] == truth[d] and r["correct"] == 1 for d, r in rows.items())

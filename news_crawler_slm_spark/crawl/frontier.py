@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 from ..functions import urls as U
 from ..operators.rank import with_global_rank
 from ..operators.topk import salted_top_k_per_group
+from . import semantics as SEM
 from .bloom import BloomFilter, CuckooFilter
 from .semantics import DEFAULT_CRAWL_DELAY, CrawlParams
 
@@ -47,6 +48,27 @@ def path_col(url: F.Column) -> F.Column:
 
 def is_fetchable_col(url: F.Column) -> F.Column:
     return url.startswith("http://") | url.startswith("https://")
+
+
+def is_trap_col(url: F.Column) -> F.Column:
+    """Column twin of semantics.is_trap (crawler-trap heuristics): over-long
+    URL, path deeper than TRAP_MAX_SEGMENTS, a path segment repeated 3+
+    times consecutively, or more than TRAP_MAX_QUERY_PARAMS query params.
+    Pure codegen string ops (slash/ampersand counts via regexp_replace
+    length deltas; one backreference rlike) — no UDF, no shuffle."""
+    no_q = F.regexp_replace(url, r"\?.*$", "")
+    q = F.regexp_extract(url, r"\?(.*)$", 1)
+    p = path_col(no_q)
+    n_seg = F.length(p) - F.length(F.regexp_replace(p, "/", ""))
+    n_params = F.when(q == "", F.lit(0)).otherwise(
+        F.length(q) - F.length(F.regexp_replace(q, "&", "")) + 1
+    )
+    return (
+        (F.length(url) > SEM.TRAP_MAX_URL_LEN)
+        | (n_seg > SEM.TRAP_MAX_SEGMENTS)
+        | p.rlike(r"(/[^/]+)\1{2,}")
+        | (n_params > SEM.TRAP_MAX_QUERY_PARAMS)
+    )
 
 
 def disallowed_col(url: F.Column, disallow: F.Column, allow: F.Column | None = None) -> F.Column:
@@ -97,6 +119,8 @@ def frontier_from_seeds(seeds: DataFrame, robots: DataFrame, params: CrawlParams
         .where(is_fetchable_col(F.col("url")))
         .withColumn("host", U.host_of(F.col("url")))
     )
+    if params.trap_filter:
+        s = s.where(~is_trap_col(F.col("url")))
     s = s.join(
         F.broadcast(robots.select("host", "disallow", "allow")), "host", "left"
     ).where(~disallowed_col(F.col("url"), F.col("disallow"), F.col("allow")))
@@ -226,6 +250,8 @@ def discover_links(fetched: DataFrame, robots: DataFrame, params: CrawlParams, r
     links = links.select(
         U.canonical_url(F.col("raw")).alias("url"), "parent_priority", "parent_depth"
     ).where(is_fetchable_col(F.col("url")))
+    if params.trap_filter:
+        links = links.where(~is_trap_col(F.col("url")))
     links = links.withColumn("host", U.host_of(F.col("url")))
     links = links.join(
         F.broadcast(robots.select("host", "disallow", "allow")), "host", "left"
@@ -246,6 +272,46 @@ def discover_links(fetched: DataFrame, robots: DataFrame, params: CrawlParams, r
             "depth",
             F.lit(rnd).alias("discovered_round"),
         )
+    )
+
+
+def reprioritize_frontier(
+    frontier: DataFrame, fetched: DataFrame, weight: float = 1.0
+) -> DataFrame:
+    """OPIC-lite frontier re-prioritization: blend observed in-degree into
+    queue priorities — new_priority = priority + weight * ln(1 + indeg),
+    where indeg counts in-links to each canonical URL across the fetched
+    pages' out_links. The seed/sitemap priorities say what we *planned* to
+    value; in-degree says what the web we actually crawled values (the
+    signal OPIC/PageRank-orderings approximate) — heavily-linked URLs
+    rise toward the front of their host's queue.
+
+    Scale shape: explode + canonicalize + count is one shuffle keyed on
+    url (uniform hash key); the frontier join is url-keyed and co-keyed
+    with that aggregation, so AQE plans at most one more exchange on the
+    (far smaller) count side. Monotone (weight >= 0 never demotes), pure
+    column math, schema-preserving — callers re-snapshot the result like
+    any frontier delta. ln is float, but priorities only ORDER the pop —
+    they never cross an oracle hash (the crawl contract is vs the
+    sequential simulator, which uses the same formula in its twin test).
+    """
+    indeg = (
+        fetched.select(F.explode_outer("out_links").alias("raw"))
+        .where(F.col("raw").isNotNull())
+        .select(U.canonical_url(F.col("raw")).alias("url"))
+        .where(is_fetchable_col(F.col("url")))
+        .groupBy("url")
+        .agg(F.count("*").alias("indeg"))
+    )
+    cols = frontier.columns
+    return (
+        frontier.join(indeg, "url", "left")
+        .withColumn(
+            "priority",
+            F.col("priority")
+            + F.lit(float(weight)) * F.log1p(F.coalesce(F.col("indeg"), F.lit(0))),
+        )
+        .select(*cols)
     )
 
 

@@ -83,6 +83,33 @@ def is_disallowed(
     return best_dis > best_allow
 
 
+# Crawler-trap heuristics (infinite URL spaces: calendars, session-id
+# echoes, faceted search): bounds chosen loose enough that no legitimate
+# news article URL trips them, tight enough to cut unbounded generators.
+TRAP_MAX_URL_LEN = 2048
+TRAP_MAX_SEGMENTS = 12  # path depth, counted as '/' occurrences in the path
+TRAP_MAX_QUERY_PARAMS = 8
+_TRAP_REPEAT = re.compile(r"(/[^/]+)\1{2,}")  # same segment 3+ times in a row
+
+
+def is_trap(url: str) -> bool:
+    """True for URLs that pattern-match crawler traps. Python twin of
+    frontier.is_trap_col (lockstep property test in tests/test_crawl.py):
+    over-long URL, over-deep path, a path segment repeating 3+ times
+    consecutively (/a/b/b/b/...), or an over-parameterized query string."""
+    if len(url) > TRAP_MAX_URL_LEN:
+        return True
+    no_q = url.split("?", 1)
+    p = path_of(no_q[0])
+    if p.count("/") > TRAP_MAX_SEGMENTS:
+        return True
+    if _TRAP_REPEAT.search(p):
+        return True
+    if len(no_q) == 2 and no_q[1] and no_q[1].count("&") + 1 > TRAP_MAX_QUERY_PARAMS:
+        return True
+    return False
+
+
 def host_budget(crawl_delay: float | None, round_budget: float, remaining_cap: int) -> int:
     """Politeness budget for one host in one round. Deterministic budget
     clock: counts, not wall time (SURVEY.md §4.2). At least one fetch per
@@ -111,3 +138,8 @@ class CrawlParams:
     # HTTP) executes exactly once and pages can never desynchronize from the
     # crawl log — at the cost of spilling raw html per round.
     cache_fetch: bool = False
+    # True: drop trap-shaped URLs (is_trap / frontier.is_trap_col) at seed
+    # insert and link discovery. Default False so crawl ordering stays
+    # bit-identical to the reference-equivalence simulator contract; turn
+    # on for open-web crawls where infinite URL spaces are the norm.
+    trap_filter: bool = False

@@ -73,17 +73,32 @@ def is_trap_col(url: F.Column) -> F.Column:
 
 def disallowed_col(url: F.Column, disallow: F.Column, allow: F.Column | None = None) -> F.Column:
     """RFC 9309 longest-match precedence (Column twin of
-    semantics.is_disallowed): blocked iff the longest matching Disallow
-    prefix is longer than the longest matching Allow prefix (Allow wins
-    ties)."""
+    semantics.is_disallowed): blocked iff the longest-rule matching
+    Disallow is longer than the longest-rule matching Allow (Allow wins
+    ties). Rules with the RFC's optional wildcards — ``*`` and trailing
+    ``$`` — are regex-translated per element (escape regex specials,
+    ``*`` → ``.*``, re-anchor the stripped ``$``); plain rules keep the
+    cheap codegen startswith. Only wildcard-bearing rules pay the dynamic
+    rlike — rare in the wild, and robots arrays are 1-5 entries."""
     p = path_col(url)
+
+    def rule_matches(r: F.Column) -> F.Column:
+        has_wild = r.contains("*") | r.endswith("$")
+        anchor = r.endswith("$")
+        body = F.regexp_replace(r, r"\$$", "")
+        esc = F.regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+        esc = F.regexp_replace(esc, "\\*", ".*")
+        pattern = F.concat(
+            F.lit("^"), esc, F.when(anchor, F.lit("$")).otherwise(F.lit(""))
+        )
+        return F.when(has_wild, F.rlike(p, pattern)).otherwise(p.startswith(r))
 
     def best_len(rules: F.Column) -> F.Column:
         return F.aggregate(
             rules,
             F.lit(0),
             lambda acc, r: F.when(
-                p.startswith(r) & (F.length(r) > acc), F.length(r)
+                rule_matches(r) & (F.length(r) > acc), F.length(r)
             ).otherwise(acc),
         )
 

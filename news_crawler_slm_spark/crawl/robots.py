@@ -15,9 +15,11 @@ requires it in-engine. Parsing follows RFC 9309 plus the de-facto
   Allow wins ties) — so ``Disallow: /`` + ``Allow: /news`` blocks the host
   EXCEPT the /news subtree (see semantics.is_disallowed / the
   frontier.disallowed_col Column twin);
-- rules are plain path PREFIXES — the RFC's optional ``*``/``$`` wildcards
-  are NOT supported (documented simplification; a wildcard rule is treated
-  as a literal prefix and in practice then matches nothing);
+- rules are path prefixes, plus the RFC's optional wildcards: ``*``
+  matches any character run and a trailing ``$`` anchors the rule at the
+  path end (matching in semantics.robots_rule_matches / the regex-
+  translated branch of frontier.disallowed_col; precedence still counts
+  the rule's literal octet length, per the RFC);
 - ``Disallow:``/``Allow:`` with empty value record no rule;
 - ``Crawl-delay`` applies per chosen group; non-numeric values ignored;
 - unknown directives and comments (#) are skipped; BOM tolerated.

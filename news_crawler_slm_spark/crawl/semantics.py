@@ -63,22 +63,40 @@ def path_of(url: str) -> str:
     return rest if rest.startswith("/") else "/" + rest if rest else "/"
 
 
+def robots_rule_matches(path: str, rule: str) -> bool:
+    """One robots rule against a path: plain rules are prefixes; rules
+    carrying RFC 9309's optional wildcards — ``*`` (any char run) and a
+    trailing ``$`` (end anchor) — are matched via regex translation.
+    Python twin of the per-element branch in frontier.disallowed_col."""
+    if "*" in rule or rule.endswith("$"):
+        anchor = rule.endswith("$")
+        body = rule[:-1] if anchor else rule
+        pat = ".*".join(re.escape(part) for part in body.split("*"))
+        return re.match(pat + ("$" if anchor else ""), path) is not None
+    return path.startswith(rule)
+
+
 def is_disallowed(
     url: str,
     disallow_prefixes: list[str] | None,
     allow_prefixes: list[str] | None = None,
 ) -> bool:
-    """RFC 9309 longest-match precedence: the most specific (longest)
-    matching rule wins; Allow wins ties. So 'Disallow: /' + 'Allow: /news'
-    blocks everything except the /news subtree."""
+    """RFC 9309 longest-match precedence: the most specific (longest-rule)
+    match wins; Allow wins ties. So 'Disallow: /' + 'Allow: /news' blocks
+    everything except the /news subtree. Specificity is the rule's OCTET
+    LENGTH (the RFC's metric) — wildcard rules count their literal length,
+    matching is robots_rule_matches."""
     if not disallow_prefixes:
         return False
     p = path_of(url)
-    best_dis = max((len(d) for d in disallow_prefixes if p.startswith(d)), default=0)
+    best_dis = max(
+        (len(d) for d in disallow_prefixes if robots_rule_matches(p, d)), default=0
+    )
     if best_dis == 0:
         return False
     best_allow = max(
-        (len(a) for a in (allow_prefixes or ()) if p.startswith(a)), default=0
+        (len(a) for a in (allow_prefixes or ()) if robots_rule_matches(p, a)),
+        default=0,
     )
     return best_dis > best_allow
 

@@ -128,3 +128,73 @@ def test_robots_table_stage(spark):
     assert got["a.com"] == (["/private", "/tmp"], [], 7.5)
     assert got["b.com"] == ([], [], DEFAULT_CRAWL_DELAY)
     assert got["c.com"] == (["/x"], ["/x/ok"], 3.0)
+
+
+# ------------------------------------------------------ RFC 9309 wildcards
+
+WILDCARD_CASES = [
+    # (rule, path, matches) — the RFC / Google reference examples
+    ("/fish*", "/fish", True),
+    ("/fish*", "/fishheads/yummy", True),
+    ("/fish*", "/Fish.asp", False),
+    ("/*.php", "/index.php", True),
+    ("/*.php", "/folder/filename.php?params", True),
+    ("/*.php", "/", False),
+    ("/*.php", "/windows.PHP", False),
+    ("/*.php$", "/filename.php", True),
+    ("/*.php$", "/filename.php?params", False),
+    ("/fish*.php", "/fishheads/catfish.php?params", True),
+    ("/fish*.php", "/Fish.PHP", False),
+    ("/p", "/page", True),  # plain prefix unchanged
+    ("/p$", "/p", True),  # anchor alone
+    ("/p$", "/page", False),
+    ("/a+b", "/a+b/c", True),  # regex specials in rules stay literal
+    ("/a.b", "/axb", False),
+]
+
+
+def test_wildcard_rule_matching_pure():
+    from news_crawler_slm_spark.crawl.semantics import robots_rule_matches
+
+    for rule, path, want in WILDCARD_CASES:
+        assert robots_rule_matches(path, rule) == want, (rule, path)
+
+
+def test_wildcard_precedence_uses_rule_length():
+    # Disallow /*.php (6 octets) vs Allow /folder (7 octets): Allow wins
+    # for /folder/x.php; Disallow still blocks /other.php
+    dis, allow = ["/*.php"], ["/folder"]
+    assert not is_disallowed("https://h/folder/x.php", dis, allow)
+    assert is_disallowed("https://h/other.php", dis, allow)
+
+
+def test_wildcard_column_twin_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.crawl.frontier import disallowed_col
+
+    rows = []
+    for i, (rule, path, _) in enumerate(WILDCARD_CASES):
+        rows.append((i, f"https://h{path}", [rule], []))
+    # plus longest-match interplay between wildcard and plain rules
+    rows.append((len(rows), "https://h/folder/x.php", ["/*.php"], ["/folder"]))
+    rows.append((len(rows), "https://h/other.php", ["/*.php"], ["/folder"]))
+    df = spark.createDataFrame(
+        rows, "i long, url string, dis array<string>, allow array<string>"
+    )
+    got = {
+        r["i"]: r["blocked"]
+        for r in df.select(
+            "i",
+            disallowed_col(F.col("url"), F.col("dis"), F.col("allow")).alias(
+                "blocked"
+            ),
+        ).collect()
+    }
+    for i, (rule, path, want) in enumerate(WILDCARD_CASES):
+        assert got[i] == is_disallowed(f"https://h{path}", [rule], []) == want, (
+            rule,
+            path,
+        )
+    assert got[len(WILDCARD_CASES)] is False
+    assert got[len(WILDCARD_CASES) + 1] is True

@@ -75,6 +75,27 @@ class BloomFilter:
             out &= (self.bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         return out
 
+    def stats(self) -> dict:
+        """Operational health: observed fill ratio, the standard occupancy
+        entry estimate n̂ = -(m/k)·ln(1-fill), and the resulting FPP
+        estimate fill^k. At 10^10-URL scale this is the signal that a
+        bucket outgrew its sizing (fill → 1 means the prefilter stops
+        filtering and every candidate pays the exact anti-join probe)."""
+        set_bits = int(np.unpackbits(self.bits).sum())
+        fill = set_bits / self.m_bits
+        est_entries = (
+            0.0 if fill >= 1.0 else -(self.m_bits / self.k) * math.log(1.0 - fill)
+        )
+        return {
+            "kind": "bloom",
+            "capacity": int(self.m_bits),
+            "occupied": set_bits,
+            "fill_ratio": fill,
+            "est_entries": est_entries,
+            "est_fpp": fill**self.k,
+            "saturated": fill > 0.95,
+        }
+
     # ------------------------------------------------------------------
     def to_bytes(self) -> bytes:
         header = np.array([self.m_bits, self.k], dtype=np.int64).tobytes()
@@ -190,6 +211,25 @@ class CuckooFilter:
         hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
         hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
         return hit1 | hit2
+
+    def stats(self) -> dict:
+        """Operational health: slot occupancy and FPP. An unsaturated
+        4-slot/16-bit-fingerprint cuckoo answers "maybe" for ~2·4/2^16 of
+        novel keys per probed bucket pair; a saturated one answers "maybe"
+        for everything (fpp 1.0) — the graceful-degradation flag callers
+        alert on (rebuild larger or accept full anti-join traffic)."""
+        occupied = int((self.table != 0).sum())
+        capacity = int(self.n_buckets * self.SLOTS)
+        load = occupied / capacity
+        return {
+            "kind": "cuckoo",
+            "capacity": capacity,
+            "occupied": occupied,
+            "fill_ratio": load,
+            "est_entries": float(occupied),
+            "est_fpp": 1.0 if self.saturated else 2 * self.SLOTS / 65536.0,
+            "saturated": bool(self.saturated),
+        }
 
     def to_bytes(self) -> bytes:
         header = np.array(

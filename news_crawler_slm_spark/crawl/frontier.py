@@ -509,6 +509,46 @@ class BloomStore:
 
         return candidates.repartition("bucket").mapInPandas(run, schema)
 
+    def health_report(self, spark, snap: int) -> DataFrame:
+        """Per-bucket filter health at snapshot ``snap``: fill ratio,
+        entry/FPP estimates, and the saturation flag — the operational
+        signal that a bucket outgrew its sizing. At 10^10 URLs a bloom
+        bucket drifting toward fill 1.0 silently stops prefiltering (every
+        candidate pays the exact anti-join) and a saturated cuckoo answers
+        maybe-for-everything; this report is what an operator alerts on to
+        resize/rebuild BEFORE that happens. Blob bytes never reach the
+        driver: the driver lists O(B) file names, executors load + count
+        via mapInPandas (same placement discipline as update/probe)."""
+        snap_dir = self._dir(snap)
+        rows = sorted(
+            (int(fn[len("bucket-") : -len(".bin")]), os.path.join(snap_dir, fn))
+            for fn in os.listdir(snap_dir)
+            if fn.startswith("bucket-") and fn.endswith(".bin")
+        )
+        from_bytes = self._from_bytes
+        out_schema = (
+            "bucket int, kind string, capacity long, occupied long, "
+            "fill_ratio double, est_entries double, est_fpp double, "
+            "saturated boolean"
+        )
+        cols = [
+            "bucket", "kind", "capacity", "occupied",
+            "fill_ratio", "est_entries", "est_fpp", "saturated",
+        ]
+
+        def run(batches):
+            for pdf in batches:
+                recs = []
+                for b, path in zip(pdf["bucket"], pdf["path"]):
+                    with open(path, "rb") as f:
+                        st = from_bytes(f.read()).stats()
+                    recs.append([int(b)] + [st[c] for c in cols[1:]])
+                yield pd.DataFrame(recs, columns=cols)
+
+        paths = spark.createDataFrame(rows, "bucket int, path string")
+        n_parts = max(1, min(len(rows), 32))
+        return paths.repartition(n_parts).mapInPandas(run, out_schema)
+
 
 def dedup_new_urls(
     candidates: DataFrame,

@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     catalog_joins,
     catalog_metrics,
     catalog_multimodal,
+    catalog_quality,
 )
 from .catalog import REGISTRY  # noqa: F401
 
@@ -37,6 +38,9 @@ from .catalog import REGISTRY  # noqa: F401
 # the vocab dim), then every query whose newest green driver row is r02 or
 # older (the r03 tail) — no query's newest row may age past two rounds.
 _DRIVER_FIRST = [
+    "gopher_quality_flags",  # new this round: never driver-checked
+    "top_ngram_char_fraction",  # new this round: never driver-checked
+    "semdedup_prune",  # new this round: never driver-checked (rows-only)
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked

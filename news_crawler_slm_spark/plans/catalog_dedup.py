@@ -1227,3 +1227,93 @@ def substring_dedup_clean(spark, sf_dir, w: int = _SUBSTR_W):
             F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
         )
     )
+
+
+# ===========================================================================
+# Semantic dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+# the embedding space, then prune within-cluster semantic duplicates by
+# pairwise cosine. The reference pipeline has no embedding-space dedup at
+# all; this is the third member of the engine's dedup ladder (exact ->
+# near-textual -> semantic), and the one that catches paraphrases and
+# re-writes the text-hash families cannot.
+# ===========================================================================
+
+
+@register("semdedup_prune", None)  # learned cells + engine hash seeds: no SQL twin
+def semdedup_prune(spark, sf_dir, k_cells: int = 10, tau: float = 0.7):
+    """SemDeDup semantic pruning: cluster embeddings with the engine's
+    deterministic k-means (ivf_kmeans_centroids — xxhash64 seed-pick,
+    integer-micro Lloyd iterations, exact fixed-point stop), then inside
+    each cell mark a vector PRUNED when an earlier-id vector in the same
+    cell has cosine >= tau (the deterministic keep-the-smallest-id form of
+    the paper's keep-one-per-duplicate-group; the paper keeps the vector
+    farthest from the centroid — id order makes the keeper reproducible
+    across partitionings and engines). Returns one row per vector:
+    (vec_id, cell, pruned, max_prior_cos).
+
+    Scale shape — why this survives 100 TB where naive all-pairs dies:
+    the quadratic is confined to a CELL, and cell size is a knob
+    (k_cells ~ N / target_cell_size; the paper runs 50k-vector clusters at
+    LAION scale). Per cell, applyInPandas sorts by vec_id and computes
+    blocked Gram products (4096-row blocks against the earlier prefix) —
+    O(block x cell) memory, never O(cell^2) at once, one BLAS matmul per
+    block. The only shuffle keys on the int cell id; driver state stays
+    O(k x dim) centroids. Bit-exact twin: tests/test_similarity.py
+    replicates the identical blocked computation in numpy.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    centroids = ivf_kmeans_centroids(spark, emb, k_cells)
+    cell_ids = sorted(centroids)
+    C = np.array([centroids[c] for c in cell_ids], dtype=np.float64)
+    C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+            if X.size == 0:
+                continue
+            idx = (X @ C_unit.T).argmax(axis=1)
+            out = pdf[["vec_id", "e"]].copy()
+            out["cell"] = [cell_ids[i] for i in idx]
+            yield out
+
+    assigned = emb.mapInPandas(assign, schema="vec_id long, e array<double>, cell int")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("pruned", T.BooleanType()),
+            T.StructField("max_prior_cos", T.DoubleType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.array([list(v) for v in pdf["e"]], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        n = len(pdf)
+        best = np.full(n, -np.inf)
+        block = 4096
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            G = Xn[s:e] @ Xn[:e].T  # block rows vs their earlier prefix
+            for j in range(s, e):
+                best[j] = G[j - s, :j].max()
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "pruned": best >= tau,
+                "max_prior_cos": [
+                    None if np.isinf(b) else round(float(b), 6) for b in best
+                ],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, schema=out_schema)

@@ -1,0 +1,199 @@
+"""Document-quality filter suites from the published web-corpus pipelines
+(engine additions; reference analog: the heuristics compute_statistics/*
+and filter_dataset.py apply one-at-a-time, here composed as the standard
+named rule-sets a 100 TB pretraining pipeline runs per document):
+
+- ``gopher_quality_flags`` — the Gopher word-statistics rules (Rae et al.
+  2021, "Scaling Language Models: ... Gopher", Table A1): word-count
+  bounds, mean-word-length band, alphabetic-word ratio, stop-word hits,
+  symbol-to-word ratio.
+- ``top_ngram_char_fraction`` — the Gopher repetition rule family: the
+  fraction of document characters covered by the single most frequent
+  word bigram.
+
+Both are pure per-document computations with full DuckDB oracle twins.
+``gopher_quality_flags`` is deliberately shuffle-FREE: every statistic is
+a per-row Column expression over the token array (no explode), so at
+100 TB it is a single codegen'd scan — quality gating must never cost a
+shuffle. ``top_ngram_char_fraction`` needs per-(doc, gram) counts, which
+is the one quality rule that genuinely requires an explode + local
+aggregation; its shuffle key is (doc_id, gram) — high-cardinality, skew-
+free by construction (per-doc grams), with map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import _t, register, word_windows, ws_normalize
+
+# The fixed stop list shared with quality_features (catalog.py) — the
+# Gopher rule counts how many DISTINCT stop words appear in the document
+# (the paper requires >= 2 of its 8-word list; same shape, our list).
+_STOP = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# Gopher Table A1 bounds (word-stat subset expressible without a tokenizer
+# model): 50 <= words <= 100000, 3 <= mean word length <= 10,
+# alpha-word ratio > 0.8, >= 2 distinct stop words, symbol-to-word < 0.1.
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+_MIN_MWL, _MAX_MWL = 3.0, 10.0
+_MIN_ALPHA = 0.8
+_MIN_STOP_HITS = 2
+_MAX_SYMBOL_RATIO = 0.1
+
+_GOPHER_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(length(w)) AS BIGINT) AS word_chars,
+             CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS alpha_words,
+             CAST(count(DISTINCT CASE WHEN lower(w) IN
+                    ('the','a','an','and','or','of','to','in','is','it')
+                  THEN lower(w) END) AS BIGINT) AS stop_hits
+      FROM toks GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT)
+               AS symbol_hits
+      FROM documents
+    )
+    SELECT p.doc_id,
+           p.n_words,
+           round(p.word_chars / CAST(p.n_words AS DOUBLE), 6) AS mean_word_len,
+           round(p.alpha_words / CAST(p.n_words AS DOUBLE), 6) AS alpha_ratio,
+           p.stop_hits,
+           s.symbol_hits,
+           (    p.n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+            AND p.word_chars / CAST(p.n_words AS DOUBLE)
+                  BETWEEN {_MIN_MWL} AND {_MAX_MWL}
+            AND p.alpha_words / CAST(p.n_words AS DOUBLE) > {_MIN_ALPHA}
+            AND p.stop_hits >= {_MIN_STOP_HITS}
+            AND s.symbol_hits / CAST(p.n_words AS DOUBLE) < {_MAX_SYMBOL_RATIO}
+           ) AS keep
+    FROM per p JOIN sym s USING (doc_id)
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher word-statistics quality rules as ONE shuffle-free projection.
+
+    Cross-engine notes: every ratio divides the same two exact integers on
+    both engines (identical IEEE doubles before the display round); the
+    keep flag compares the UNROUNDED ratios, which are bit-identical for
+    the same reason. ``alpha_words`` counts whitespace-delimited words
+    containing an ASCII letter with one regexp_extract_all pass — the
+    greedy ``\\S*[A-Za-z]\\S*`` match always extends to the word boundary,
+    so each qualifying word matches exactly once (no explode, no HOF
+    filter: both alternatives leave whole-stage codegen). ``stop_hits``
+    counts DISTINCT stop-list words present via 10 array_contains probes —
+    distinct-by-construction, still per-row.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    word_chars = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
+    alpha_words = F.size(
+        F.regexp_extract_all(ws_normalize(F.col("text")), F.lit(r"(\S*[A-Za-z]\S*)"), 1)
+    ).cast("long")
+    stop_hits = sum(
+        F.array_contains(ltoks, s).cast("int") for s in _STOP
+    ).cast("long")
+    symbol_hits = F.regexp_count("text", F.lit(r"#|\.\.\.")).cast("long")
+
+    mwl = word_chars / n_words.cast("double")
+    alpha_ratio = alpha_words / n_words.cast("double")
+    keep = (
+        n_words.between(_MIN_WORDS, _MAX_WORDS)
+        & mwl.between(_MIN_MWL, _MAX_MWL)
+        & (alpha_ratio > _MIN_ALPHA)
+        & (stop_hits >= _MIN_STOP_HITS)
+        & (symbol_hits / n_words.cast("double") < _MAX_SYMBOL_RATIO)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        symbol_hits.alias("symbol_hits"),
+        keep.alias("keep"),
+    )
+
+
+_TOP_NGRAM_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS nonspace_chars
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, nonspace_chars,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, nonspace_chars, g, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY doc_id, nonspace_chars, g
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      FROM gc
+    )
+    SELECT doc_id, g AS top_gram, c AS top_count,
+           round(c * length(replace(g, ' ', ''))
+                 / CAST(nonspace_chars AS DOUBLE), 6) AS top_gram_char_frac
+    FROM r WHERE rn = 1
+"""
+
+
+@register("top_ngram_char_fraction", _TOP_NGRAM_ORACLE)
+def top_ngram_char_fraction(spark, sf_dir):
+    """Gopher repetition rule: fraction of a document's non-space characters
+    covered by its single most frequent word BIGRAM (count x gram chars /
+    doc chars; Gopher rejects > 0.2 for 2-grams). Docs with < 2 tokens have
+    no bigram and no row — same WHERE on both engines.
+
+    Plan shape: bigrams come from the codegen regexp window (word_windows,
+    k=2 — no per-token explode), counted per (doc_id, gram) with map-side
+    partial aggregation, then ONE window over doc_id picks the argmax with
+    a total (count DESC, gram ASC) tie-break that both engines share. The
+    per-doc char denominator rides the rows (computed in the same scan),
+    so no join back to the documents table.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+    grams = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias(
+            "nonspace_chars"
+        ),
+        F.explode(word_windows(norm, 2)).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "nonspace_chars", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "g")
+    return (
+        gc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_gram"),
+            F.col("c").alias("top_count"),
+            F.round(
+                F.col("c")
+                * F.length(F.regexp_replace("g", " ", ""))
+                / F.col("nonspace_chars").cast("double"),
+                6,
+            ).alias("top_gram_char_frac"),
+        )
+    )

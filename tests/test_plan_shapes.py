@@ -67,3 +67,28 @@ def test_seen_dedup_exchanges_carry_no_html(spark):
         assert "html" not in ex.group(0), ex.group(0)
     popped.unpersist()
     slim.unpersist()
+
+
+def test_gopher_quality_flags_is_shuffle_free(spark):
+    """Quality gating must never cost a shuffle: the whole Gopher rule set
+    compiles to a single codegen'd projection over the scan — no Exchange,
+    no generate/explode node in the physical plan."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["gopher_quality_flags"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_top_ngram_single_shuffle_no_doc_join_back(spark):
+    """The repetition rule's plan budget: the gram count shuffles once on
+    (doc_id, chars, gram) and the argmax window repartitions on doc_id —
+    but there is NO join back to the documents table (the char denominator
+    rides the rows), so exactly one scan and zero join nodes."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["top_ngram_char_fraction"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

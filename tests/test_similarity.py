@@ -17,13 +17,11 @@ def _topk(spark, name):
     return out
 
 
-def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5, max_iters=8):
-    """Pure-numpy replication of the engine's whole IVF pipeline
-    (catalog_dedup.ivf_kmeans_centroids + ann_ivf_topk): xxhash64 seed-pick
-    init, Lloyd iterations with argmax-cosine assignment and EXACT
-    integer-micro centroid means (stop on integer-state fixed point, same
-    rule as the engine), re-assignment to learned centroids, nprobe cell
-    probe, exact re-rank."""
+def _kmeans_numpy_twin(ids, X, k_cells=10, max_iters=8):
+    """Pure-numpy replication of catalog_dedup.ivf_kmeans_centroids:
+    xxhash64 seed-pick init, Lloyd iterations with argmax-cosine assignment
+    and EXACT integer-micro centroid means, stop on integer-state fixed
+    point (same rule as the engine). Returns the learned centroid matrix."""
     import numpy as np
 
     from xxh64_oracle import xxh64_long
@@ -48,7 +46,17 @@ def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5, max_iters=8):
         if state == prev_state:
             break
         prev_state = state
+    return C
 
+
+def _ivf_numpy_twin(ids, X, k_cells=10, nprobe=2, k=5, max_iters=8):
+    """Pure-numpy replication of the engine's whole IVF pipeline
+    (catalog_dedup.ivf_kmeans_centroids + ann_ivf_topk): the k-means twin,
+    then re-assignment to learned centroids, nprobe cell probe, exact
+    re-rank."""
+    import numpy as np
+
+    C = _kmeans_numpy_twin(ids, X, k_cells=k_cells, max_iters=max_iters)
     cell_ids = list(range(C.shape[0]))
     C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
 
@@ -202,3 +210,86 @@ def test_lsh_on_random_corpus_floor(spark):
     assert all(len(v) <= 5 for v in lsh.values())
     recalls = [len(lsh.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.10
+
+
+def _semdedup_numpy_twin(ids, X, k_cells=10, tau=0.7, max_iters=8):
+    """Pure-numpy replication of catalog_dedup.semdedup_prune, including
+    the IDENTICAL 4096-row blocked Gram computation (same shapes -> same
+    BLAS kernels -> bit-identical doubles before the 6-decimal round)."""
+    import numpy as np
+
+    C = _kmeans_numpy_twin(ids, X, k_cells=k_cells, max_iters=max_iters)
+    C_unit = C / np.linalg.norm(C, axis=1, keepdims=True)
+    assigned = (X @ C_unit.T).argmax(axis=1)
+
+    want = {}
+    for c in np.unique(assigned):
+        mask = assigned == c
+        cids = ids[mask]
+        o = np.argsort(cids)
+        cids, M = cids[o], X[mask][o]
+        Xn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        n = len(cids)
+        best = np.full(n, -np.inf)
+        block = 4096
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            G = Xn[s:e] @ Xn[:e].T
+            for j in range(s, e):
+                best[j] = G[j - s, :j].max()
+        for j in range(n):
+            want[int(cids[j])] = (
+                int(c),
+                bool(best[j] >= tau),
+                None if np.isinf(best[j]) else round(float(best[j]), 6),
+            )
+    return want
+
+
+def _semdedup_rows(df):
+    return {
+        r.vec_id: (r.cell, r.pruned, r.max_prior_cos) for r in df.collect()
+    }
+
+
+def test_semdedup_matches_numpy_twin(spark):
+    """SemDeDup's contract: the engine's (cell, pruned, max_prior_cos) per
+    vector is reproduced exactly by the numpy twin — learned cells AND the
+    blocked within-cell prefix-max cosine are deterministic."""
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in emb])
+    X = np.array([r[1] for r in emb], dtype=np.float64)
+
+    got = _semdedup_rows(REGISTRY["semdedup_prune"][0](spark, SF))
+    want = _semdedup_numpy_twin(ids, X)
+    assert got == want
+    # isotropic-random corpus: near-orthogonal vectors, nothing at cos>=0.7
+    assert not any(p for (_c, p, _m) in got.values())
+
+
+def test_semdedup_prunes_planted_clusters(spark, tmp_path_factory):
+    """On the clustered corpus (within-cluster cosine ~0.9) SemDeDup must
+    prune most of each semantic group while KEEPING the smallest id of
+    every cell (the deterministic keeper rule): the survivor set is small
+    but never empty per cell."""
+    from news_crawler_slm_spark.plans import catalog_dedup as D
+
+    d, _exact, n = _planted_corpus(tmp_path_factory)
+    got = _semdedup_rows(D.semdedup_prune(spark, d, tau=0.8))
+    assert len(got) == n
+    by_cell: dict[int, list[int]] = {}
+    for vid, (cell, pruned, _m) in got.items():
+        if not pruned:
+            by_cell.setdefault(cell, []).append(vid)
+    # every cell keeps its smallest id, and the prune rate on 10 tight
+    # clusters of 50 is high (most members are semantic dups of the keeper)
+    for cell, keepers in by_cell.items():
+        cell_ids = [v for v, (c, _p, _m) in got.items() if c == cell]
+        assert min(cell_ids) in keepers
+    pruned_n = sum(1 for (_c, p, _m) in got.values() if p)
+    assert pruned_n >= 0.6 * n

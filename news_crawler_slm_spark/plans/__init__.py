@@ -41,6 +41,7 @@ _DRIVER_FIRST = [
     "gopher_quality_flags",  # new this round: never driver-checked
     "top_ngram_char_fraction",  # new this round: never driver-checked
     "semdedup_prune",  # new this round: never driver-checked (rows-only)
+    "c4_line_filter",  # new this round: never driver-checked
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked

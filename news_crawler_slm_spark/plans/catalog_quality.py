@@ -10,8 +10,11 @@ named rule-sets a 100 TB pretraining pipeline runs per document):
 - ``top_ngram_char_fraction`` — the Gopher repetition rule family: the
   fraction of document characters covered by the single most frequent
   word bigram.
+- ``c4_line_filter`` — the C4 line-level cleaning rules (Raffel et al.
+  2020): terminal punctuation, minimum words per line, javascript/brace/
+  lorem-ipsum blocklists, >= 3 surviving lines per document.
 
-Both are pure per-document computations with full DuckDB oracle twins.
+All are pure per-document computations with full DuckDB oracle twins.
 ``gopher_quality_flags`` is deliberately shuffle-FREE: every statistic is
 a per-row Column expression over the token array (no explode), so at
 100 TB it is a single codegen'd scan — quality gating must never cost a
@@ -196,4 +199,81 @@ def top_ngram_char_fraction(spark, sf_dir):
                 6,
             ).alias("top_gram_char_frac"),
         )
+    )
+
+
+_C4_ORACLE = r"""
+    WITH l AS (
+      SELECT doc_id,
+             list_transform(string_split(text, chr(10)),
+                            x -> trim(x, ' ' || chr(9) || chr(13))) AS ls
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, len(ls) AS n_lines,
+             list_filter(ls, x ->
+                right(x, 1) IN ('.', '!', '?', '"')
+                AND length(regexp_split_to_array(x, '\s+')) >= 5
+                AND NOT contains(lower(x), 'javascript')
+                AND NOT contains(x, '{')
+                AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           len(kept) >= 3 AS keep_doc,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+    FROM k
+"""
+
+
+@register("c4_line_filter", _C4_ORACLE)
+def c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning rules (Raffel et al. 2020, §2.2): keep a line
+    only if it ends in terminal punctuation, has >= 5 words, and contains
+    none of 'javascript' (any case), '{', or the 'lorem ipsum' placeholder;
+    a document survives (keep_doc) when >= 3 lines remain. Returns per-doc
+    line counts plus an md5 of the cleaned text so the gate compares the
+    full rebuilt string while the text itself stays distributed (same
+    discipline as substring_dedup_clean).
+
+    Plan shape: the whole rule set runs INSIDE the text column's array —
+    split / transform / filter higher-order expressions, so zero shuffles
+    and zero explodes at any scale (HOF lambdas are CodegenFallback but
+    still JVM-side and per-row; the alternative explode + groupBy(doc_id)
+    would shuffle every line of a 100 TB corpus). Terminal punctuation is
+    a last-char isin — not a '$'-anchored regex, whose multiline semantics
+    differ between engines.
+
+    The driver corpus is single-line word-soup (no newlines, no
+    punctuation), so every gate row is the degenerate n_kept = 0 case;
+    the rule-by-rule behavior on real multi-line text is pinned by the
+    crafted fixture in tests/test_quality.py against the same oracle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    # btrim with an explicit whitespace set: plain trim strips only spaces
+    # (identically on both engines), but C4 lines are stripped of tabs and
+    # carriage returns too
+    lines = F.transform(
+        F.split(F.col("text"), "\n"), lambda x: F.btrim(x, F.lit(" \t\r"))
+    )
+
+    def keep_line(x):
+        lx = F.lower(x)
+        return (
+            F.substring(x, -1, 1).isin(".", "!", "?", '"')
+            & (F.size(F.split(x, r"\s+")) >= 5)
+            & ~lx.contains("javascript")
+            & ~x.contains("{")
+            & ~lx.contains("lorem ipsum")
+        )
+
+    kept = F.filter(lines, keep_line)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(kept) >= 3).alias("keep_doc"),
+        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
     )

@@ -1,0 +1,89 @@
+"""Rule-by-rule behavior of the C4 line filter on REAL multi-line text —
+the driver corpus is single-line word-soup, so its gate rows only cover the
+degenerate all-dropped case; this fixture covers every individual rule and
+re-runs the exact production oracle SQL over the same fixture so the
+cross-engine contract is proven where the rules actually fire."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from news_crawler_slm_spark.plans import REGISTRY
+from news_crawler_slm_spark.plans.catalog_quality import _C4_ORACLE
+
+GOOD = "this line has at least five words."
+DOCS = [
+    # doc 0: three good lines -> keep_doc
+    (0, f"{GOOD}\n{GOOD[:-1]}!\nAnd a fifth good line here?"),
+    # doc 1: each line violates exactly one rule
+    (
+        1,
+        "\n".join(
+            [
+                "no terminal punctuation on this line",
+                "only four short words.",
+                f"JavaScript breaks {GOOD}",
+                "a curly brace { sinks this long line.",
+                f"Lorem Ipsum dolor sit amet, {GOOD}",
+                GOOD,  # the only survivor
+            ]
+        ),
+    ),
+    # doc 2: two good lines — survives line filter but not the 3-line rule
+    (2, f'{GOOD}\npadded with "quoted ending words right here."'),
+    # doc 3: empty text
+    (3, ""),
+    # doc 4: whitespace-padded lines must be trimmed before the checks
+    (4, f"   {GOOD}   \n\t{GOOD}\t\n {GOOD} "),
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("c4_docs"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+                "lang": pa.array(["en"] * len(DOCS)),
+                "source": pa.array(["fixture"] * len(DOCS)),
+                "n_chars": pa.array([len(t) for _, t in DOCS], pa.int32()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def _rows(df):
+    return {
+        r.doc_id: (r.n_lines, r.n_kept, r.keep_doc, r.clean_md5) for r in df.collect()
+    }
+
+
+def test_c4_rules_fire_individually(spark, fixture_dir):
+    got = _rows(REGISTRY["c4_line_filter"][0](spark, fixture_dir))
+    assert got[0][:3] == (3, 3, True)
+    # doc 1: five violating lines (one per rule) + one survivor
+    assert got[1][:3] == (6, 1, False)
+    assert got[2][:3] == (2, 2, False)
+    assert got[3][:3] == (1, 0, False)
+    # doc 4: trimming rescues all three padded lines
+    assert got[4][:3] == (3, 3, True)
+
+
+def test_c4_fixture_matches_oracle_on_multiline_text(spark, fixture_dir):
+    got = _rows(REGISTRY["c4_line_filter"][0](spark, fixture_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fixture_dir}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(_C4_ORACLE).fetchall()
+    }
+    assert got == want

@@ -118,6 +118,19 @@ def budget_col(crawl_delay: F.Column, round_budget: float, remaining: F.Column) 
     return F.greatest(F.lit(0).cast("long"), F.least(b, remaining))
 
 
+def aimd_delay_col(cur: F.Column, base: F.Column, had_fail: F.Column) -> F.Column:
+    """Column twin of semantics.aimd_delay (adaptive politeness): failure
+    rounds double the host's effective delay up to ADAPTIVE_DELAY_MAX,
+    all-success rounds recover it toward the robots base (never below)."""
+    from .semantics import ADAPTIVE_BACKOFF, ADAPTIVE_DELAY_MAX, ADAPTIVE_RECOVER
+
+    b = F.when(base.isNull() | (base <= 0), F.lit(DEFAULT_CRAWL_DELAY)).otherwise(base)
+    c = F.when(cur.isNull() | (cur <= 0), b).otherwise(cur)
+    return F.when(
+        had_fail, F.least(F.lit(ADAPTIVE_DELAY_MAX), c * ADAPTIVE_BACKOFF)
+    ).otherwise(F.greatest(b, c / F.lit(ADAPTIVE_RECOVER)))
+
+
 # --------------------------------------------------------------------------
 # Frontier construction / insertion
 # --------------------------------------------------------------------------
@@ -173,6 +186,7 @@ def pop_round_raw(
     robots: DataFrame,
     host_counts: DataFrame,
     params: CrawlParams,
+    host_delays: DataFrame | None = None,
 ) -> DataFrame:
     """W5 — per-host top-budget pop WITHOUT the global sequence.
 
@@ -180,16 +194,30 @@ def pop_round_raw(
     pop bookkeeping columns). ``attach_seq`` adds the deterministic fetch
     sequence; callers that materialize the pop first (rounds.build_round)
     pass the known count so the seq implementation can be chosen by size.
+
+    With ``host_delays`` (adaptive politeness, (host, delay_eff) — bounded
+    like host_counts and broadcast the same way), the budget divides by
+    the GREATER of the robots delay and the adaptive delay: backoff can
+    only slow a host down, never undercut its declared politeness.
     """
-    budgets = (
+    per_host = (
         frontier.select("host")
         .distinct()
         .join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
         .join(F.broadcast(host_counts), "host", "left")
-        .select(
+    )
+    delay = F.col("crawl_delay")
+    if host_delays is not None:
+        per_host = per_host.join(F.broadcast(host_delays), "host", "left")
+        delay = F.greatest(
+            F.coalesce(F.col("crawl_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+            F.coalesce(F.col("delay_eff"), F.lit(0.0)),
+        )
+    budgets = (
+        per_host.select(
             "host",
             budget_col(
-                F.col("crawl_delay"),
+                delay,
                 params.round_budget,
                 F.lit(params.max_articles).cast("long")
                 - F.coalesce(F.col("fetched"), F.lit(0)).cast("long"),

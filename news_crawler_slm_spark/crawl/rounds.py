@@ -94,6 +94,10 @@ class CrawlState:
     frontier: DataFrame
     seen: DataFrame
     host_counts: DataFrame
+    # adaptive politeness only (params.adaptive_politeness): (host,
+    # delay_eff) — None when the feature is off, so the default crawl's
+    # state shape (and its snapshots) are byte-identical to before
+    host_delays: DataFrame | None = None
 
 
 @dataclass
@@ -103,6 +107,7 @@ class RoundDeltas:
     seen_delta: DataFrame
     pages_delta: DataFrame
     log_delta: DataFrame
+    host_delays: DataFrame | None = None  # full rewrite (adaptive politeness)
 
 
 def _empty(spark: SparkSession, ddl: str) -> DataFrame:
@@ -117,6 +122,11 @@ def init_state(
         frontier=frontier_from_seeds(seeds, robots, params),
         seen=_empty(spark, "bucket int, url_hash long, url string"),
         host_counts=_empty(spark, "host string, fetched long"),
+        host_delays=(
+            _empty(spark, "host string, delay_eff double")
+            if params.adaptive_politeness
+            else None
+        ),
     )
 
 
@@ -150,7 +160,9 @@ def build_round(
     exactly once, and pages can never desynchronize from the crawl log."""
     rnd = state.round + 1
 
-    popped_raw = pop_round_raw(state.frontier, robots, state.host_counts, params).cache()
+    popped_raw = pop_round_raw(
+        state.frontier, robots, state.host_counts, params, state.host_delays
+    ).cache()
     t_pop = time.monotonic()
     n_popped = popped_raw.count()
     pop_latency = time.monotonic() - t_pop
@@ -207,12 +219,41 @@ def build_round(
         .agg(F.sum("fetched").alias("fetched"))
     )
 
+    delays_new = None
+    if params.adaptive_politeness and state.host_delays is not None:
+        from .frontier import aimd_delay_col
+
+        # one row per host touched this round: did ANY fetch fail?
+        outcomes = fetched_slim.groupBy("host").agg(
+            (F.sum(F.when(F.col("fetch_ok"), 0).otherwise(1)) > 0).alias("had_fail")
+        )
+        # full-outer merge with current delays: touched hosts step by the
+        # AIMD rule, untouched hosts carry their delay unchanged (recovery
+        # only happens on rounds the host actually served)
+        delays_new = (
+            state.host_delays.join(outcomes, "host", "full_outer")
+            .join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+            .select(
+                "host",
+                F.when(
+                    F.col("had_fail").isNull(), F.col("delay_eff")
+                )
+                .otherwise(
+                    aimd_delay_col(
+                        F.col("delay_eff"), F.col("crawl_delay"), F.col("had_fail")
+                    )
+                )
+                .alias("delay_eff"),
+            )
+        )
+
     deltas = RoundDeltas(
         frontier=frontier_rest.unionByName(novel),
         host_counts=counts_new,
         seen_delta=popped_raw.select("bucket", "url_hash", "url"),
         pages_delta=pages_delta,
         log_delta=log_delta,
+        host_delays=delays_new,
     )
     return deltas, popped_raw, cache_handle, n_popped, pop_latency
 
@@ -268,6 +309,13 @@ def run_crawl(
             frontier=catalog.read_table("frontier"),
             seen=catalog.read_table("seen"),
             host_counts=catalog.read_table("host_counts"),
+            host_delays=(
+                catalog.read_table("host_delays")
+                if params.adaptive_politeness and "host_delays" in snap.tables
+                else _empty(spark, "host string, delay_eff double")
+                if params.adaptive_politeness
+                else None
+            ),
         )
     else:
         state = init_state(spark, seeds, robots, params)
@@ -314,9 +362,15 @@ def run_crawl(
                 "failed": int(got["n"] - got["fetched"]),
             }
 
+        rewrite_tables = {
+            "frontier": deltas.frontier,
+            "host_counts": deltas.host_counts,
+        }
+        if deltas.host_delays is not None:
+            rewrite_tables["host_delays"] = deltas.host_delays
         snap = catalog.commit(
             rnd,
-            tables={"frontier": deltas.frontier, "host_counts": deltas.host_counts},
+            tables=rewrite_tables,
             appends={
                 "seen": deltas.seen_delta,
                 "pages": deltas.pages_delta,
@@ -348,6 +402,11 @@ def run_crawl(
             frontier=catalog.read_table("frontier"),
             seen=catalog.read_table("seen"),
             host_counts=catalog.read_table("host_counts"),
+            host_delays=(
+                catalog.read_table("host_delays")
+                if deltas.host_delays is not None
+                else None
+            ),
         )
         if on_round is not None:
             on_round(rnd, counters, time.monotonic() - t_round, pop_latency)

@@ -161,3 +161,31 @@ class CrawlParams:
     # bit-identical to the reference-equivalence simulator contract; turn
     # on for open-web crawls where infinite URL spaces are the norm.
     trap_filter: bool = False
+    # True: per-host AIMD politeness — any failed fetch from a host doubles
+    # its effective crawl delay (capped at ADAPTIVE_DELAY_MAX), an
+    # all-success round recovers it toward the robots base; the effective
+    # delay feeds the politeness budget, so a struggling host's pop rate
+    # backs off automatically. Default False: the simulator-equivalence
+    # contract pins budgets to the robots-declared delay alone.
+    adaptive_politeness: bool = False
+
+
+# Adaptive politeness (AIMD-style): multiplicative backoff on any fetch
+# failure from a host, multiplicative recovery toward the robots base delay
+# on an all-success round. Bounded above so one flaky host can't freeze its
+# queue forever; never below the robots-declared base (politeness floor).
+ADAPTIVE_DELAY_MAX = 64.0
+ADAPTIVE_BACKOFF = 2.0
+ADAPTIVE_RECOVER = 1.5
+
+
+def aimd_delay(cur: float | None, base: float | None, had_fail: bool) -> float:
+    """Next effective crawl delay for a host given this round's outcome.
+    Python twin of frontier.aimd_delay_col (lockstep property test in
+    tests/test_adaptive.py). ``base`` is the robots crawl_delay (defaulted);
+    ``cur`` None means the host has no adaptive state yet."""
+    b = base if base and base > 0 else DEFAULT_CRAWL_DELAY
+    c = cur if cur and cur > 0 else b
+    if had_fail:
+        return min(ADAPTIVE_DELAY_MAX, c * ADAPTIVE_BACKOFF)
+    return max(b, c / ADAPTIVE_RECOVER)

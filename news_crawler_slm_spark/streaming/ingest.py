@@ -74,3 +74,54 @@ def run_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def sliding_token_counts(
+    pages: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window token counts over the pages firehose — the trending-
+    terms primitive (each event lands in window/slide overlapping windows;
+    F.window emits them all, so no self-union). Streaming-legal shape:
+    watermark -> explode -> window+token groupBy; state per (window, token)
+    is evicted once the watermark passes the window end, so state is
+    bounded by (windows in flight) x (vocab per window), never the corpus.
+
+    Top-k selection is NOT in this query on purpose: rank-over-window isn't
+    expressible inside a streaming aggregation (it would need the closed
+    window), so the k-cut runs as the ``trending_tokens`` batch query over
+    the drained sink — the standard split for this pattern.
+    """
+    toks = pages.withWatermark("warc_ts", watermark).select(
+        "warc_ts",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    return (
+        toks.where(F.col("token") != "")
+        .groupBy(F.window("warc_ts", window, slide).alias("w"), "token")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "token",
+            "n",
+        )
+    )
+
+
+def trending_tokens(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Per-window top-k over a (window_start, window_end, token, n) counts
+    table (the ``sliding_token_counts`` sink): rank partitioned by window
+    with a total (n DESC, token ASC) tie-break. Batch side of the split —
+    partition-local window, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.desc("n"), "token"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -323,3 +323,59 @@ def test_quality_gate_stream_equals_batch(spark, tmp_path):
     want_m = {r["url"]: (r["n_tokens"], round(r["punct_ratio"], 9), round(r["stopword_ratio"], 9)) for r in batch}
     assert got_m == want_m
     assert set(got_m) == {"https://q/keep1", "https://q/keep2"}  # rejects really dropped
+
+
+def test_sliding_token_trends_match_batch_twin(spark, tmp_path):
+    """Sliding windows: every token occurrence must land in BOTH overlapping
+    windows (1h window / 30m slide), the drained stream must equal the
+    batch twin of the same files, and the top-k cut must rank per window
+    with the deterministic (n DESC, token ASC) tie-break. Complete-mode
+    memory sink: append would hold back windows the 2h watermark has not
+    closed (the same protocol as the tumbling-window twin test above)."""
+    from news_crawler_slm_spark.streaming.ingest import (
+        sliding_token_counts,
+        trending_tokens,
+    )
+
+    src = str(tmp_path / "pages")
+    _write_pages(spark, src, _BATCH1 + _BATCH2)
+
+    q = (
+        sliding_token_counts(pages_stream(spark, src), "1 hour", "30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("toktrend")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.sql("select * from toktrend")
+    got = {
+        (r.window_start, r.window_end, r.token): r.n for r in counts.collect()
+    }
+
+    batch = spark.read.schema(schemas.PAGES).parquet(src)
+    twin = {
+        (r.window_start, r.window_end, r.token): r.n
+        for r in sliding_token_counts(batch, "1 hour", "30 minutes").collect()
+    }
+    assert got == twin and len(got) > 0
+    # "hello" at 00:05 lands in [23:30,00:30) AND [00:00,01:00)
+    hello = {(k[0], k[1]) for k in got if k[2] == "hello"}
+    assert (dt.datetime(2025, 12, 31, 23, 30), dt.datetime(2026, 1, 1, 0, 30)) in hello
+    assert (dt.datetime(2026, 1, 1, 0, 0), dt.datetime(2026, 1, 1, 1, 0)) in hello
+
+    top = trending_tokens(counts, k=2)
+    per_window: dict[tuple, list] = {}
+    for r in top.collect():
+        per_window.setdefault((r.window_start, r.window_end), []).append(
+            (r.rank, r.n, r.token)
+        )
+    assert per_window
+    for _w, rows in per_window.items():
+        assert len(rows) <= 2
+        rows.sort()
+        # ranks are 1..k and ordered by (n desc, token asc)
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        for (_r1, n1, t1), (_r2, n2, t2) in zip(rows, rows[1:]):
+            assert (-n1, t1) <= (-n2, t2)

@@ -1,0 +1,127 @@
+"""Distributed PageRank over a link graph with EXACT integer arithmetic.
+
+The frontier's OPIC-lite re-prioritization (crawl/frontier.py:
+reprioritize_frontier) blends raw in-degree; PageRank is the fixed-point
+version of that signal — what large crawl schedulers actually rank hosts
+and URLs by. The reference has no link analysis at all (it crawls a fixed
+publisher list, crawl_articles.py); this operator exists for the open-web
+tier where the frontier is 10^10 URLs and "what the web values" must be
+computed, not configured.
+
+Determinism contract (same discipline as ivf_kmeans_centroids /
+unigram_perplexity): every iteration is pure 64-bit integer arithmetic in
+micro-rank units —
+
+  contrib(e)   = rank_micro[src] // outdeg[src]        (exact int division)
+  rank'_micro  = teleport + (d_num * (Σ contrib + dangling_share)) // d_den
+
+so the reduction is order-independent and the trajectory is bit-identical
+on any partitioning, replicated exactly by the pure-python twin in
+tests/test_pagerank.py. The truncation each step loses < 1 micro-unit per
+edge — irrelevant for ORDERING, which is what priorities are.
+
+Scale shape: per iteration ONE shuffle joining ranks to edges on src
+(edges pre-keyed by src; outdeg precomputed once and carried on the edge
+rows, so no per-iteration degree join) and ONE aggregation shuffle on dst.
+Dangling mass is a single scalar aggregate (O(1) driver state per
+iteration — the only collect). Edges persist MEMORY_AND_DISK for the loop,
+the standard cache-for-iterations trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+# damping 0.85 as an exact rational so both engines/twins share it
+D_NUM, D_DEN = 85, 100
+
+
+def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame:
+    """PageRank over (src, dst) string edges; returns (node, rank_micro,
+    rank). Early-stops when the total absolute micro-rank change is
+    <= tol_micro (0 = exact integer fixed point).
+
+    Duplicate edges count once (a page linking twice is one endorsement —
+    matches the seen-dedup discipline of the crawl); self-loops count.
+    """
+    from pyspark import StorageLevel
+
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node string, rank_micro long, rank double")
+
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg rides the edge rows: no per-iteration degree join
+    ek = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ek.count()
+
+    teleport = ((D_DEN - D_NUM) * MICRO) // (D_DEN * n_nodes)
+    ranks = nodes.select("node", F.lit(MICRO // n_nodes).cast("long").alias("rm"))
+
+    try:
+        for _ in range(iters):
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            # dangling nodes: their whole mass teleports uniformly
+            dangling = (
+                ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+                .agg(F.coalesce(F.sum("rm"), F.lit(0)).cast("long"))
+                .collect()[0][0]
+            )
+            dangling_share = dangling // n_nodes
+            contribs = (
+                ek.join(ranks, ek.src == ranks.node)
+                .select("dst", (F.col("rm") / F.col("outdeg")).cast("long").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            new_ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + (
+                            F.lit(D_NUM)
+                            * (F.coalesce(F.col("s"), F.lit(0)) + F.lit(dangling_share))
+                        )
+                        / F.lit(D_DEN)
+                    )
+                    .cast("long")
+                    .alias("rm"),
+                )
+            )
+            if tol_micro > 0:
+                delta = (
+                    new_ranks.alias("a")
+                    .join(ranks.alias("b"), "node")
+                    .agg(F.sum(F.abs(F.col("a.rm") - F.col("b.rm"))))
+                    .collect()[0][0]
+                )
+                prev = ranks
+                ranks = new_ranks
+                prev.unpersist()
+                if delta <= tol_micro:
+                    break
+            else:
+                prev = ranks
+                ranks = new_ranks
+                prev.unpersist()
+    finally:
+        ek.unpersist()
+        nodes.unpersist()
+
+    return ranks.select(
+        "node",
+        F.col("rm").alias("rank_micro"),
+        (F.col("rm") / F.lit(float(MICRO))).alias("rank"),
+    )

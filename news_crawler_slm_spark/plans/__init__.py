@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     catalog_metrics,
     catalog_multimodal,
     catalog_quality,
+    catalog_search,
 )
 from .catalog import REGISTRY  # noqa: F401
 
@@ -42,6 +43,8 @@ _DRIVER_FIRST = [
     "top_ngram_char_fraction",  # new this round: never driver-checked
     "semdedup_prune",  # new this round: never driver-checked (rows-only)
     "c4_line_filter",  # new this round: never driver-checked
+    "token_postings",  # new this round: never driver-checked
+    "tfidf_search",  # new this round: never driver-checked
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked

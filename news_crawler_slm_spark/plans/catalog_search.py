@@ -1,0 +1,129 @@
+"""Corpus search primitives: inverted-index posting lists and TF-IDF
+keyword scoring (engine additions; the reference has no search surface at
+all — these are the query-side complement of the vocab/IDF statistics the
+catalog already computes, and the operators a corpus-exploration UI runs
+against a 100 TB crawl).
+
+Both carry full DuckDB oracles. Cross-engine discipline: IDF is quantized
+to integer micro-nats INSIDE the per-token dim (|vocab| rows), scores are
+exact BIGINT sums of tf x idf_micro — the same order-independent trick as
+unigram_perplexity. Posting lists are sorted and capped, so array values
+hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import _t, register
+
+_POSTINGS_CAP = 20
+
+_POSTINGS_ORACLE = rf"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           (list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}] AS postings
+    FROM toks GROUP BY token
+"""
+
+
+@register("token_postings", _POSTINGS_ORACLE)
+def token_postings(spark, sf_dir, cap: int = _POSTINGS_CAP):
+    """Inverted-index posting lists: per token, document frequency and the
+    first ``cap`` doc_ids (sorted). The cap bounds the output row width —
+    a stop-word's full posting list at corpus scale IS the corpus, and an
+    uncapped collect_list on it is the classic inverted-index hot-key
+    blow-up (same hazard class as the LSH band buckets; real indexes
+    shard or skip-list exactly these). df stays exact either way.
+
+    Plan shape: explode -> per (doc, token) dedup rides the SAME shuffle
+    as the token aggregation (partial-aggregate distinct), one shuffle
+    total on token; sort_array + slice are per-row codegen.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).distinct()
+    return toks.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("postings"),
+    )
+
+
+# fixed demo query — three mid-frequency corpus terms (the oracle embeds
+# the same list; parameterized callers build the same plan with their own)
+_QUERY_TOKENS = ["spark", "window", "merge"]
+
+_TFIDF_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks
+      WHERE token IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, token
+    ),
+    idf AS (
+      SELECT token,
+             CAST(round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                           / count(DISTINCT doc_id)) * 1000000.0, 0) AS BIGINT)
+               AS idf_micro
+      FROM toks WHERE token IN ('spark', 'window', 'merge') GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf * i.idf_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf t JOIN idf i USING (token)
+    GROUP BY t.doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register("tfidf_search", _TFIDF_ORACLE)
+def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
+    """TF-IDF keyword search: top-k documents for a fixed token set, score
+    = sum over matched terms of tf(term, doc) x idf_micro(term). IDF uses
+    ln(N/df) quantized inside the per-token dim; scores are exact BIGINT.
+
+    Plan shape: the WHERE isin(query) prunes the explode to query terms
+    BEFORE any shuffle (the scan + filter stage emits only matching
+    occurrences — at 100 TB this is the difference between shuffling the
+    corpus and shuffling the hits); the idf dim is |query| rows, broadcast;
+    top-k is a global TakeOrdered with (score DESC, doc_id) tie-break, no
+    full sort.
+    """
+    q = query or _QUERY_TOKENS
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    hits = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    ).where(F.col("token").isin(q))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = hits.groupBy("token").agg(
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")) * 1000000.0, 0
+        )
+        .cast("long")
+        .alias("idf_micro")
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )

@@ -1,0 +1,71 @@
+"""PageRank operator: bit-exact vs a pure-python integer twin, plus the
+ordering sanity a rank signal must have (hub outranks leaves, dangling
+mass handled)."""
+
+from __future__ import annotations
+
+from news_crawler_slm_spark.operators.pagerank import D_DEN, D_NUM, MICRO, pagerank
+
+EDGES = [
+    # a tiny web: hub gets linked from everyone; one dangling node (sink)
+    ("a", "hub"),
+    ("b", "hub"),
+    ("c", "hub"),
+    ("hub", "a"),
+    ("hub", "sink"),
+    ("a", "b"),
+    ("b", "c"),
+    ("c", "a"),
+    ("c", "a"),  # duplicate edge: counts once
+]
+
+
+def _twin(edges, iters=10):
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    teleport = ((D_DEN - D_NUM) * MICRO) // (D_DEN * n)
+    rm = {v: MICRO // n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(rm[v] for v in nodes if v not in out)
+        share = dangling // n
+        s = {v: 0 for v in nodes}
+        for src, dst in e:
+            s[dst] += rm[src] // out[src]
+        rm = {v: teleport + (D_NUM * (s[v] + share)) // D_DEN for v in nodes}
+    return rm
+
+
+def test_pagerank_matches_integer_twin(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r.node: r.rank_micro for r in pagerank(df, iters=10).collect()}
+    assert got == _twin(EDGES, iters=10)
+
+
+def test_pagerank_ordering_and_dangling(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    res = {r.node: r.rank_micro for r in pagerank(df, iters=10).collect()}
+    # the hub is linked by a, b, c: it must outrank every leaf
+    assert res["hub"] == max(res.values())
+    # the dangling sink still holds rank (hub links to it) and its mass
+    # teleports rather than vanishing: every node keeps >= teleport
+    n = len(res)
+    teleport = ((D_DEN - D_NUM) * MICRO) // (D_DEN * n)
+    assert all(v >= teleport for v in res.values())
+    # mass is approximately conserved (truncation loses < 1 micro per term)
+    assert abs(sum(res.values()) - MICRO) < 100 * n
+
+
+def test_pagerank_early_stop_matches_full_run(spark):
+    """tol_micro=0 runs all iterations; a tolerant run must agree with the
+    twin at whatever iteration it stopped — monotone convergence means the
+    ordering is already stable."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    loose = {r.node: r.rank_micro for r in pagerank(df, iters=50, tol_micro=50).collect()}
+    tight = _twin(EDGES, iters=50)
+    order_loose = sorted(loose, key=lambda v: (-loose[v], v))
+    order_tight = sorted(tight, key=lambda v: (-tight[v], v))
+    assert order_loose == order_tight

@@ -88,6 +88,10 @@ HEADLINE = [
     "benchmark_decontamination",
     "frontier_pop_topk",
     "seen_anti_join",
+    # r04 session-2 additions: the quality-gate scan (shuffle-free — its
+    # number is close to pure scan throughput) and the search top-k
+    "gopher_quality_flags",
+    "tfidf_search",
 ]
 
 

@@ -73,6 +73,13 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
 ]
 
+# NOTE (r04, registry at 81): the front window (31) plus the middle leaves
+# six middle queries past the cap besides the explicit tail below —
+# frontier_pop_topk, seen_anti_join, url_canonicalization, langid_heuristic,
+# doc_fingerprints_rolling, orders_without_lineitems. All six are
+# r03-hash-green, so the two-round rule puts them (and the tail's r03 set)
+# in the r05 front window.
+
 # Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
 # all also value-checked by the repo's own identical DuckDB-oracle tests
 # every run (tests/test_plans.py) — they rotate back to the front window

@@ -104,18 +104,24 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     """
     q = query or _QUERY_TOKENS
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # N as a broadcast 1-row scalar subquery — no separate driver count()
+    # action; the whole search is one job
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     hits = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token").isin(q))
     tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    idf = hits.groupBy("token").agg(
-        F.round(
-            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")) * 1000000.0, 0
+    idf = (
+        hits.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000000.0, 0)
+            .cast("long")
+            .alias("idf_micro"),
         )
-        .cast("long")
-        .alias("idf_micro")
     )
     return (
         tf.join(F.broadcast(idf), "token")

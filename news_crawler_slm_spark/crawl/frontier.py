@@ -601,3 +601,54 @@ def dedup_new_urls(
     else:
         novel = candidates.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
     return novel.join(frontier.select("url_hash").distinct(), "url_hash", "left_anti")
+
+
+def reprioritize_frontier_pagerank(
+    frontier: DataFrame, fetched: DataFrame, weight: float = 1.0, iters: int = 5
+) -> DataFrame:
+    """PageRank-blended frontier re-prioritization — the fixed-point
+    upgrade of ``reprioritize_frontier``'s raw in-degree: build the link
+    graph from the fetched pages' out_links (canonicalized, fetchable
+    endpoints only), run the exact-integer PageRank operator over it, and
+    blend each frontier URL's rank RELATIVE TO UNIFORM into its priority:
+
+        new_priority = priority + weight * ln(1 + rank_micro * n / 1e6)
+
+    (rank_micro * n / 1e6 is ~1 for an average page, >1 for endorsed
+    pages, so unlinked/average URLs are barely moved while genuinely
+    popular ones rise). Monotone for weight >= 0, schema-preserving, and
+    deterministic end-to-end: the rank trajectory is pure integer
+    arithmetic (operators/pagerank.py), n rides a broadcast 1-row
+    aggregate, and ln only ORDERS the pop — priorities never cross an
+    oracle hash.
+
+    Scale shape: edge build is one explode + canonicalize projection; the
+    PageRank loop is the operator's two-shuffle-per-iteration plan; the
+    blend joins the (nodes-sized) rank table to the frontier on url —
+    co-keyed with the frontier's own url-keyed maintenance joins.
+    """
+    from ..operators.pagerank import MICRO, pagerank
+
+    src = U.canonical_url(F.col("url"))
+    edges = (
+        fetched.select(src.alias("src"), F.explode_outer("out_links").alias("raw"))
+        .where(F.col("raw").isNotNull())
+        .select("src", U.canonical_url(F.col("raw")).alias("dst"))
+        .where(is_fetchable_col(F.col("dst")))
+    )
+    ranks = pagerank(edges, iters=iters)
+    n = ranks.agg(F.count("*").cast("double").alias("n_nodes"))
+    boost = ranks.crossJoin(F.broadcast(n)).select(
+        F.col("node").alias("url"),
+        (F.col("rank_micro") * F.col("n_nodes") / F.lit(float(MICRO))).alias("rel"),
+    )
+    cols = frontier.columns
+    return (
+        frontier.join(boost, "url", "left")
+        .withColumn(
+            "priority",
+            F.col("priority")
+            + F.lit(float(weight)) * F.log1p(F.coalesce(F.col("rel"), F.lit(0.0))),
+        )
+        .select(*cols)
+    )

@@ -45,6 +45,7 @@ _DRIVER_FIRST = [
     "c4_line_filter",  # new this round: never driver-checked
     "token_postings",  # new this round: never driver-checked
     "tfidf_search",  # new this round: never driver-checked
+    "token_count_quantiles",  # new this round: never driver-checked
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked

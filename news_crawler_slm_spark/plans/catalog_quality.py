@@ -277,3 +277,68 @@ def c4_line_filter(spark, sf_dir):
         (F.size(kept) >= 3).alias("keep_doc"),
         F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
     )
+
+
+_QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
+
+_QUANTILES_ORACLE = rf"""
+    WITH tc AS (
+      SELECT doc_id, {{tok}} AS token_count FROM documents
+    ),
+    r AS (
+      SELECT tc.*, row_number() OVER (ORDER BY token_count, doc_id) AS rn
+      FROM tc
+    ),
+    n AS (SELECT count(*) AS c FROM tc),
+    pos AS (
+      SELECT CAST(p AS DOUBLE) AS p, CAST(ceil(p * c) AS BIGINT) AS k
+      FROM (VALUES (0.25), (0.5), (0.75), (0.95), (0.99)) v(p) CROSS JOIN n
+    )
+    SELECT pos.p, r.token_count AS value
+    FROM pos JOIN r ON r.rn = pos.k
+"""
+
+
+@register(
+    "token_count_quantiles",
+    _QUANTILES_ORACLE.format(
+        tok="length(regexp_split_to_array(trim(text), '\\s+'))"
+    ),
+)
+def token_count_quantiles(spark, sf_dir):
+    """EXACT distributed quantiles of the per-document token count — p25 /
+    p50 / p75 / p95 / p99 as value-at-position ceil(p*N) in the total
+    (token_count, doc_id) order. Both engines share that elementary
+    definition, so no engine-specific quantile function's interpolation
+    semantics can diverge (DuckDB quantile_disc and Spark percentile
+    disagree on boundary handling; neither appears here).
+
+    Scale shape: the position lookup runs over the engine's distributed
+    rank operator (operators/rank.py — range partition + reused exchange,
+    refuses to build without exchange reuse) instead of a row_number over
+    a SinglePartition window: the sort stays partition-local at any corpus
+    size. N and the five positions ride a broadcast 5-row dim; the final
+    join filters rank == position inside the scan of the ranked output.
+    """
+    from ..operators.rank import with_global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    tc = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "token_count"
+        ),
+    )
+    ranked = with_global_rank(
+        tc, [F.asc("token_count"), F.asc("doc_id")], "rank0"
+    ).withColumn("rn", F.col("rank0") + 1)
+    n = tc.agg(F.count("*").alias("c"))
+    pos = (
+        spark.createDataFrame([(p,) for p in _QUANTILES], "p double")
+        .crossJoin(F.broadcast(n))
+        .select("p", F.ceil(F.col("p") * F.col("c")).cast("long").alias("k"))
+    )
+    return (
+        ranked.join(F.broadcast(pos), ranked.rn == pos.k)
+        .select("p", F.col("token_count").alias("value"))
+    )

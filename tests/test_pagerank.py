@@ -69,3 +69,40 @@ def test_pagerank_early_stop_matches_full_run(spark):
     order_loose = sorted(loose, key=lambda v: (-loose[v], v))
     order_tight = sorted(tight, key=lambda v: (-tight[v], v))
     assert order_loose == order_tight
+
+
+def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):
+    """The blend must lift a frontier URL the crawled web points at above
+    an equal-priority sibling nobody links to, keep schema/columns, and
+    leave priorities untouched at weight=0."""
+    from news_crawler_slm_spark.crawl.frontier import (
+        reprioritize_frontier_pagerank,
+    )
+
+    hot, cold = "https://w/hot", "https://w/cold"
+    frontier = spark.createDataFrame(
+        [(0, 0, "w", hot, 1, 5.0, 1, 1), (0, 1, "w", cold, 2, 5.0, 1, 1)],
+        "bucket int, salt int, host string, url string, url_hash long,"
+        " priority double, depth int, discovered_round int",
+    )
+    fetched = spark.createDataFrame(
+        [
+            (f"https://w/p{i}", [hot, f"https://w/p{(i + 1) % 4}"])
+            for i in range(4)
+        ],
+        "url string, out_links array<string>",
+    )
+    out = {
+        r.url: r.priority
+        for r in reprioritize_frontier_pagerank(frontier, fetched).collect()
+    }
+    assert out[hot] > out[cold]
+    assert out[cold] >= 5.0  # monotone: never demotes
+
+    same = {
+        r.url: r.priority
+        for r in reprioritize_frontier_pagerank(frontier, fetched, weight=0.0).collect()
+    }
+    assert same == {hot: 5.0, cold: 5.0}
+    cols = reprioritize_frontier_pagerank(frontier, fetched).columns
+    assert cols == frontier.columns

@@ -144,7 +144,12 @@ class SnapshotCatalog:
         out: list[Snapshot] = []
         sid = self.current_snapshot_id()
         while sid is not None:
-            snap = self.snapshot(sid)
+            try:
+                snap = self.snapshot(sid)
+            except FileNotFoundError:
+                # expired horizon (expire_snapshots): the chain legitimately
+                # ends where retention cut it
+                break
             if snap is None:
                 break
             out.append(snap)
@@ -322,6 +327,63 @@ class SnapshotCatalog:
             output_partitions=output_partitions,
             partition_by=partition_by,
         )
+
+    # ------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, int]:
+        """Iceberg expire_snapshots + remove_orphan_files in one pass:
+        keep the ``keep_last`` most recent snapshots ON THE CURRENT
+        LINEAGE, delete every other manifest, then delete every data
+        directory under ``data/`` that no surviving manifest references.
+
+        Append-chain subtlety this is tested for: a kept snapshot's chain
+        references delta directories WRITTEN BY long-expired snapshots —
+        those dirs are reachable and must survive; only truly unreferenced
+        dirs (from expired full-rewrite tables, aborted commits, or
+        pre-compaction chains no kept manifest sees) are removed. Time
+        travel to an expired snapshot stops working by design; current
+        reads are untouched. Without expiry a 10^4-round crawl keeps every
+        frontier/host_counts full-rewrite ever committed — the storage
+        amplification this maintenance op exists to fix (compaction fixes
+        read amplification; this fixes retention).
+
+        Crash safety: manifests are deleted before data dirs, so a crash
+        mid-expiry can strand orphan DATA (re-run to collect) but can
+        never leave a manifest pointing at deleted data.
+        """
+        import re
+
+        lineage = self.lineage()
+        keep = lineage[: max(1, keep_last)]
+        keep_ids = {s.snapshot_id for s in keep}
+        referenced: set[str] = set()
+        for s in keep:
+            for plist in s.tables.values():
+                referenced.update(os.path.normpath(p) for p in plist)
+
+        removed_manifests = 0
+        mdir = os.path.join(self.root, "manifests")
+        for f in os.listdir(mdir):
+            m = re.match(r"snap-(\d+)\.json$", f)
+            if m and int(m.group(1)) not in keep_ids:
+                os.remove(os.path.join(mdir, f))
+                removed_manifests += 1
+
+        removed_dirs = 0
+        ddir = os.path.join(self.root, "data")
+        for table in sorted(os.listdir(ddir)):
+            tdir = os.path.join(ddir, table)
+            if not os.path.isdir(tdir):
+                continue
+            for d in sorted(os.listdir(tdir)):
+                full = os.path.normpath(os.path.join(tdir, d))
+                if os.path.isdir(full) and full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed_dirs += 1
+        return {
+            "kept_snapshots": len(keep),
+            "removed_manifests": removed_manifests,
+            "removed_data_dirs": removed_dirs,
+        }
 
     # ------------------------------------------------------------- utils
     def destroy(self) -> None:

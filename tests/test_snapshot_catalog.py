@@ -76,3 +76,57 @@ def test_compact_append_chain_preserves_content_and_history(spark, tmp_path):
     assert len(cat.snapshot(3).tables["log"]) == 3
     old = sorted(r.id for r in cat.read_table("log", snapshot_id=2).collect())
     assert old == [10, 11, 12, 20, 21, 22]
+
+
+def test_expire_snapshots_gc_preserves_reachable_deltas(spark, tmp_path):
+    """expire_snapshots must (1) keep the newest N lineage snapshots and
+    their reads byte-identical, (2) PRESERVE append-chain delta dirs that
+    were written by now-expired snapshots but are still referenced by kept
+    manifests, and (3) delete the full-rewrite data dirs only expired
+    manifests referenced."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "gc"))
+    for i in range(1, 5):
+        cat.commit(
+            i,
+            tables={"front": spark.createDataFrame([(i * 10,)], "k int")},
+            appends={"log": spark.createDataFrame([(i, "v")], "id int, v string")},
+            counters={"r": i},
+        )
+
+    before_log = sorted(r.id for r in cat.read_table("log").collect())
+    stats = cat.expire_snapshots(keep_last=2)
+    assert stats["kept_snapshots"] == 2 and stats["removed_manifests"] == 2
+    # snap-1/snap-2's front rewrites are unreferenced -> collected; every
+    # log delta (incl. those written at snapshots 1-2) stays referenced
+    assert stats["removed_data_dirs"] == 2
+
+    assert sorted(r.id for r in cat.read_table("log").collect()) == before_log
+    assert {r.k for r in cat.read_table("front").collect()} == {40}
+    # time travel inside the horizon works, beyond it raises
+    assert {r.k for r in cat.read_table("front", snapshot_id=3).collect()} == {30}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        cat.snapshot(1)
+
+    # delta dirs of rounds 1-2 still on disk (referenced by kept chains)
+    log_dirs = sorted(os.listdir(os.path.join(str(tmp_path / "gc"), "data", "log")))
+    assert log_dirs == ["snap-1", "snap-2", "snap-3", "snap-4"]
+    front_dirs = sorted(
+        os.listdir(os.path.join(str(tmp_path / "gc"), "data", "front"))
+    )
+    assert front_dirs == ["snap-3", "snap-4"]
+
+
+def test_expire_is_idempotent_and_crawl_continues(spark, tmp_path):
+    """A second expire collects nothing new, and the catalog accepts new
+    commits after expiry (the maintenance op must not wedge the writer)."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "gc2"))
+    for i in range(1, 4):
+        cat.commit(i, tables={"t": spark.createDataFrame([(i,)], "x int")})
+    cat.expire_snapshots(keep_last=1)
+    again = cat.expire_snapshots(keep_last=1)
+    assert again["removed_manifests"] == 0 and again["removed_data_dirs"] == 0
+    cat.commit(4, tables={"t": spark.createDataFrame([(4,)], "x int")})
+    assert {r.x for r in cat.read_table("t").collect()} == {4}
+    assert [s.snapshot_id for s in cat.lineage()] == [4, 3]

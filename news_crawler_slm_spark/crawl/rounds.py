@@ -273,6 +273,7 @@ def run_crawl(
     commit_parallelism: int = 2,
     compact_every: int | None = None,
     compact_tables: tuple[str, ...] = ("seen", "pages", "crawl_log"),
+    expire_keep: int | None = None,
 ) -> CrawlState:
     """Run (or resume) a crawl; one snapshot per round.
 
@@ -294,6 +295,13 @@ def run_crawl(
     after compacting, so the very next round's plans already scan the
     single compacted directory. Resume across a compaction boundary is
     byte-identical to an uninterrupted run (tests/test_crawl.py).
+
+    ``expire_keep=N`` runs the retention GC (SnapshotCatalog.
+    expire_snapshots) after every round: only the newest N snapshots stay
+    time-travelable, unreferenced data dirs are collected. N >= 2 keeps
+    the resume guarantee and a fresh compaction's parent intact; resume
+    across an expiry boundary equals an uninterrupted run
+    (tests/test_snapshot_catalog.py).
     """
     catalog = SnapshotCatalog(spark, catalog_root, commit_parallelism=commit_parallelism)
     bloom = (
@@ -395,6 +403,12 @@ def run_crawl(
                     output_partitions=output_partitions,
                     partition_by={"seen": ["bucket"]} if t == "seen" else None,
                 )
+        # retention GC after the round (and after any compaction): without
+        # it a 10^4-round crawl keeps every frontier/host_counts rewrite
+        # ever committed. expire_keep >= 2 preserves the resume guarantee
+        # AND the parent round a just-committed compaction points at.
+        if expire_keep is not None:
+            catalog.expire_snapshots(keep_last=expire_keep)
         # re-read committed state: truncates lineage; every round is a pure
         # function of durable snapshots
         state = CrawlState(

@@ -1,0 +1,79 @@
+"""HyperLogLog cardinality sketch (Flajolet et al. 2007) in pure JVM
+column arithmetic — the missing member of the engine's sketch family
+(MinHash: similarity, SimHash: fingerprints, Bloom/Cuckoo: membership,
+HLL: cardinality). The motivating query at crawl scale: "how many DISTINCT
+URLs/hosts has this 10^10-URL frontier seen" without the exact
+countDistinct's full shuffle of the key universe.
+
+Design for determinism and scale:
+- hash = xxhash64 (JVM codegen, same function the seen-set keys on), so
+  the sketch is reproducible on any partitioning AND replicated exactly by
+  the pure-python twin (tests/xxh64_oracle.py).
+- register index = low p bits; rank = leading-zero count of the remaining
+  64-p bits + 1, computed as (64-p) - bitlength(w) + 1 with bitlength via
+  ``length(bin(w))`` — integer/string ops only, no floating point until
+  the final estimate.
+- the register table is the aggregation ``groupBy(register).agg(max(rank))``
+  — partial-aggregated map-side, shuffle cardinality m = 2^p rows TOTAL
+  (not per key), mergeable across shards/rounds by the same max.
+- the estimator (harmonic mean + small-range linear counting) runs on the
+  collected m-row register table: O(2^p) driver state, like the k-means
+  centroids and prefix-sum bucket totals.
+
+Standard error ~= 1.04 / sqrt(2^p): p=12 -> ~1.6%.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_P = 12
+
+
+def hll_registers(df: DataFrame, col: str, p: int = DEFAULT_P) -> DataFrame:
+    """Build the m = 2^p register table (register int, rank int) for the
+    distinct values of ``col``. Only touched registers appear (sparse);
+    absent registers are rank 0 by definition."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p={p} outside the sane HLL range [4, 18]")
+    m = 1 << p
+    h = F.xxhash64(F.col(col))
+    idx = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.expr(f"shiftrightunsigned(xxhash64({col}), {p})")
+    # bitlength(w) via bin(): '0' has length 1, so gate w = 0 explicitly
+    rank = (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        df.select(idx.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def merge_registers(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two sketches of the same p: per-register max — the property
+    that makes HLL shardable across crawl rounds / table partitions."""
+    return (
+        a.unionByName(b).groupBy("register").agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = DEFAULT_P) -> float:
+    """Cardinality estimate from a register table: bias-corrected harmonic
+    mean, with the standard small-range linear-counting correction when
+    E <= 2.5m and empty registers exist."""
+    m = 1 << p
+    rows = {r["register"]: r["rank"] for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -rows.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([v for v in rows.values() if v > 0])
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -130,3 +130,36 @@ def test_expire_is_idempotent_and_crawl_continues(spark, tmp_path):
     cat.commit(4, tables={"t": spark.createDataFrame([(4,)], "x int")})
     assert {r.x for r in cat.read_table("t").collect()} == {4}
     assert [s.snapshot_id for s in cat.lineage()] == [4, 3]
+
+
+def test_crawl_with_retention_gc_matches_unexpired(spark, tmp_path):
+    """run_crawl(expire_keep=2) with compaction: final crawl state and the
+    full append-chain contents must equal a run without expiry, including
+    a resume ACROSS an expiry boundary; manifest count stays bounded."""
+    from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+    from news_crawler_slm_spark.crawl.semantics import CrawlParams
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+
+    dfs = web_dataframes(spark, WebScale(n_hosts=6, pages_per_host_max=8))
+    params = CrawlParams(round_budget=4.0, n_buckets=2, n_salts=2)
+    fetch = synthetic_fetcher(dfs["web"])
+    kw = dict(
+        seeds=dfs["seeds"], robots=dfs["robots"], fetcher=fetch, params=params,
+        compact_every=2,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    run_crawl(spark, a, max_rounds=4, **kw)
+    run_crawl(spark, b, max_rounds=2, expire_keep=2, **kw)
+    run_crawl(spark, b, max_rounds=2, expire_keep=2, **kw)  # resume past GC
+
+    def table_rows(root, t):
+        return sorted(
+            tuple(r) for r in SnapshotCatalog(spark, root).read_table(t).collect()
+        )
+
+    for t in ("crawl_log", "pages", "frontier", "seen", "host_counts"):
+        assert table_rows(a, t) == table_rows(b, t), t
+
+    n_manifests = len(os.listdir(os.path.join(b, "manifests")))
+    assert n_manifests <= 2

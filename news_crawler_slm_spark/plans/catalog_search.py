@@ -112,20 +112,25 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token").isin(q))
     tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    idf = (
-        hits.groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # df(token) = number of tf rows sharing the token, via a window over
+    # the ALREADY-AGGREGATED tf relation — single lineage, so the corpus
+    # is scanned exactly once (a separate idf aggregation joined back
+    # would re-derive the whole explode: AQE does not reuse the branch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count("*").over(w))
         .crossJoin(F.broadcast(n_docs))
-        .select(
-            "token",
-            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000000.0, 0)
-            .cast("long")
-            .alias("idf_micro"),
+        .withColumn(
+            "idf_micro",
+            F.round(F.log(F.col("n_docs") / F.col("df")) * 1000000.0, 0).cast(
+                "long"
+            ),
         )
     )
     return (
-        tf.join(F.broadcast(idf), "token")
-        .groupBy("doc_id")
+        scored.groupBy("doc_id")
         .agg(
             F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"),
             F.count("*").alias("n_terms"),

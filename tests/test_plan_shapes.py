@@ -92,3 +92,14 @@ def test_top_ngram_single_shuffle_no_doc_join_back(spark):
     plan = _plan(df)
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_tfidf_search_scans_the_corpus_once(spark):
+    """tf and idf must share one lineage (idf = window over the aggregated
+    tf relation): exactly two parquet scans total — the text scan and the
+    count-only N scan — never a second explode of the corpus."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["tfidf_search"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2

@@ -379,3 +379,77 @@ def test_sliding_token_trends_match_batch_twin(spark, tmp_path):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         for (_r1, n1, t1), (_r2, n2, t2) in zip(rows, rows[1:]):
             assert (-n1, t1) <= (-n2, t2)
+
+
+def test_stream_to_catalog_exactly_once(spark, tmp_path):
+    """foreachBatch idempotent sink: new files append exactly once across
+    restarts, a re-run with NOTHING new commits nothing, and even a fresh
+    checkpoint (batch ids restarting at 0) cannot double-append — the
+    snapshot-id dedup catches the replay."""
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+    from news_crawler_slm_spark.streaming.catalog_sink import stream_to_catalog
+
+    src = str(tmp_path / "pages")
+    root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages(spark, src, _BATCH1)
+    stream_to_catalog(
+        pages_stream(spark, src).drop("html"), root, "pages_raw", ckpt
+    ).awaitTermination()
+    cat = SnapshotCatalog(spark, root)
+    assert cat.read_table("pages_raw").count() == len(_BATCH1)
+
+    # nothing new: the drained stream commits no batch
+    before = cat.current_snapshot_id()
+    stream_to_catalog(
+        pages_stream(spark, src).drop("html"), root, "pages_raw", ckpt
+    ).awaitTermination()
+    assert cat.current_snapshot_id() == before
+
+    # new files append exactly once
+    _write_pages(spark, src, _BATCH2)
+    stream_to_catalog(
+        pages_stream(spark, src).drop("html"), root, "pages_raw", ckpt
+    ).awaitTermination()
+    assert cat.read_table("pages_raw").count() == len(_BATCH1) + len(_BATCH2)
+
+    # fresh checkpoint: the file source replays EVERYTHING as batch 0, but
+    # snapshot base+0 already exists on the lineage -> skipped, no dupes
+    ckpt2 = str(tmp_path / "ckpt2")
+    stream_to_catalog(
+        pages_stream(spark, src).drop("html"), root, "pages_raw", ckpt2
+    ).awaitTermination()
+    assert cat.read_table("pages_raw").count() == len(_BATCH1) + len(_BATCH2)
+
+
+def test_stream_to_catalog_orphan_manifest_recovery(spark, tmp_path):
+    """A manifest written without the CURRENT swap (crash window) must be
+    redone, not skipped: simulate by writing an orphan manifest for the
+    batch id the stream is about to use."""
+    import json
+    import os
+
+    from news_crawler_slm_spark.sources.tables import Snapshot, SnapshotCatalog
+    from news_crawler_slm_spark.streaming.catalog_sink import (
+        STREAM_ID_BASE,
+        stream_to_catalog,
+    )
+
+    src = str(tmp_path / "pages")
+    root = str(tmp_path / "cat")
+    _write_pages(spark, src, _BATCH1)
+
+    cat = SnapshotCatalog(spark, root)
+    orphan = Snapshot(STREAM_ID_BASE, None, {"pages_raw": []}, {}, {"orphan": 1})
+    with open(
+        os.path.join(root, "manifests", f"snap-{STREAM_ID_BASE}.json"), "w"
+    ) as f:
+        f.write(orphan.to_json())
+
+    stream_to_catalog(
+        pages_stream(spark, src).drop("html"), root, "pages_raw",
+        str(tmp_path / "ckpt"),
+    ).awaitTermination()
+    assert cat.read_table("pages_raw").count() == len(_BATCH1)
+    assert cat.snapshot(STREAM_ID_BASE).counters.get("orphan") is None

@@ -7,9 +7,10 @@ named rule-sets a 100 TB pretraining pipeline runs per document):
   2021, "Scaling Language Models: ... Gopher", Table A1): word-count
   bounds, mean-word-length band, alphabetic-word ratio, stop-word hits,
   symbol-to-word ratio.
-- ``top_ngram_char_fraction`` — the Gopher repetition rule family: the
-  fraction of document characters covered by the single most frequent
-  word bigram.
+- ``top_ngram_char_fraction`` / ``dup_ngram_char_fraction`` — the Gopher
+  repetition rule family: characters covered by the single most frequent
+  word bigram, and characters inside word 5-grams that repeat within the
+  document.
 - ``c4_line_filter`` — the C4 line-level cleaning rules (Raffel et al.
   2020): terminal punctuation, minimum words per line, javascript/brace/
   lorem-ipsum blocklists, >= 3 surviving lines per document.
@@ -341,4 +342,75 @@ def token_count_quantiles(spark, sf_dir):
     return (
         ranked.join(F.broadcast(pos), ranked.rn == pos.k)
         .select("p", F.col("token_count").alias("value"))
+    )
+
+
+_DUP_NGRAM_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS nonspace_chars
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, nonspace_chars,
+             unnest(list_transform(range(1, len(a) - 3),
+                    i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                         || a[i+3] || ' ' || a[i+4])) AS g
+      FROM t WHERE len(a) >= 5
+    ),
+    gc AS (
+      SELECT doc_id, nonspace_chars, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, nonspace_chars, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_gram_occurrences,
+           round(sum(CASE WHEN c > 1 THEN c * length(replace(g, ' ', ''))
+                          ELSE 0 END)
+                 / CAST(max(nonspace_chars) AS DOUBLE), 6)
+             AS dup_char_fraction
+    FROM gc GROUP BY doc_id
+"""
+
+
+@register("dup_ngram_char_fraction", _DUP_NGRAM_ORACLE)
+def dup_ngram_char_fraction(spark, sf_dir, n: int = 5):
+    """Gopher's OTHER repetition rule family: the fraction of document
+    characters inside word 5-GRAMS THAT REPEAT within the document
+    (occurrence count > 1; every occurrence of a repeated gram counts, the
+    paper's duplicate-n-gram character fraction — Gopher rejects > 0.15
+    at n=5). Complements ``top_ngram_char_fraction`` (mass of the single
+    most frequent bigram vs mass of all repeated 5-grams). Docs shorter
+    than n tokens have no gram and no row.
+
+    Plan shape: same as the top-bigram rule — codegen regexp windows (no
+    per-token explode), one (doc_id, gram) shuffle with map-side partial
+    aggregation, then a per-doc re-aggregation; the char denominator rides
+    the rows. Chars are counted gram-internal (spaces excluded) on both
+    engines, an overlap-insensitive proxy both engines share exactly.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+    grams = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("long").alias(
+            "nonspace_chars"
+        ),
+        F.explode(word_windows(norm, n)).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "nonspace_chars", "g").agg(F.count("*").alias("c"))
+    dup_chars = F.when(
+        F.col("c") > 1, F.col("c") * F.length(F.regexp_replace("g", " ", ""))
+    ).otherwise(F.lit(0))
+    return gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+            "dup_gram_occurrences"
+        ),
+        F.round(
+            F.sum(dup_chars) / F.max("nonspace_chars").cast("double"), 6
+        ).alias("dup_char_fraction"),
     )

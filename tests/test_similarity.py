@@ -293,3 +293,44 @@ def test_semdedup_prunes_planted_clusters(spark, tmp_path_factory):
         assert min(cell_ids) in keepers
     pruned_n = sum(1 for (_c, p, _m) in got.values() if p)
     assert pruned_n >= 0.6 * n
+
+
+def test_persistent_ivf_index_matches_inline_query(spark, tmp_path):
+    """build_ivf_index + search_ivf must return exactly what the inline
+    train-and-search query (ann_ivf_topk, twin-verified above) returns for
+    the same corpus and parameters — and a rebuilt index commits a NEW
+    snapshot while searches keep working (versioned index)."""
+    from news_crawler_slm_spark.operators.ivf_index import (
+        build_ivf_index,
+        search_ivf,
+    )
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ivf")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_index(spark, emb, root)
+
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+    )
+    got = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in search_ivf(spark, root, q).collect()
+    }
+    want = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in REGISTRY["ann_ivf_topk"][0](spark, SF).collect()
+    }
+    assert got == want
+
+    # rebuild: new snapshot id, identical results (deterministic training)
+    build_ivf_index(spark, emb, root)
+    cat = SnapshotCatalog(spark, root)
+    assert cat.current_snapshot_id() == 2
+    again = {
+        (r.query_id, r.vec_id, r.cosine)
+        for r in search_ivf(spark, root, q).collect()
+    }
+    assert again == got

@@ -46,6 +46,22 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument(
+        "--adaptive-politeness",
+        action="store_true",
+        help="AIMD per-host backoff: failed fetches double a host's "
+        "effective crawl delay (never below its robots base); the "
+        "host_delays table snapshots with the rest of the state",
+    )
+    ap.add_argument(
+        "--compact-every", type=int, default=None,
+        help="compact the append-chain tables every K rounds (in-loop)",
+    )
+    ap.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="retention GC after each round: keep only the newest N "
+        "snapshots (N >= 2 preserves resume + compaction parents)",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the run, compact the append-chain tables (seen, pages, "
@@ -83,6 +99,7 @@ def main() -> int:
         round_budget=args.round_budget,
         max_articles=args.max_articles,
         n_buckets=args.buckets,
+        adaptive_politeness=args.adaptive_politeness,
     )
 
     progress = []
@@ -103,6 +120,8 @@ def main() -> int:
         max_rounds=args.rounds,
         output_partitions=None,
         on_round=on_round,
+        compact_every=args.compact_every,
+        expire_keep=args.expire_keep,
     )
     wall = time.monotonic() - t0
     fetched = sum(p["fetched"] for p in progress)

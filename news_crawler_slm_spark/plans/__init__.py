@@ -47,6 +47,7 @@ _DRIVER_FIRST = [
     "tfidf_search",  # new this round: never driver-checked
     "token_count_quantiles",  # new this round: never driver-checked
     "dup_ngram_char_fraction",  # new this round: never driver-checked
+    "events_sliding_counts",  # new this round: never driver-checked
     "substring_dup_stats",  # new this round: never driver-checked
     "substring_dedup_clean",  # new this round: never driver-checked
     "simhash_neardup_pairs",  # new this round: never driver-checked

@@ -363,3 +363,53 @@ def events_running_rank(spark, sf_dir):
         .where(F.col("r") == 1)
         .select("event_id", "user_id", "value")
     )
+
+
+_SLIDING_ORACLE = """
+    WITH w AS (
+      SELECT event_type, ts,
+             unnest(list_transform(range(0, 2), i ->
+                time_bucket(INTERVAL '30 minutes', ts)
+                  - i * INTERVAL '30 minutes')) AS ws
+      FROM events
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL '60 minutes' AS window_end,
+           event_type,
+           count(*) AS n
+    FROM w
+    WHERE ts >= ws AND ts < ws + INTERVAL '60 minutes'
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("events_sliding_counts", _SLIDING_ORACLE)
+def events_sliding_counts(spark, sf_dir):
+    """Sliding-window event counts (1 h window / 30 min slide) — the BATCH
+    form of the streaming trending primitive (streaming/ingest.py:
+    sliding_token_counts), oracle-pinned: Spark's F.window(slide) places
+    each event in window/slide = 2 overlapping windows aligned to the
+    epoch, and the oracle reconstructs exactly those windows via
+    time_bucket (same epoch alignment) minus i x slide. A hash-identical
+    result proves the two engines agree on window placement — the
+    semantics every watermarked sliding aggregation in the engine relies
+    on.
+
+    Plan shape: F.window(slide) expands each row to its two windows
+    INSIDE the scan projection (a 2x explode, the unavoidable cost of
+    sliding windows) and aggregates on (window, type) with map-side
+    partials — no join, no second scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )

@@ -54,6 +54,8 @@ _DRIVER_FIRST = [
     "bigram_perplexity",  # new this round: never driver-checked
     "unicode_normalize",  # new this round: never driver-checked
     "nb_lang_classifier",  # new this round: never driver-checked
+    "ngram_jaccard_pairs",  # newest green row r02: due this round
+    "langid_heuristic",  # newest green row r02: due this round
     "minhash_lsh_candidates",
     "unigram_perplexity",
     "count_per_source",
@@ -76,12 +78,15 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
 ]
 
-# NOTE (r04, registry at 81): the front window (31) plus the middle leaves
-# six middle queries past the cap besides the explicit tail below —
-# frontier_pop_topk, seen_anti_join, url_canonicalization, langid_heuristic,
-# doc_fingerprints_rolling, orders_without_lineitems. All six are
-# r03-hash-green, so the two-round rule puts them (and the tail's r03 set)
-# in the r05 front window.
+# NOTE (r04, registry at 84): the front window (37: 9 never-checked + the
+# r04-changed set + the two r02-stale queries ngram_jaccard_pairs /
+# langid_heuristic) plus the middle leaves nine middle queries past the
+# cap besides the explicit tail below — token_idf, exact_dedup,
+# dedup_survivors_count, ann_cosine_topk, frontier_pop_topk,
+# seen_anti_join, url_canonicalization, doc_fingerprints_rolling,
+# orders_without_lineitems. All nine are r03-hash-green and re-verified
+# every run by tests/test_plans.py; the two-round rule puts them (and the
+# tail's r03 set) in the r05 front window.
 
 # Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
 # all also value-checked by the repo's own identical DuckDB-oracle tests

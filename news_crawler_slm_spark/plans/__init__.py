@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     catalog_multimodal,
     catalog_quality,
     catalog_search,
+    catalog_selection,
 )
 from .catalog import REGISTRY  # noqa: F401
 
@@ -39,6 +40,9 @@ from .catalog import REGISTRY  # noqa: F401
 # the vocab dim), then every query whose newest green driver row is r02 or
 # older (the r03 tail) — no query's newest row may age past two rounds.
 _DRIVER_FIRST = [
+    "stratified_sample",  # new this round: never driver-checked
+    "ccnet_perplexity_buckets",  # new this round: never driver-checked
+    "dsir_importance_weights",  # new this round: never driver-checked
     "gopher_quality_flags",  # new this round: never driver-checked
     "top_ngram_char_fraction",  # new this round: never driver-checked
     "semdedup_prune",  # new this round: never driver-checked (rows-only)

@@ -1,0 +1,360 @@
+"""Data-selection operators from the published pretraining-corpus pipelines
+(engine additions; reference analog: the reference selects data with
+hand-tuned token thresholds and per-publisher caps — step_05/step_06 — these
+are the model-based and stratified selection stages a 100 TB pipeline runs
+between cleaning and training):
+
+- ``stratified_sample`` — exact per-stratum quota sampling (the reference's
+  step_06 first-N-per-publisher cap, step_06_shrink_dataset.py:13-19, made
+  deterministic-random instead of encounter-ordered): keep exactly
+  min(quota, n) documents per source, chosen by a seeded multiplicative-hash
+  permutation so any two runs (and any partitioning) agree.
+- ``ccnet_perplexity_buckets`` — CCNet's head/middle/tail quality tiers
+  (Wenzek et al. 2020): score every document with a per-language LM and
+  split each language into perplexity tertiles; "head" is the cleanest
+  third. The LM here is the corpus-trained per-language unigram model
+  (the engine's pluggable-scorer shape, see ``unigram_perplexity``).
+- ``dsir_importance_weights`` — Data Selection via Importance Resampling
+  (Xie et al. 2023): hashed bag-of-words models of a target corpus vs the
+  raw pool; each document scores the sum over tokens of
+  ``log p_target(h(tok)) - log p_raw(h(tok))`` over a fixed feature-hash
+  space. Documents distributionally close to the target get high weight.
+
+All three are fully DuckDB-oracle-twinned. Cross-engine float discipline
+(see the module docstrings in catalog.py): every log-probability is
+quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
+O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
+order-independent; doubles only appear in single fixed-shape divisions of
+exact integers, which are bit-identical IEEE on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import knuth_shuffle_key, knuth_shuffle_key_sql
+from .catalog import _t, register
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+_STRATA_QUOTA = 7
+
+_STRATIFIED_ORACLE = f"""
+    WITH k AS (
+      SELECT doc_id, source,
+             {knuth_shuffle_key_sql("doc_id")} AS sample_key
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY sample_key, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= {_STRATA_QUOTA}
+"""
+
+
+@register("stratified_sample", _STRATIFIED_ORACLE)
+def stratified_sample(spark, sf_dir, quota: int = _STRATA_QUOTA):
+    """Exact per-source quota sample: min(quota, n) documents per source,
+    picked by the Knuth multiplicative-hash permutation of doc_id
+    (functions/hashing.py — a bijection below 2^32, so the per-stratum
+    order is a seedable shuffle, keys never tie, and the doc_id tiebreak
+    is belt-and-braces only). This is the reference's per-publisher cap
+    (step_06_shrink_dataset.py:13-19) with encounter order replaced by a
+    deterministic random order — the version that still means "uniform
+    random per stratum" when the table's physical order is arbitrary.
+
+    Scale shape: one shuffle on source (the stratum key), rank-filter
+    rewritten by Catalyst to a per-partition top-k (no full sort of each
+    stratum's payload; only (key, rank) state per group). Hot strata are
+    the known skew risk: a giant source funnels to one task — at 100 TB
+    pre-aggregate with the salted two-phase top-k used by the frontier pop
+    (crawl/frontier.py): per-salt top-quota first, then the exact global
+    per-stratum top-quota over ≤ S·quota survivors.
+    """
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        knuth_shuffle_key(F.col("doc_id")).alias("sample_key"),
+    )
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= quota)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+_CCNET_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY lang, tok
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM vocab GROUP BY lang),
+    dim AS (
+      SELECT v.lang, v.tok,
+             CAST(round(ln(v.c / CAST(t.n AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS lnp_micro
+      FROM vocab v JOIN tot t USING (lang)
+    ),
+    per AS (
+      SELECT toks.doc_id, toks.lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(dim.lnp_micro) AS BIGINT) AS s
+      FROM toks JOIN dim USING (lang, tok)
+      GROUP BY toks.doc_id, toks.lang
+    ),
+    sized AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs FROM per GROUP BY lang
+    ),
+    ranked AS (
+      SELECT per.*, sized.lang_docs,
+             row_number() OVER (
+               PARTITION BY per.lang
+               ORDER BY (CAST(per.s AS DOUBLE) / per.n_tokens) DESC, per.doc_id
+             ) AS rn
+      FROM per JOIN sized USING (lang)
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(exp(-(CAST(s AS DOUBLE) / 1000000.0) / n_tokens), 4)
+             AS perplexity,
+           CASE CAST(floor((3 * (rn - 1)) / CAST(lang_docs AS DOUBLE)) AS BIGINT)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+
+
+@register("ccnet_perplexity_buckets", _CCNET_ORACLE)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers (Wenzek et al. 2020, §4.3):
+    per-language LM perplexity, then each language's documents split into
+    tertiles of the per-language perplexity order — "head" is the cleanest
+    (lowest-perplexity) third, the slice CCNet feeds to training first.
+    The scorer is the corpus-trained per-language unigram LM (CCNet uses a
+    per-language KenLM; swap the ``dim`` table for model log-probs and the
+    plan is unchanged — same pluggable-scorer shape as unigram_perplexity).
+
+    Cross-engine discipline: per-(lang, token) ln p is quantized to integer
+    micro-nats inside the dim and summed BIGINT per document (exact,
+    order-free). The tertile SORT KEY is ``s/n_tokens`` — one double
+    division of two exact integers, bit-identical IEEE on both engines —
+    descending (lnp sums are negative: larger sum = lower perplexity), with
+    doc_id as total tiebreak; the bucket index ``floor(3·(rank-1)/n_lang)``
+    is exact integer arithmetic below 2^53. Perplexity itself is display
+    output, rounded 4.
+
+    Scale shape: the dim is |vocab|·|langs| rows (Heaps-law small vs the
+    corpus) — broadcast here, shuffle-join on (lang, tok) beyond broadcast
+    size. The tertile rank is a per-language window: CCNet's own design
+    shards the corpus per language, and the window carries only
+    (doc_id, lang, two ints) — not text; at 100 TB replace with per-lang
+    range partitioning on the sort key (operators/rank.py generalized per
+    group) or quantile thresholds from token_count_quantiles' rank plan.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    tot = vocab.groupBy("lang").agg(F.sum("c").alias("n"))
+    dim = vocab.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "tok",
+        F.round(F.log(F.col("c") / F.col("n").cast("double")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    per = (
+        toks.join(F.broadcast(dim), ["lang", "tok"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("s"))
+    )
+    sized = per.groupBy("lang").agg(F.count("*").alias("lang_docs"))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.col("s").cast("double") / F.col("n_tokens")), "doc_id"
+    )
+    ranked = per.join(F.broadcast(sized), "lang").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    idx = F.floor(
+        (F.lit(3) * (F.col("rn") - 1)) / F.col("lang_docs").cast("double")
+    ).cast("long")
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(
+            F.exp(-(F.col("s").cast("double") / F.lit(1000000.0)) / F.col("n_tokens")),
+            4,
+        ).alias("perplexity"),
+        F.when(idx == 0, "head").when(idx == 1, "middle").otherwise("tail").alias(
+            "bucket"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance_weights
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+_RK_MOD = 1000000007  # shared with the rolling-hash family (catalog_dedup)
+
+# Per-token Rabin-Karp fold — the SAME char fold both engines already agree
+# on bit-for-bit in doc_fingerprints_rolling — reduced mod the bucket count.
+_DSIR_HASH_DUCK = f"""
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(tok) + 1),
+                       j -> CAST(ascii(substr(tok, j, 1)) AS BIGINT))),
+        (a, c) -> (a * 257 + c) % {_RK_MOD}) % {_DSIR_BUCKETS}
+"""
+
+_DSIR_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_tgt
+      FROM toks GROUP BY tok
+    ),
+    hashed AS (
+      SELECT tok, c_raw, c_tgt, {_DSIR_HASH_DUCK} AS bucket
+      FROM vocab
+    ),
+    bkt AS (
+      SELECT bucket, CAST(sum(c_raw) AS BIGINT) AS cr,
+             CAST(sum(c_tgt) AS BIGINT) AS ct
+      FROM hashed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+      FROM bkt
+    ),
+    dim AS (
+      SELECT h.tok,
+             CAST(round((ln((b.ct + 1) / CAST(t.nt + {_DSIR_BUCKETS} AS DOUBLE))
+                       - ln((b.cr + 1) / CAST(t.nr + {_DSIR_BUCKETS} AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM hashed h JOIN bkt b USING (bucket) CROSS JOIN tot t
+    )
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(dim.lr_micro) AS BIGINT) AS weight_micro,
+           round((CAST(sum(dim.lr_micro) AS DOUBLE) / 1000000.0) / count(*), 6)
+             AS avg_token_logratio
+    FROM toks JOIN dim USING (tok)
+    GROUP BY toks.doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed bag-of-words
+    models of a TARGET corpus (here: the 'en' slice — DSIR's target is
+    the trusted corpus, e.g. Wikipedia) and of the RAW pool (the whole
+    table); each document's weight is the log-likelihood ratio
+
+        w(doc) = Σ_tok  ln p_target(h(tok)) - ln p_raw(h(tok))
+
+    over a FIXED 1024-bucket feature-hash space with add-one smoothing —
+    the hashing is what makes the parameter state O(B) regardless of
+    corpus size, the property DSIR trades for exact n-gram models at the
+    100 TB scale. High-weight documents look like the target; DSIR then
+    resamples ∝ exp(w) (the sampling stage is ``temperature_mixture_sample``'s
+    deterministic hash-threshold shape, composable downstream).
+
+    Cross-engine discipline: the token hash is the Rabin-Karp char fold
+    both engines already match bit-for-bit (doc_fingerprints_rolling),
+    reduced mod B; it runs once per DISTINCT token (inside the vocab dim
+    — higher-order fold Columns are CodegenFallback, so they must never
+    touch per-occurrence rows), as does the micro-nat quantization of the
+    bucket log-ratio. Per-document weights are exact BIGINT sums.
+
+    Scale shape: one explode → (tok) groupBy builds the vocab dim (the
+    same Heaps-law-small dim every LM query here uses); bucket and total
+    reductions are O(|vocab|) and O(B); scoring is one broadcast join on
+    tok. No shuffle ever carries text, and no driver state exceeds the
+    1-row totals dim.
+    """
+    B = _DSIR_BUCKETS
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    codes = F.transform(
+        F.split(F.col("tok"), ""), lambda c: F.ascii(c).cast("long")
+    )
+    rk = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, c: (a * 257 + c) % _RK_MOD
+    )
+    hashed = vocab.select(
+        "tok", "c_raw", "c_tgt", (rk % F.lit(B)).alias("bucket")
+    )
+    bkt = hashed.groupBy("bucket").agg(
+        F.sum("c_raw").alias("cr"), F.sum("c_tgt").alias("ct")
+    )
+    tot = bkt.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    bdim = bkt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + F.lit(B)).cast("double"))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.lit(B)).cast("double"))
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    dim = hashed.join(F.broadcast(bdim), "bucket").select("tok", "lr_micro")
+    return (
+        toks.join(F.broadcast(dim), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_micro").alias("weight_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro",
+            F.round(
+                (F.col("weight_micro").cast("double") / F.lit(1000000.0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_token_logratio"),
+        )
+    )

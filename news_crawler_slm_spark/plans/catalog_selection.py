@@ -19,8 +19,12 @@ between cleaning and training):
   raw pool; each document scores the sum over tokens of
   ``log p_target(h(tok)) - log p_raw(h(tok))`` over a fixed feature-hash
   space. Documents distributionally close to the target get high weight.
+- ``bpe_pair_counts`` — the first step of BPE tokenizer training (Sennrich
+  et al. 2016): weighted adjacent character-pair counts over the distinct-
+  word dimension. The full iterative trainer is ``operators/bpe.py``; this
+  query pins its per-step aggregation against a SQL oracle.
 
-All three are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All four are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -357,4 +361,69 @@ def dsir_importance_weights(spark, sf_dir):
                 6,
             ).alias("avg_token_logratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_pair_counts
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+_BPE_PAIRS_ORACLE = rf"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wdim AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words GROUP BY w
+    ),
+    pairs AS (
+      SELECT wc, unnest(list_transform(range(1, length(w)),
+                                       i -> substr(w, i, 2))) AS pair
+      FROM wdim WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS c
+    FROM pairs GROUP BY pair
+    ORDER BY c DESC, pair
+    LIMIT {_BPE_TOPK}
+"""
+
+
+@register("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def bpe_pair_counts(spark, sf_dir):
+    """Step 0 of BPE tokenizer training (Sennrich et al. 2016): the top
+    weighted adjacent CHARACTER pairs over the corpus — the statistic whose
+    argmax becomes the first merge. The full iterative trainer
+    (``operators/bpe.py:train_bpe``) repeats exactly this aggregation over
+    progressively merged symbol arrays; pinning the step-0 pair counts
+    against a SQL oracle pins the per-step semantics the loop reuses
+    (the loop itself is twinned in tests/test_bpe.py).
+
+    Scale shape: the classic BPE trick — counts come from the DISTINCT-WORD
+    dim weighted by word frequency (one explode + word groupBy, the shared
+    Heaps-law-small dim), never from corpus rows; pair extraction is
+    substring windows over the dim only. Top-k is (c DESC, pair) LIMIT —
+    TakeOrderedAndProject, no global sort; the tiebreak makes the cut total
+    so LIMIT is deterministic on both engines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    wdim = words.groupBy("w").agg(F.count("*").alias("wc"))
+    pairs = wdim.where(F.length("w") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("c"))
+        .orderBy(F.desc("c"), "pair")
+        .limit(_BPE_TOPK)
     )

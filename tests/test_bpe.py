@@ -1,0 +1,91 @@
+"""BPE tokenizer training: distributed trainer ≡ sequential twin, merge
+determinism under repartitioning, and the greedy rewrite's edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from news_crawler_slm_spark.operators.bpe import (
+    bpe_merge_word,
+    bpe_train_sequential,
+    train_bpe,
+)
+
+# Weighted corpus with a designed merge order: 'lo' dominates (low x7,
+# lower x3, slow x5 -> 15), then merged symbols keep fusing.
+WORD_COUNTS = {
+    "low": 7,
+    "lower": 3,
+    "slow": 5,
+    "newest": 6,
+    "widest": 3,
+    "new": 2,
+    "a": 4,  # single char: never contributes a pair
+}
+
+
+def _words_df(spark, n_parts=1):
+    df = spark.createDataFrame(
+        [(w, c) for w, c in WORD_COUNTS.items()], "w string, wc long"
+    )
+    return df.repartition(n_parts) if n_parts > 1 else df
+
+
+def test_train_bpe_matches_sequential_twin(spark):
+    merges, dim = train_bpe(_words_df(spark), num_merges=6)
+    exp_merges, exp_syms = bpe_train_sequential(WORD_COUNTS, 6)
+    assert merges == exp_merges
+    got = {r["w"]: list(r["symbols"]) for r in dim.collect()}
+    assert got == exp_syms
+    dim.unpersist()
+
+
+def test_train_bpe_partitioning_invariant(spark):
+    m1, d1 = train_bpe(_words_df(spark), num_merges=4)
+    m5, d5 = train_bpe(_words_df(spark, n_parts=5), num_merges=4)
+    assert m1 == m5
+    assert sorted(map(tuple, d1.select("w", "symbols").collect())) == sorted(
+        map(tuple, d5.select("w", "symbols").collect())
+    )
+    d1.unpersist()
+    d5.unpersist()
+
+
+def test_train_bpe_early_stop(spark):
+    # Two single-char words: no adjacent pair exists, zero merges possible.
+    df = spark.createDataFrame([("a", 3), ("b", 2)], "w string, wc long")
+    merges, dim = train_bpe(df, num_merges=5)
+    assert merges == []
+    assert {r["w"]: list(r["symbols"]) for r in dim.collect()} == {
+        "a": ["a"],
+        "b": ["b"],
+    }
+    dim.unpersist()
+
+
+def test_merge_word_greedy_non_overlapping():
+    # 'aaa' with merge (a,a): greedy left-to-right gives [aa, a], not [a, aa]
+    assert bpe_merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert bpe_merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    # merge absent -> unchanged
+    assert bpe_merge_word(["x", "y"], "a", "b") == ["x", "y"]
+    # merged symbol participates in later merges of itself
+    assert bpe_merge_word(["ab", "ab"], "ab", "ab") == ["abab"]
+
+
+def test_first_merge_agrees_with_pair_counts_query(spark):
+    """The trainer's first argmax must be the top row of the oracle-twinned
+    bpe_pair_counts aggregation over the same corpus."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    top = em.queries()["bpe_pair_counts"](spark, sf).limit(1).collect()[0]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    wdim = words.groupBy("w").agg(F.count("*").alias("wc"))
+    merges, dim = train_bpe(wdim, num_merges=1)
+    assert len(merges) == 1
+    assert merges[0][0] + merges[0][1] == top["pair"]
+    dim.unpersist()

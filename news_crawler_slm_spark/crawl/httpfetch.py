@@ -62,6 +62,8 @@ _ADDED_FIELDS = [
     T.StructField("fetch_ok", T.BooleanType(), False),
     T.StructField("lang", T.StringType(), True),
     T.StructField("publisher", T.StringType(), True),
+    T.StructField("etag", T.StringType(), True),
+    T.StructField("not_modified", T.BooleanType(), False),
 ]
 
 
@@ -70,11 +72,25 @@ def http_fetcher(
     crawl_delays: dict[str, float] | None = None,
     timeout_s: float = 5.0,
     max_retries: int = 1,
+    validators: DataFrame | None = None,
 ):
     """Build a rounds.Fetcher that GETs each popped URL via ``gateway``
     (``http://host:port`` — no trailing slash). ``crawl_delays`` maps host ->
     seconds between consecutive requests to that host (missing hosts use
-    DEFAULT_CRAWL_DELAY); pass scaled-down values in tests."""
+    DEFAULT_CRAWL_DELAY); pass scaled-down values in tests.
+
+    ``validators`` (optional): a (url, etag) DataFrame of entity validators
+    from the previous crawl of each url — the shape ``live_pages(catalog)
+    .select("url", "etag")`` returns. Rows whose url has a validator are
+    fetched CONDITIONALLY (``If-None-Match``, RFC 9110 §13.1.2): a 304
+    answer carries no body, and the fetcher emits the row with
+    ``fetch_ok=true, not_modified=true, html=null`` — the round loop then
+    KEEPS the stored page (no pages append, no re-extraction) and logs the
+    url ``revalidated``. This is the TTL-recrawl fast path: at re-crawl
+    scale most of the web is unchanged, so most revisits cost a ~200-byte
+    header exchange instead of a body + a clean_html pass. The validator
+    join touches only the popped batch (tiny; broadcast-sized dim of urls
+    due for recrawl this round) — never the corpus."""
     if gateway.endswith("/"):
         gateway = gateway[:-1]
     g_host = host_of(gateway)
@@ -84,9 +100,24 @@ def http_fetcher(
 
     def fetch(popped: DataFrame) -> DataFrame:
         import pandas as pd
+        from pyspark.sql import functions as F
 
-        out_schema = T.StructType(list(popped.schema.fields) + _ADDED_FIELDS)
         in_cols = [f.name for f in popped.schema.fields]
+        if validators is not None:
+            popped = popped.join(
+                F.broadcast(
+                    validators.select(
+                        F.col("url"), F.col("etag").alias("__val_etag")
+                    )
+                ),
+                "url",
+                "left",
+            )
+        else:
+            popped = popped.withColumn("__val_etag", F.lit(None).cast("string"))
+        out_schema = T.StructType(
+            [popped.schema[c] for c in in_cols] + _ADDED_FIELDS
+        )
 
         def run(batches):
             import http.client
@@ -94,17 +125,18 @@ def http_fetcher(
             conn: http.client.HTTPConnection | None = None
             last_req: dict[str, float] = {}
 
-            def get(host: str, path: str):
+            def get(host: str, path: str, etag: str | None):
                 nonlocal conn
                 if conn is None:
                     conn = http.client.HTTPConnection(g_host, g_port, timeout=timeout_s)
-                conn.request("GET", f"/{host}{path}")
+                headers = {"If-None-Match": etag} if etag else {}
+                conn.request("GET", f"/{host}{path}", headers=headers)
                 resp = conn.getresponse()
                 body = resp.read()  # drain — keeps the keep-alive socket clean
                 return resp, body
 
-            def fetch_row(host: str, url: str):
-                """-> (html, out_links, ok, lang, publisher)"""
+            def fetch_row(host: str, url: str, val_etag: str | None):
+                """-> (html, out_links, ok, lang, publisher, etag, not_modified)"""
                 nonlocal conn
                 path = path_of(url)
                 for attempt in range(max_retries + 1):
@@ -116,7 +148,7 @@ def http_fetcher(
                         time.sleep(wait)
                     last_req[host] = time.monotonic()
                     try:
-                        resp, body = get(host, path)
+                        resp, body = get(host, path, val_etag)
                     except (OSError, http.client.HTTPException):
                         # timeout / reset / server-closed keep-alive: the
                         # socket is unusable — reconnect and retry
@@ -124,6 +156,17 @@ def http_fetcher(
                             conn.close()
                             conn = None
                         continue
+                    if resp.status == 304:
+                        # unchanged: keep the stored copy; validator repeats
+                        return (
+                            None,
+                            None,
+                            True,
+                            None,
+                            None,
+                            resp.headers.get("ETag") or val_etag,
+                            True,
+                        )
                     if resp.status == 200:
                         links = json.loads(resp.headers.get("X-Out-Links") or "null")
                         return (
@@ -132,11 +175,13 @@ def http_fetcher(
                             True,
                             resp.headers.get("Content-Language"),
                             resp.headers.get("X-Publisher"),
+                            resp.headers.get("ETag"),
+                            False,
                         )
                     if resp.status < 500:  # 404 etc: permanent, no retry
-                        return (None, None, False, None, None)
+                        return (None, None, False, None, None, None, False)
                     # 5xx: transient — retry on the same (kept-alive) socket
-                return (None, None, False, None, None)
+                return (None, None, False, None, None, None, False)
 
             try:
                 for pdf in batches:
@@ -146,11 +191,22 @@ def http_fetcher(
                     # global order restricted to this host partition
                     pdf = pdf.sort_values("seq", kind="mergesort")
                     results = [
-                        fetch_row(h, u) for h, u in zip(pdf["host"], pdf["url"])
+                        fetch_row(h, u, (e if isinstance(e, str) and e else None))
+                        for h, u, e in zip(
+                            pdf["host"], pdf["url"], pdf["__val_etag"]
+                        )
                     ]
                     res = pd.DataFrame(
                         results,
-                        columns=["html", "out_links", "fetch_ok", "lang", "publisher"],
+                        columns=[
+                            "html",
+                            "out_links",
+                            "fetch_ok",
+                            "lang",
+                            "publisher",
+                            "etag",
+                            "not_modified",
+                        ],
                         index=pdf.index,
                     )
                     yield pd.concat([pdf[in_cols], res], axis=1)

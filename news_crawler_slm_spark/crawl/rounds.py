@@ -179,19 +179,32 @@ def build_round(
         cache_handle = fetched_slim
     ok_slim = fetched_slim.where(F.col("fetch_ok"))
 
+    # Conditional-revalidation channel (httpfetch.py validators): a fetcher
+    # may add (etag, not_modified). A 304 row is a successful fetch whose
+    # content is UNCHANGED — logged "revalidated", budget re-occupied, but
+    # no pages append (live_pages keeps serving the stored copy) and no
+    # re-extraction. Fetchers without the channel behave as before.
+    has_reval = "not_modified" in fetched_full.columns
+    nm = F.col("not_modified") if has_reval else F.lit(False)
+    etag_col = F.col("etag") if has_reval else F.lit(None).cast("string")
+
     log_delta = fetched_slim.select(
         F.lit(rnd).alias("round"),
         "seq",
         "host",
         "url",
-        F.when(F.col("fetch_ok"), "fetched").otherwise("failed").alias("status"),
+        F.when(~F.col("fetch_ok"), "failed")
+        .when(nm, "revalidated")
+        .otherwise("fetched")
+        .alias("status"),
     )
-    pages_delta = fetched_full.where(F.col("fetch_ok")).select(
+    pages_delta = fetched_full.where(F.col("fetch_ok") & ~nm).select(
         "url",
         clean_html_udf(F.col("html")).alias("text"),
         "lang",
         "publisher",
         F.lit(rnd).alias("fetch_round"),
+        etag_col.alias("etag"),
     )
 
     frontier_rest = state.frontier.join(
@@ -355,6 +368,9 @@ def run_crawl(
         log_observed = deltas.log_delta.observe(
             obs,
             F.count(F.when(F.col("status") == "fetched", 1)).alias("fetched"),
+            F.count(F.when(F.col("status") == "revalidated", 1)).alias(
+                "revalidated"
+            ),
             F.count("*").alias("n"),
         )
 
@@ -367,7 +383,8 @@ def run_crawl(
                 "round": rnd,
                 "popped": n_popped,
                 "fetched": int(got["fetched"]),
-                "failed": int(got["n"] - got["fetched"]),
+                "revalidated": int(got["revalidated"]),
+                "failed": int(got["n"] - got["fetched"] - got["revalidated"]),
             }
 
         rewrite_tables = {
@@ -553,7 +570,9 @@ def retire_and_requeue(
     frontier_after = frontier.unionByName(requeued)
 
     dec = (
-        retired.where(F.col("last_status") == "fetched")
+        # a url whose last visit was a 304 revalidation holds live budget
+        # exactly like a fresh fetch — retiring either frees the slot
+        retired.where(F.col("last_status").isin("fetched", "revalidated"))
         .withColumn("host", U.host_of(F.col("url")))
         .groupBy("host")
         .agg(F.count("*").alias("n_retired"))

@@ -156,6 +156,61 @@ class SnapshotCatalog:
             sid = snap.parent_id
         return out
 
+    def read_table_incremental(
+        self,
+        table: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows APPENDED to a chain table strictly after ``from_snapshot_id``
+        up to ``to_snapshot_id`` (default: CURRENT) — the Iceberg
+        incremental-append scan (changed-data capture).
+
+        Reads ONLY the delta files the later manifests added: cost is
+        O(new data), independent of table history — the shape that lets a
+        downstream consumer (the incremental near-dup index,
+        operators/incremental_dedup.py; a feature-store sync; a training-
+        data refresh) follow a 10^10-url crawl without ever rescanning it.
+
+        Only valid along an append-only stretch of the chain: if the later
+        snapshot's path list does not extend the earlier one (a compaction
+        rewrote the chain, retention GC re-rooted it, or the table is a
+        full-rewrite table like ``frontier``), the delta is NOT expressible
+        as a file difference and this raises ValueError — callers then fall
+        back to a full-snapshot diff. Same restriction as Iceberg's
+        incremental reads across rewrite/replace snapshots.
+        """
+        to_snap = self.snapshot(to_snapshot_id)
+        if to_snap is None:
+            raise ValueError("read_table_incremental: no committed snapshot")
+        from_snap = self.snapshot(from_snapshot_id)
+        old = list(from_snap.tables.get(table, [])) if from_snap else []
+        new = list(to_snap.tables.get(table, []))
+        if new[: len(old)] != old:
+            raise ValueError(
+                f"read_table_incremental({table!r}): snapshot "
+                f"{to_snap.snapshot_id} does not append-extend "
+                f"{from_snapshot_id} (compaction/rewrite boundary) — "
+                "read full snapshots and diff instead"
+            )
+        delta = new[len(old):]
+        schema_json = to_snap.schemas.get(table)
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        if not delta:
+            if schema_json is None:
+                raise ValueError(
+                    f"read_table_incremental({table!r}): empty delta and no "
+                    "recorded schema"
+                )
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(schema_json))
+            )
+        return reader.parquet(*delta)
+
     # ------------------------------------------------------------- commits
     def commit(
         self,

@@ -62,6 +62,28 @@ def main() -> int:
         "snapshots (N >= 2 preserves resume + compaction parents)",
     )
     ap.add_argument(
+        "--gateway",
+        default=None,
+        help="HTTP gateway base url (http://host:port): fetch over HTTP via "
+        "the mapInPandas fetcher (crawl/httpfetch.py) instead of the "
+        "synthetic join backend; implies cache_fetch (one GET per url)",
+    )
+    ap.add_argument(
+        "--revalidate",
+        action="store_true",
+        help="with --gateway: conditional GETs — send each stored page's "
+        "ETag (If-None-Match); 304 answers keep the stored copy, log "
+        "'revalidated', and skip the pages append + re-extraction",
+    )
+    ap.add_argument(
+        "--ttl-rounds",
+        type=int,
+        default=None,
+        help="before crawling, retire + requeue every seen url whose last "
+        "visit is older than this many rounds (TTL recrawl maintenance; "
+        "combine with --gateway --revalidate for the cheap-recrawl path)",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the run, compact the append-chain tables (seen, pages, "
@@ -102,6 +124,31 @@ def main() -> int:
         adaptive_politeness=args.adaptive_politeness,
     )
 
+    if args.ttl_rounds is not None:
+        from news_crawler_slm_spark.crawl.rounds import retire_and_requeue
+
+        n_retired = retire_and_requeue(
+            spark, args.catalog, robots, params, ttl_rounds=args.ttl_rounds
+        )
+        print(json.dumps({"retired": n_retired}), file=sys.stderr, flush=True)
+
+    fetcher = synthetic_fetcher(web)
+    if args.gateway:
+        import dataclasses
+
+        from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+        from news_crawler_slm_spark.crawl.rounds import live_pages
+        from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+        validators = None
+        if args.revalidate:
+            cat = SnapshotCatalog(spark, args.catalog)
+            snap = cat.snapshot()
+            if snap is not None and "pages" in snap.tables:
+                validators = live_pages(cat).select("url", "etag")
+        fetcher = http_fetcher(args.gateway, validators=validators)
+        params = dataclasses.replace(params, cache_fetch=True)
+
     progress = []
 
     def on_round(rnd, counters, round_s, pop_s):
@@ -114,7 +161,7 @@ def main() -> int:
         args.catalog,
         seeds,
         robots,
-        synthetic_fetcher(web),
+        fetcher,
         params,
         use_bloom=not args.no_bloom,
         max_rounds=args.rounds,
@@ -125,6 +172,7 @@ def main() -> int:
     )
     wall = time.monotonic() - t0
     fetched = sum(p["fetched"] for p in progress)
+    revalidated = sum(p.get("revalidated", 0) for p in progress)
 
     compacted = {}
     if args.compact:
@@ -145,6 +193,7 @@ def main() -> int:
                 "final_round": state.round,
                 "rounds_run": len(progress),
                 "fetched": fetched,
+                "revalidated": revalidated,
                 "wall_s": round(wall, 2),
                 "pages_per_sec": round(fetched / wall, 2) if wall > 0 else None,
                 "compacted": compacted or None,

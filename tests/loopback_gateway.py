@@ -16,6 +16,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from news_crawler_slm_spark.crawl.semantics import host_of, path_of
 
 
+def _etag_of(html: bytes) -> str:
+    import hashlib
+
+    return '"' + hashlib.md5(html).hexdigest() + '"'
+
+
 class Gateway:
     def __init__(self, web_rows, flaky_urls=()):
         # corpus keyed by (host, path): url -> row fields
@@ -24,6 +30,8 @@ class Gateway:
             self.pages[(host_of(url), path_of(url))] = (html, links, ok, lang, publisher)
         self.flaky = dict.fromkeys(flaky_urls, 0)  # url -> times 503'd so far
         self.request_log: list[tuple[str, float, str]] = []
+        # conditional-GET log: (url, if_none_match_header, status_returned)
+        self.conditional_log: list[tuple[str, str | None, int]] = []
         self._lock = threading.Lock()
 
         gw = self
@@ -39,6 +47,7 @@ class Gateway:
                 host, _, path = self.path.lstrip("/").partition("/")
                 path = "/" + path
                 url = f"https://{host}{path}"
+                inm = self.headers.get("If-None-Match")
                 with gw._lock:
                     gw.request_log.append((host, t, path))
                     flake = url in gw.flaky and gw.flaky[url] == 0
@@ -53,15 +62,26 @@ class Gateway:
                     self._respond(503, b"down")
                 else:
                     html, links, _ok, lang, publisher = page
-                    self._respond(
-                        200,
-                        html,
-                        {
-                            "Content-Language": lang,
-                            "X-Publisher": publisher,
-                            "X-Out-Links": json.dumps(links),
-                        },
-                    )
+                    etag = _etag_of(html)
+                    if inm is not None and inm == etag:
+                        # RFC 9110 §15.4.5: empty body, validator repeated
+                        with gw._lock:
+                            gw.conditional_log.append((url, inm, 304))
+                        self._respond(304, b"", {"ETag": etag})
+                    else:
+                        if inm is not None:
+                            with gw._lock:
+                                gw.conditional_log.append((url, inm, 200))
+                        self._respond(
+                            200,
+                            html,
+                            {
+                                "ETag": etag,
+                                "Content-Language": lang,
+                                "X-Publisher": publisher,
+                                "X-Out-Links": json.dumps(links),
+                            },
+                        )
 
             def _respond(self, status, body, headers=None):
                 self.send_response(status)
@@ -76,6 +96,14 @@ class Gateway:
         self.url = f"http://127.0.0.1:{self.server.server_port}"
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
         self._thread.start()
+
+    def mutate(self, url: str, html: bytes):
+        """Replace a page's content in place (new ETag) — models a page
+        edited between crawls, so a conditional GET sees 200 + new body."""
+        key = (host_of(url), path_of(url))
+        with self._lock:
+            _old, links, ok, lang, publisher = self.pages[key]
+            self.pages[key] = (html, links, ok, lang, publisher)
 
     def per_host_request_times(self) -> dict[str, list[float]]:
         with self._lock:

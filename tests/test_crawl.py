@@ -607,3 +607,97 @@ def test_salted_topk_equals_plain_topk(rows, k):
     plain = {tuple(r) for r in top_k_per_group(df, ["g"], order, k).collect()}
     salted = {tuple(r) for r in salted_top_k_per_group(df, ["g"], order, k, "salt").collect()}
     assert plain == salted
+
+
+def test_conditional_revalidation_roundtrip(spark, tmp_path, corpus, sim_result):
+    """HTTP conditional revalidation (RFC 9110 If-None-Match / 304): after a
+    full crawl through the loopback gateway, retire EVERY seen url and
+    recrawl with validators from live_pages. Unchanged pages must come back
+    as 304s — logged ``revalidated``, counted in the round counters, with NO
+    new pages append (live_pages keeps the original bytes) — while a page
+    mutated between crawls must come back 200 with fresh bytes and a new
+    ETag. This is the TTL-recrawl fast path: most of a re-crawl costs a
+    header exchange, not a body + extraction."""
+    import dataclasses
+
+    from loopback_gateway import Gateway
+
+    from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+    from news_crawler_slm_spark.crawl.rounds import live_pages, retire_and_requeue
+    from news_crawler_slm_spark.functions.html_clean import clean_html
+
+    gw = Gateway(corpus["web"])
+    try:
+        dfs = web_dataframes(spark, SCALE)
+        delays = {r[0]: r[3] / 20.0 for r in corpus["robots"]}
+        params = dataclasses.replace(PARAMS, cache_fetch=True)
+        root = str(tmp_path / "reval_cat")
+        fetcher = http_fetcher(gw.url, crawl_delays=delays, timeout_s=5.0, max_retries=2)
+        run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, params)
+        catalog = SnapshotCatalog(spark, root)
+        rounds_run = sim_result.rounds_run
+
+        # every stored page carries the validator the gateway served
+        lp0 = {r["url"]: (r["text"], r["etag"]) for r in live_pages(catalog).collect()}
+        assert lp0 and all(e for _t, e in lp0.values())
+
+        # mutate one fetched page between crawls: new body, new ETag
+        mutated = sorted(lp0)[0]
+        new_html = b"<html><body><p>updated body after edit.</p></body></html>"
+        gw.mutate(mutated, new_html)
+
+        # retire EVERYTHING seen; requeue through today's robots gate
+        validators = live_pages(catalog).select("url", "etag")
+        n = retire_and_requeue(
+            spark, root, dfs["robots"], PARAMS, ttl_rounds=0, requeue_priority=5.0
+        )
+        assert n == len(sim_result.seen)
+
+        fetcher2 = http_fetcher(
+            gw.url, crawl_delays=delays, timeout_s=5.0, max_retries=2,
+            validators=validators,
+        )
+        run_crawl(
+            spark, root, dfs["seeds"], dfs["robots"], fetcher2, params, max_rounds=8
+        )
+
+        later = [
+            (r["url"], r["status"])
+            for r in catalog.read_table("crawl_log").collect()
+            if r["round"] > rounds_run
+        ]
+        revalidated = {u for u, s in later if s == "revalidated"}
+        refetched = {u for u, s in later if s == "fetched"}
+        assert mutated in refetched
+        # every re-popped url with an unchanged stored copy was a 304
+        assert revalidated and revalidated <= set(lp0) - {mutated}
+        # the gateway really saw conditional requests + 304 answers
+        cond = {(u, st) for u, _inm, st in gw.conditional_log}
+        assert all((u, 304) in cond for u in revalidated)
+        assert (mutated, 200) in cond
+
+        # pages chain: 304 urls keep exactly their original single row;
+        # the mutated url holds two copies and live_pages picks the new one
+        counts = {
+            r["url"]: r["count"]
+            for r in catalog.read_table("pages").groupBy("url").count().collect()
+        }
+        lp1 = {r["url"]: (r["text"], r["fetch_round"], r["etag"]) for r in live_pages(catalog).collect()}
+        for u in revalidated:
+            assert counts[u] == 1, u
+            assert lp1[u][0] == lp0[u][0], u
+        assert counts[mutated] == 2
+        text, fr, etag1 = lp1[mutated]
+        assert fr > rounds_run
+        assert text == clean_html(new_html.decode("utf-8"))
+        assert etag1 != lp0[mutated][1]
+
+        # the revalidations landed in the committed round counters
+        total_reval = sum(
+            int(s.counters.get("revalidated", 0))
+            for s in catalog.lineage()
+            if int(s.counters.get("round", 0)) > rounds_run
+        )
+        assert total_reval == sum(1 for _u, s in later if s == "revalidated")
+    finally:
+        gw.close()

@@ -163,3 +163,42 @@ def test_crawl_with_retention_gc_matches_unexpired(spark, tmp_path):
 
     n_manifests = len(os.listdir(os.path.join(b, "manifests")))
     assert n_manifests <= 2
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """read_table_incremental: exactly the rows later snapshots appended,
+    cost O(delta files); empty range -> typed empty; rewrite tables and
+    compaction boundaries refuse (not expressible as a file diff)."""
+    import pytest
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "inc"))
+    mk = lambda i: spark.createDataFrame([(i, f"v{i}")], "id int, v string")
+    cat.commit(1, tables={"front": mk(100)}, appends={"log": mk(1)})
+    cat.commit(2, tables={"front": mk(200)}, appends={"log": mk(2)})
+    cat.commit(3, tables={"front": mk(300)}, appends={"log": mk(3)})
+
+    got = {r.id for r in cat.read_table_incremental("log", 1).collect()}
+    assert got == {2, 3}
+    got = {r.id for r in cat.read_table_incremental("log", 1, 2).collect()}
+    assert got == {2}
+    # incremental ≡ full-snapshot difference along the same range
+    full3 = {r.id for r in cat.read_table("log", snapshot_id=3).collect()}
+    full1 = {r.id for r in cat.read_table("log", snapshot_id=1).collect()}
+    assert {r.id for r in cat.read_table_incremental("log", 1, 3).collect()} == full3 - full1
+
+    # empty range: typed empty frame, no files read
+    empty = cat.read_table_incremental("log", 3, 3)
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+
+    # full-rewrite table: path list replaced, not extended -> refuse
+    with pytest.raises(ValueError, match="rewrite"):
+        cat.read_table_incremental("front", 1)
+
+    # compaction rewrites the chain -> the boundary refuses too
+    cat.compact("log")
+    with pytest.raises(ValueError, match="rewrite"):
+        cat.read_table_incremental("log", 2)
+    # but ranges entirely AFTER the compaction work again
+    base = cat.current_snapshot_id()
+    cat.commit(4, appends={"log": mk(4)})
+    assert {r.id for r in cat.read_table_incremental("log", base).collect()} == {4}

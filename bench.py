@@ -92,6 +92,10 @@ HEADLINE = [
     # number is close to pure scan throughput) and the search top-k
     "gopher_quality_flags",
     "tfidf_search",
+    # r04 session-5 additions: the data-selection flagships — DSIR's
+    # broadcast-dim scoring pass and CCNet's per-language tertile rank
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -414,3 +414,71 @@ def dup_ngram_char_fraction(spark, sf_dir, n: int = 5):
             F.sum(dup_chars) / F.max("nonspace_chars").cast("double"), 6
         ).alias("dup_char_fraction"),
     )
+
+
+_DUP_LINE_ORACLE = r"""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(list_transform(string_split(text, chr(10)),
+                    x -> trim(x, ' ' || chr(9) || chr(13)))) AS line
+      FROM documents
+    ),
+    lc AS (
+      SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c
+      FROM l GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_lines,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS dup_line_frac,
+           CASE WHEN sum(c * length(line)) = 0 THEN 0.0
+                ELSE round(sum(CASE WHEN c > 1 THEN c * length(line)
+                               ELSE 0 END)
+                           / CAST(sum(c * length(line)) AS DOUBLE), 6)
+           END AS dup_line_char_frac
+    FROM lc GROUP BY doc_id
+"""
+
+
+@register("dup_line_stats", _DUP_LINE_ORACLE)
+def dup_line_stats(spark, sf_dir):
+    """The remaining Gopher repetition rules: duplicate-LINE fraction and
+    duplicate-line CHARACTER fraction (Rae et al. 2021 Table A1 rejects
+    > 0.30 / > 0.20). A line counts as duplicated when it occurs more than
+    once within the document (after the same whitespace strip C4's line
+    filter uses); every occurrence of a repeated line counts — the same
+    all-occurrences convention as ``dup_ngram_char_fraction``. Documents
+    whose lines are all empty after the strip get char fraction 0 (the
+    0/0 guard is identical on both engines).
+
+    Plan shape: one (doc_id, line) shuffle with map-side partial
+    aggregation, then the per-doc re-aggregation — both denominators ride
+    the line counts, so a single corpus scan and no join back to documents.
+    The driver corpus is single-line, so gate rows pin the degenerate
+    no-duplicate case; the rule firing on real multi-line text is pinned by
+    the crafted fixture in tests/test_quality.py against this same oracle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.split(F.col("text"), "\n"), lambda x: F.btrim(x, F.lit(" \t\r"))
+            )
+        ).alias("line"),
+    )
+    lc = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+    line_chars = F.col("c") * F.length("line")
+    dup_chars = F.when(F.col("c") > 1, line_chars).otherwise(F.lit(0))
+    tot_chars = F.sum(line_chars)
+    return lc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.when(tot_chars == 0, F.lit(0.0))
+        .otherwise(F.round(F.sum(dup_chars) / tot_chars.cast("double"), 6))
+        .alias("dup_line_char_frac"),
+    )

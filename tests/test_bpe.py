@@ -89,3 +89,39 @@ def test_first_merge_agrees_with_pair_counts_query(spark):
     assert len(merges) == 1
     assert merges[0][0] + merges[0][1] == top["pair"]
     dim.unpersist()
+
+
+def test_encode_roundtrips_training_segmentation(spark):
+    """Encoding a word the trainer saw must reproduce the trainer's final
+    symbol array exactly — in python and through the Spark projection."""
+    from news_crawler_slm_spark.operators.bpe import bpe_encode, bpe_encode_word
+
+    merges, dim = train_bpe(_words_df(spark), num_merges=6)
+    final = {r["w"]: list(r["symbols"]) for r in dim.collect()}
+    for w, syms in final.items():
+        assert bpe_encode_word(w, merges) == syms, w
+    dim.unpersist()
+
+    corpus = spark.createDataFrame(
+        [(1, "low lower slow"), (2, "newest widest new a"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (list(r["subwords"]), r["n_subwords"])
+            for r in bpe_encode(corpus, merges).collect()}
+    exp1 = final["low"] + final["lower"] + final["slow"]
+    exp2 = final["newest"] + final["widest"] + final["new"] + final["a"]
+    assert rows[1] == (exp1, len(exp1))
+    assert rows[2] == (exp2, len(exp2))
+    assert rows[3] == ([], 0) and rows[4] == ([], 0)
+
+    # unseen words segment deterministically with the same merges
+    assert bpe_encode_word("lowest", merges) == bpe_encode_word("lowest", merges)
+    assert "".join(bpe_encode_word("lowest", merges)) == "lowest"
+
+
+def test_encode_is_shuffle_free(spark):
+    from news_crawler_slm_spark.operators.bpe import bpe_encode
+
+    corpus = spark.createDataFrame([(1, "low slow")], "doc_id long, text string")
+    plan = bpe_encode(corpus, [("l", "o")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -103,3 +103,51 @@ def test_tfidf_search_scans_the_corpus_once(spark):
     df = REGISTRY["tfidf_search"][0](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("Scan parquet") == 2
+
+
+def test_stratified_sample_one_shuffle_no_join(spark):
+    """Quota sampling budget: ONE shuffle (the stratum key) feeding the
+    per-group rank filter — no join, a single corpus scan."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["stratified_sample"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_dsir_scoring_joins_broadcast(spark):
+    """DSIR's parameter state is O(B buckets): the per-token scoring join
+    and the bucket/total dims must all broadcast — a sort-merge join or a
+    real cartesian product would mean corpus-sized parameter movement."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["dsir_importance_weights"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_dim_joins_broadcast(spark):
+    """CCNet scoring: the (lang, tok) LM dim and the per-lang size dim ride
+    broadcast joins; the only shuffles are the dim aggregations and the
+    per-language tertile window."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["ccnet_perplexity_buckets"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_pair_counts_take_ordered(spark):
+    """The top-k cut must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort of all pairs."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["bpe_pair_counts"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or plan.index("TakeOrderedAndProject") >= 0

@@ -87,3 +87,66 @@ def test_c4_fixture_matches_oracle_on_multiline_text(spark, fixture_dir):
         r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(_C4_ORACLE).fetchall()
     }
     assert got == want
+
+
+DUP_DOCS = [
+    # doc 10: 'aaa.' twice (8 chars dup) of 3 lines / 12 chars total
+    (10, "aaa.\naaa.\nbbbb."),
+    # doc 11: all lines distinct
+    (11, "one line.\ntwo line.\nthree line."),
+    # doc 12: whitespace-padded duplicates must collapse after the strip
+    (12, "  same text  \n\tsame text\t\nsame text"),
+    # doc 13: only empty lines -> char denominator 0, guarded fraction 0
+    (13, "\n\n"),
+    # doc 14: single line (the driver-corpus degenerate shape)
+    (14, "just one line here."),
+]
+
+
+@pytest.fixture(scope="module")
+def dup_fixture_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("dup_docs"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DUP_DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DUP_DOCS], pa.string()),
+                "lang": pa.array(["en"] * len(DUP_DOCS)),
+                "source": pa.array(["fixture"] * len(DUP_DOCS)),
+                "n_chars": pa.array([len(t) for _, t in DUP_DOCS], pa.int32()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def test_dup_line_stats_rules_fire(spark, dup_fixture_dir):
+    from news_crawler_slm_spark.plans.catalog_quality import _DUP_LINE_ORACLE
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"])
+        for r in REGISTRY["dup_line_stats"][0](spark, dup_fixture_dir).collect()
+    }
+    # doc 10: 2 of 3 lines duplicated; 8 of 13 chars inside duplicated lines
+    assert got[10] == (3, round(2 / 3, 6), round(8 / 13, 6))
+    assert got[11] == (3, 0.0, 0.0)
+    # doc 12: all three lines equal after the strip
+    assert got[12] == (3, 1.0, 1.0)
+    # doc 13: 3 empty lines are "duplicates" but cover zero chars
+    assert got[13] == (3, 1.0, 0.0)
+    assert got[14] == (1, 0.0, 0.0)
+
+    # the exact production oracle agrees row-for-row on the same fixture
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{dup_fixture_dir}/documents.parquet'"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_DUP_LINE_ORACLE).fetchall()
+    }
+    assert got == exp

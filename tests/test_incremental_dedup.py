@@ -109,30 +109,29 @@ def test_crawl_snapshots_feed_incremental_index(spark, tmp_path):
     run_crawl(spark, root, dfs["seeds"], dfs["robots"], synthetic_fetcher(dfs["web"]), params)
     catalog = SnapshotCatalog(spark, root)
 
-    def docs_at(snap_id):
-        return (
-            catalog.read_table("pages", snap_id)
-            .select(F.xxhash64("url").alias("doc_id"), "text")
-        )
+    def _docs(df):
+        return df.select(F.xxhash64("url").alias("doc_id"), "text")
 
     chain = list(reversed(catalog.lineage()))  # root -> current
     index, got = None, set()
-    prev_ids = None
+    prev_sid = None
     for snap in chain:
         if "pages" not in snap.tables:
             continue
-        cur = docs_at(snap.snapshot_id)
-        inc = (
-            cur if prev_ids is None
-            else cur.join(prev_ids, "doc_id", "left_anti")
+        # changed-data capture: ONLY the delta files this round appended —
+        # O(new pages), never a scan (or anti-join) of crawl history
+        inc = _docs(
+            catalog.read_table("pages", snap.snapshot_id)
+            if prev_sid is None
+            else catalog.read_table_incremental("pages", prev_sid, snap.snapshot_id)
         )
         if inc.take(1):
             pairs, index = incremental_neardup(index, inc)
             got |= _pairs(pairs)
-        prev_ids = cur.select("doc_id")
+        prev_sid = snap.snapshot_id
 
     # batch twin over the final corpus
-    final = docs_at(None)
+    final = _docs(catalog.read_table("pages"))
     batch_pairs, _ = incremental_neardup(None, final)
     assert got == _pairs(batch_pairs)
     # a multi-round crawl really produced multiple increments

@@ -84,15 +84,17 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
 ]
 
-# NOTE (r04, registry at 84): the front window (37: 9 never-checked + the
-# r04-changed set + the two r02-stale queries ngram_jaccard_pairs /
-# langid_heuristic) plus the middle leaves nine middle queries past the
-# cap besides the explicit tail below — token_idf, exact_dedup,
-# dedup_survivors_count, ann_cosine_topk, frontier_pop_topk,
-# seen_anti_join, url_canonicalization, doc_fingerprints_rolling,
-# orders_without_lineitems. All nine are r03-hash-green and re-verified
-# every run by tests/test_plans.py; the two-round rule puts them (and the
-# tail's r03 set) in the r05 front window.
+# NOTE (r04 session 5, registry at 89): the front window now carries 15
+# never-checked r04 queries (the session-5 six — stratified_sample,
+# ccnet_perplexity_buckets, dsir_importance_weights, bpe_pair_counts,
+# dup_line_stats, plus the earlier nine) + the r04-changed set + the two
+# r02-stale queries. That pushes THIRTY-NINE r03-green queries past the
+# 50-cap (run driver_ordered_registry() and slice [50:] for the exact
+# list — from repetition_split_counts through q5_local_supplier_volume).
+# All 39 are r03-hash-green AND re-verified every run by
+# tests/test_plans.py; the two-round rule REQUIRES the r05 front window
+# to be exactly those 39 (plus anything r05 changes) — the r04-checked
+# set then waits in the tail until r06.
 
 # Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
 # all also value-checked by the repo's own identical DuckDB-oracle tests

@@ -267,8 +267,8 @@ _DSIR_ORACLE = rf"""
     SELECT toks.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(dim.lr_micro) AS BIGINT) AS weight_micro,
-           round((CAST(sum(dim.lr_micro) AS DOUBLE) / 1000000.0) / count(*), 6)
-             AS avg_token_logratio
+           CAST(floor(CAST(sum(dim.lr_micro) AS DOUBLE) / count(*) + 0.5)
+                AS BIGINT) AS avg_lr_micro
     FROM toks JOIN dim USING (tok)
     GROUP BY toks.doc_id
 """
@@ -355,11 +355,18 @@ def dsir_importance_weights(spark, sf_dir):
             "doc_id",
             "n_tokens",
             "weight_micro",
-            F.round(
-                (F.col("weight_micro").cast("double") / F.lit(1000000.0))
-                / F.col("n_tokens"),
-                6,
-            ).alias("avg_token_logratio"),
+            # per-token average in micro-nats, half-up via floor(x + 0.5):
+            # a round(double, 6) here TIES whenever n_tokens divides the
+            # weight into an exact half (e.g. -192067/58 = -3311.5 µnats,
+            # observed at sf0.1) and the engines' round() implementations
+            # disagree on which way the tie goes; floor of the identical
+            # IEEE double is deterministic on both (the cents() trick).
+            F.floor(
+                F.col("weight_micro").cast("double") / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_lr_micro"),
         )
     )
 

@@ -482,3 +482,94 @@ def dup_line_stats(spark, sf_dir):
         .otherwise(F.round(F.sum(dup_chars) / tot_chars.cast("double"), 6))
         .alias("dup_line_char_frac"),
     )
+
+
+_COMPOSITE_ORACLE = rf"""
+    WITH g AS ({_GOPHER_ORACLE}),
+    t AS ({_TOP_NGRAM_ORACLE}),
+    n AS ({_DUP_NGRAM_ORACLE}),
+    l AS ({_DUP_LINE_ORACLE}),
+    c AS ({_C4_ORACLE})
+    SELECT g.doc_id,
+           g.keep AS gopher_keep,
+           (coalesce(t.top_gram_char_frac <= 0.20, TRUE)
+            AND coalesce(n.dup_char_fraction <= 0.15, TRUE)
+            AND coalesce(l.dup_line_frac <= 0.30
+                         AND l.dup_line_char_frac <= 0.20, TRUE))
+             AS repetition_keep,
+           c.keep_doc AS c4_keep,
+           (g.keep
+            AND coalesce(t.top_gram_char_frac <= 0.20, TRUE)
+            AND coalesce(n.dup_char_fraction <= 0.15, TRUE)
+            AND coalesce(l.dup_line_frac <= 0.30
+                         AND l.dup_line_char_frac <= 0.20, TRUE)
+            AND c.keep_doc) AS keep
+    FROM g
+    LEFT JOIN t USING (doc_id)
+    LEFT JOIN n USING (doc_id)
+    LEFT JOIN l USING (doc_id)
+    JOIN c USING (doc_id)
+"""
+
+
+@register("composite_quality_gate", _COMPOSITE_ORACLE)
+def composite_quality_gate(spark, sf_dir):
+    """The full document gate a FineWeb/Dolma-style pipeline runs as ONE
+    decision: Gopher word statistics AND the repetition family (top-bigram
+    mass <= 0.20, duplicate-5-gram chars <= 0.15, duplicate lines <= 0.30,
+    duplicate-line chars <= 0.20 — the published Gopher Table A1 bounds)
+    AND the C4 line filter's >= 3-surviving-lines rule. Documents too short
+    to have a bigram/5-gram pass those sub-rules vacuously (LEFT join +
+    coalesce TRUE — identical on both engines).
+
+    Built BY COMPOSITION: each sub-rule is the already-oracle-twinned
+    registered query, joined on doc_id — the oracle nests the sub-oracles
+    the same way, so the composite can only disagree with its parts by a
+    join bug, which is exactly what this pins. Threshold comparisons run
+    on the sub-queries' rounded output columns — the values already proven
+    hash-identical cross-engine at sf0.1.
+
+    Plan shape: the gopher and c4 legs are shuffle-free projections; the
+    three repetition legs each pay their documented (doc, gram/line)
+    shuffle; the joins key on doc_id. At 100 TB, fuse the projection legs
+    into one scan (they already are — AQE reuses the exchange-free scans)
+    and materialize the gate output once for every downstream consumer:
+    a gate bit is computed once per document per corpus version, never
+    per query.
+    """
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    t = top_ngram_char_fraction(spark, sf_dir).select(
+        "doc_id", (F.col("top_gram_char_frac") <= 0.20).alias("tk")
+    )
+    n = dup_ngram_char_fraction(spark, sf_dir).select(
+        "doc_id", (F.col("dup_char_fraction") <= 0.15).alias("nk")
+    )
+    line = dup_line_stats(spark, sf_dir).select(
+        "doc_id",
+        (
+            (F.col("dup_line_frac") <= 0.30) & (F.col("dup_line_char_frac") <= 0.20)
+        ).alias("lk"),
+    )
+    c = c4_line_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep_doc").alias("c4_keep")
+    )
+    rep = (
+        F.coalesce(F.col("tk"), F.lit(True))
+        & F.coalesce(F.col("nk"), F.lit(True))
+        & F.coalesce(F.col("lk"), F.lit(True))
+    )
+    return (
+        g.join(t, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .join(line, "doc_id", "left")
+        .join(c, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            rep.alias("repetition_keep"),
+            "c4_keep",
+            (F.col("gopher_keep") & rep & F.col("c4_keep")).alias("keep"),
+        )
+    )

@@ -150,3 +150,33 @@ def test_dup_line_stats_rules_fire(spark, dup_fixture_dir):
         for r in con.execute(_DUP_LINE_ORACLE).fetchall()
     }
     assert got == exp
+
+
+def test_composite_gate_equals_rule_conjunction(spark, dup_fixture_dir):
+    """On real multi-line text the composite must be exactly the AND of its
+    already-tested sub-rules — and the production oracle agrees."""
+    from news_crawler_slm_spark.plans.catalog_quality import _COMPOSITE_ORACLE
+
+    got = {
+        r["doc_id"]: (r["gopher_keep"], r["repetition_keep"], r["c4_keep"], r["keep"])
+        for r in REGISTRY["composite_quality_gate"][0](spark, dup_fixture_dir).collect()
+    }
+    gop = {r["doc_id"]: r["keep"] for r in REGISTRY["gopher_quality_flags"][0](spark, dup_fixture_dir).collect()}
+    top = {r["doc_id"]: r["top_gram_char_frac"] <= 0.20 for r in REGISTRY["top_ngram_char_fraction"][0](spark, dup_fixture_dir).collect()}
+    dng = {r["doc_id"]: r["dup_char_fraction"] <= 0.15 for r in REGISTRY["dup_ngram_char_fraction"][0](spark, dup_fixture_dir).collect()}
+    dl = {r["doc_id"]: (r["dup_line_frac"] <= 0.30 and r["dup_line_char_frac"] <= 0.20) for r in REGISTRY["dup_line_stats"][0](spark, dup_fixture_dir).collect()}
+    c4 = {r["doc_id"]: r["keep_doc"] for r in REGISTRY["c4_line_filter"][0](spark, dup_fixture_dir).collect()}
+    assert set(got) == set(gop)
+    for d, (gk, rk, ck, k) in got.items():
+        exp_rep = top.get(d, True) and dng.get(d, True) and dl.get(d, True)
+        assert (gk, rk, ck) == (gop[d], exp_rep, c4[d]), d
+        assert k == (gk and rk and ck), d
+    # the doc with three identical lines must fail the repetition leg
+    assert got[12][1] is False
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{dup_fixture_dir}/documents.parquet'"
+    )
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(_COMPOSITE_ORACLE).fetchall()}
+    assert got == exp

@@ -531,11 +531,12 @@ def composite_quality_gate(spark, sf_dir):
 
     Plan shape: the gopher and c4 legs are shuffle-free projections; the
     three repetition legs each pay their documented (doc, gram/line)
-    shuffle; the joins key on doc_id. At 100 TB, fuse the projection legs
-    into one scan (they already are — AQE reuses the exchange-free scans)
-    and materialize the gate output once for every downstream consumer:
-    a gate bit is computed once per document per corpus version, never
-    per query.
+    shuffle; the joins key on doc_id. The composed plan scans documents
+    once per leg (Spark does not merge scans across join branches) — fine
+    at gate-audit scale, but at 100 TB the projection legs (gopher + c4)
+    belong in ONE select and, above all, the gate output is MATERIALIZED
+    once per corpus version and every downstream consumer reads the bit:
+    a gate is computed per document per version, never per query.
     """
     g = gopher_quality_flags(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("gopher_keep")

@@ -23,8 +23,12 @@ between cleaning and training):
   et al. 2016): weighted adjacent character-pair counts over the distinct-
   word dimension. The full iterative trainer is ``operators/bpe.py``; this
   query pins its per-step aggregation against a SQL oracle.
+- ``stupid_backoff_scores`` — the web-scale n-gram scoring scheme (Brants
+  et al. 2007): bigram MLE backed off to 0.4x unigram, trained on the
+  trusted slice, scored over everything; the backoff rate is the quality
+  signal.
 
-All four are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All five are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -38,7 +42,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import knuth_shuffle_key, knuth_shuffle_key_sql
-from .catalog import _t, register
+from .catalog import _t, register, word_windows, ws_normalize
 
 # ---------------------------------------------------------------------------
 # stratified_sample
@@ -433,4 +437,160 @@ def bpe_pair_counts(spark, sf_dir):
         .agg(F.sum("wc").alias("c"))
         .orderBy(F.desc("c"), "pair")
         .limit(_BPE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stupid_backoff_scores
+# ---------------------------------------------------------------------------
+
+_SB_ALPHA = 0.4  # the paper's fixed backoff factor
+_SB_TRAIN_LANG = "en"
+
+_SB_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2
+    ),
+    train_pairs AS (
+      SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2 AND lang = '{_SB_TRAIN_LANG}'
+    ),
+    bc AS (
+      SELECT g, split_part(g, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS c12
+      FROM train_pairs GROUP BY g
+    ),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    bdim AS (
+      SELECT g, CAST(round(ln(c12 / CAST(c1 AS DOUBLE)) * 1000000.0, 0)
+                 AS BIGINT) AS lnb_micro
+      FROM bc JOIN ctx USING (w1)
+    ),
+    train_toks AS (
+      SELECT unnest(a) AS tok FROM t WHERE lang = '{_SB_TRAIN_LANG}'
+    ),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM train_toks GROUP BY tok),
+    n AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uc),
+    udim AS (
+      SELECT uc.tok,
+             CAST(round(ln(({_SB_ALPHA} * uc.cu) / CAST(n.nt AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS lnu_micro
+      FROM uc CROSS JOIN n
+    ),
+    oov AS (
+      SELECT CAST(round(ln(({_SB_ALPHA} * 1) / CAST(nt AS DOUBLE))
+                        * 1000000.0, 0) AS BIGINT) AS oov_micro
+      FROM n
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(coalesce(b.lnb_micro, u.lnu_micro, o.oov_micro))
+                AS BIGINT) AS score_micro,
+           CAST(floor(CAST(sum(coalesce(b.lnb_micro, u.lnu_micro, o.oov_micro))
+                           AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS avg_micro,
+           CAST(sum(CASE WHEN b.lnb_micro IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backoff
+    FROM pairs p
+    LEFT JOIN bdim b USING (g)
+    LEFT JOIN udim u ON u.tok = split_part(p.g, ' ', 2)
+    CROSS JOIN oov o
+    GROUP BY p.doc_id
+"""
+
+
+@register("stupid_backoff_scores", _SB_ORACLE)
+def stupid_backoff_scores(spark, sf_dir):
+    """Stupid backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation") — the scoring scheme invented FOR web-scale
+    n-gram models: no discounting, no normalization, just
+
+        S(w2 | w1) = c(w1 w2) / c(w1)        if the bigram was seen
+                   = 0.4 * c(w2) / N          backed off to the unigram
+                   = 0.4 * 1 / N              for out-of-vocabulary w2
+
+    trained here on the trusted slice (lang = 'en' — CCNet's shape: score
+    EVERYTHING with an LM trained on clean text) and scored over every
+    document's token transitions. Non-target-language docs back off
+    heavily — n_backoff / n_transitions is the quality signal. Completes
+    the engine's LM-scoring family (unigram MLE → bigram MLE → backoff);
+    docs with < 2 tokens have no transitions and no row.
+
+    Cross-engine discipline: all three score shapes quantize to integer
+    micro-nats INSIDE their dims (|bigrams|, |vocab|, and the 1-row OOV
+    scalar — identical ln argument shapes on both engines), the per-doc
+    sum is exact BIGINT, and the per-transition average uses the exact
+    floor(x + 0.5) integer convention (the DSIR tie lesson). Every output
+    column is integral — nothing for a rounding boundary to flip.
+
+    Scale shape: identical to ``bigram_perplexity`` — the bigram dim is
+    NOT broadcastable at 100 TB (the occurrence join shuffles on the
+    bigram string; AQE broadcasts it at small SF); the unigram dim and
+    OOV scalar broadcast. Bigrams come from codegen regexp windows; the
+    backoff resolution is one coalesce over two left joins, zero extra
+    corpus passes.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+    big = d.select("doc_id", "lang", F.explode(word_windows(norm, 2)).alias("g"))
+    train_big = big.where(F.col("lang") == _SB_TRAIN_LANG)
+    bc = train_big.groupBy("g").agg(F.count("*").alias("c12"))
+    bc = bc.withColumn("w1", F.split("g", " ").getItem(0))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bdim = bc.join(ctx, "w1").select(
+        "g",
+        F.round(F.log(F.col("c12") / F.col("c1").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("lnb_micro"),
+    )
+    train_toks = d.where(F.col("lang") == _SB_TRAIN_LANG).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    uc = train_toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    n = uc.agg(F.sum("cu").alias("nt"))
+    udim = uc.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.round(
+            F.log((F.lit(_SB_ALPHA) * F.col("cu")) / F.col("nt").cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("lnu_micro"),
+    )
+    oov = n.select(
+        F.round(
+            F.log((F.lit(_SB_ALPHA) * F.lit(1)) / F.col("nt").cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("oov_micro")
+    )
+    scored = (
+        big.join(bdim, "g", "left")
+        .withColumn("w2", F.split("g", " ").getItem(1))
+        .join(F.broadcast(udim), F.col("w2") == F.col("tok"), "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce("lnb_micro", "lnu_micro", "oov_micro").alias("s"),
+            F.col("lnb_micro").isNull().cast("long").alias("bo"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("s").alias("score_micro"),
+        F.floor(F.sum("s").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_micro"),
+        F.sum("bo").alias("n_backoff"),
     )

@@ -180,3 +180,66 @@ def test_composite_gate_equals_rule_conjunction(spark, dup_fixture_dir):
     )
     exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(_COMPOSITE_ORACLE).fetchall()}
     assert got == exp
+
+
+SB_DOCS = [
+    # train slice (en): bigrams {a b: 1, b c: 1}; unigrams a=1 b=2 c=1, N=4
+    (20, "a b", "en"),
+    (21, "b c", "en"),
+    # fr: seen bigram, then two OOV-w2 transitions
+    (22, "a b x y", "fr"),
+    # fr: unseen bigram backed off to unigram w2=b (cu=2)
+    (23, "c b", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def sb_fixture_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("sb_docs"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _t, _l in SB_DOCS], pa.int64()),
+                "text": pa.array([t for _i, t, _l in SB_DOCS], pa.string()),
+                "lang": pa.array([lg for _i, _t, lg in SB_DOCS]),
+                "source": pa.array(["fixture"] * len(SB_DOCS)),
+                "n_chars": pa.array([len(t) for _i, t, _l in SB_DOCS], pa.int32()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def test_stupid_backoff_all_three_paths(spark, sb_fixture_dir):
+    """Hand-computed values for every scoring path: seen bigram (MLE),
+    unigram backoff (0.4 * c/N), and OOV (0.4 * 1/N) — plus the production
+    oracle row-for-row on the same fixture."""
+    import math
+
+    from news_crawler_slm_spark.plans.catalog_selection import _SB_ORACLE
+
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["score_micro"], r["avg_micro"], r["n_backoff"])
+        for r in REGISTRY["stupid_backoff_scores"][0](spark, sb_fixture_dir).collect()
+    }
+    ln01 = round(math.log(0.1) * 1e6)   # OOV and cu=1 backoff: ln(0.4*1/4)
+    ln02 = round(math.log(0.2) * 1e6)   # cu=2 backoff: ln(0.4*2/4)
+    # en docs: their single bigram is seen with P=1 -> score 0, no backoff
+    assert got[20] == (1, 0, 0, 0)
+    assert got[21] == (1, 0, 0, 0)
+    # fr doc 22: [a b]=0 (seen), [b x]=ln(.1) (x OOV), [x y]=ln(.1)
+    s22 = 2 * ln01
+    assert got[22] == (3, s22, math.floor(s22 / 3 + 0.5), 2)
+    # fr doc 23: [c b] backs off to unigram b (cu=2)
+    assert got[23] == (1, ln02, ln02, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sb_fixture_dir}/documents.parquet'"
+    )
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(_SB_ORACLE).fetchall()}
+    assert got == exp

@@ -459,6 +459,32 @@ def live_pages(catalog: SnapshotCatalog) -> DataFrame:
     return p.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def change_rates(catalog: SnapshotCatalog) -> DataFrame:
+    """Per-url freshness estimate from crawl history — the signal a
+    Cho/Garcia-Molina-style recrawl scheduler runs on. Among a url's
+    SUCCESSFUL visits (status fetched or revalidated), the first fetch is
+    the baseline; every later visit is a REVISIT, and a revisit that came
+    back ``fetched`` means the content CHANGED — with conditional
+    revalidation in use (httpfetch validators), an unchanged page comes
+    back ``revalidated``, so a full body re-fetch IS the change signal.
+
+    Returns (url, host, revisits, changes) as exact BIGINTs; divide
+    downstream (changes/revisits is each url's observed change rate).
+    One groupBy over the crawl_log append chain — compact it first on a
+    long crawl; no driver-side data.
+    """
+    log = catalog.read_table("crawl_log")
+    ok = log.where(F.col("status").isin("fetched", "revalidated"))
+    return ok.groupBy("url").agg(
+        F.first("host").alias("host"),
+        (F.count("*") - 1).cast("long").alias("revisits"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.sum((F.col("status") == "fetched").cast("long")) - 1).cast("long"),
+        ).alias("changes"),
+    )
+
+
 def retire_and_requeue(
     spark: SparkSession,
     catalog_root: str,
@@ -466,6 +492,7 @@ def retire_and_requeue(
     params: CrawlParams = CrawlParams(),
     ttl_rounds: int = 10,
     requeue_priority: float = 0.0,
+    freshness_weight: float = 0.0,
     use_bloom: bool = True,
     seen_filter: str = "bloom",
     output_partitions: int | None = 1,
@@ -551,8 +578,26 @@ def retire_and_requeue(
     from .frontier import disallowed_col
     from ..functions import urls as U
 
+    # Freshness-driven recrawl priority (opt-in): urls whose revisit
+    # history shows content CHANGES re-enter the frontier above the flat
+    # requeue_priority, proportional to their observed change rate — the
+    # scheduler recrawls what actually moves (Cho & Garcia-Molina). With
+    # weight 0 the plan and priorities are bit-identical to before.
+    prio: F.Column = F.lit(requeue_priority).cast("double")
+    base = retired.withColumn("host", U.host_of(F.col("url")))
+    if freshness_weight:
+        rates = change_rates(catalog).select(
+            F.xxhash64("url").alias("url_hash"),
+            (
+                F.lit(freshness_weight)
+                * F.col("changes")
+                / F.greatest(F.col("revisits"), F.lit(1)).cast("double")
+            ).alias("__fresh_bonus"),
+        )
+        base = base.join(rates, "url_hash", "left")
+        prio = prio + F.coalesce(F.col("__fresh_bonus"), F.lit(0.0))
     requeued = (
-        retired.withColumn("host", U.host_of(F.col("url")))
+        base
         .join(F.broadcast(robots.select("host", "disallow", "allow")), "host", "left")
         .where(~disallowed_col(F.col("url"), F.col("disallow"), F.col("allow")))
         .select(
@@ -561,7 +606,7 @@ def retire_and_requeue(
             "host",
             "url",
             "url_hash",
-            F.lit(requeue_priority).cast("double").alias("priority"),
+            prio.alias("priority"),
             F.lit(0).alias("depth"),
             F.lit(rnd).alias("discovered_round"),
         )

@@ -84,6 +84,14 @@ def main() -> int:
         "combine with --gateway --revalidate for the cheap-recrawl path)",
     )
     ap.add_argument(
+        "--freshness-weight",
+        type=float,
+        default=0.0,
+        help="with --ttl-rounds: requeue priority bonus proportional to "
+        "each url's observed change rate (full re-fetches per revisit) — "
+        "recrawl what actually changes first",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after the run, compact the append-chain tables (seen, pages, "
@@ -128,7 +136,9 @@ def main() -> int:
         from news_crawler_slm_spark.crawl.rounds import retire_and_requeue
 
         n_retired = retire_and_requeue(
-            spark, args.catalog, robots, params, ttl_rounds=args.ttl_rounds
+            spark, args.catalog, robots, params,
+            ttl_rounds=args.ttl_rounds,
+            freshness_weight=args.freshness_weight,
         )
         print(json.dumps({"retired": n_retired}), file=sys.stderr, flush=True)
 

@@ -699,5 +699,33 @@ def test_conditional_revalidation_roundtrip(spark, tmp_path, corpus, sim_result)
             if int(s.counters.get("round", 0)) > rounds_run
         )
         assert total_reval == sum(1 for _u, s in later if s == "revalidated")
+
+        # ---- freshness signal: full re-fetch = change, 304 = no change
+        from news_crawler_slm_spark.crawl.rounds import change_rates
+
+        rates = {
+            r["url"]: (r["revisits"], r["changes"])
+            for r in change_rates(catalog).collect()
+        }
+        assert rates[mutated][0] >= 1 and rates[mutated][1] >= 1
+        for u in revalidated:
+            assert rates[u][1] == 0 and rates[u][0] >= 1, u
+
+        # ---- freshness-weighted requeue: the changed page re-enters the
+        # frontier ABOVE the unchanged ones (recrawl what moves)
+        n2 = retire_and_requeue(
+            spark, root, dfs["robots"], PARAMS, ttl_rounds=0,
+            requeue_priority=1.0, freshness_weight=10.0,
+        )
+        assert n2 > 0
+        front = {
+            r["url"]: r["priority"]
+            for r in catalog.read_table("frontier").collect()
+        }
+        assert front[mutated] == 1.0 + 10.0 * rates[mutated][1] / rates[mutated][0]
+        for u in revalidated:
+            if u in front:
+                assert front[u] == 1.0, u
+                assert front[mutated] > front[u]
     finally:
         gw.close()

@@ -211,6 +211,42 @@ class SnapshotCatalog:
             )
         return reader.parquet(*delta)
 
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Iceberg rollback: make an ANCESTOR snapshot current again.
+
+        Pure metadata — one atomic CURRENT swap; no data moves, no
+        manifests are deleted (the abandoned branch stays time-travelable
+        until retention GC collects it). The target must be in the current
+        lineage: rolling "forward" to an unrelated or newer id would
+        fabricate history. Writers simply continue from the rolled-back
+        state — a resumed crawl re-runs the abandoned rounds and, because
+        every round is a pure function of the durable snapshot it starts
+        from, reproduces the original run EXACTLY (pinned by
+        test_snapshot_catalog/test_crawl); re-committed snapshot ids
+        overwrite the abandoned branch's manifests and data dirs in place.
+        Stale seen-filter blobs from the abandoned branch are safe by the
+        bloom contract (over-approximation only prunes less; the exact
+        anti-join decides).
+
+        This is the bad-round recovery tool: a poisoned fetch batch or a
+        mis-deployed extractor rewinds with one call instead of a restore.
+        """
+        target = self.snapshot(snapshot_id)  # FileNotFoundError if expired
+        ancestors = [s.snapshot_id for s in self.lineage()]
+        if snapshot_id not in ancestors:
+            raise ValueError(
+                f"rollback: snapshot {snapshot_id} is not an ancestor of "
+                f"CURRENT (lineage: {ancestors}) — cannot roll forward or "
+                "across branches"
+            )
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._current_path())
+        return target
+
     # ------------------------------------------------------------- commits
     def commit(
         self,

@@ -202,3 +202,43 @@ def test_incremental_read_appends_only(spark, tmp_path):
     base = cat.current_snapshot_id()
     cat.commit(4, appends={"log": mk(4)})
     assert {r.id for r in cat.read_table_incremental("log", base).collect()} == {4}
+
+
+def test_rollback_and_rerun_reproduces_run(spark, tmp_path):
+    """Rollback is a metadata-only rewind, and because every crawl round is
+    a pure function of the durable snapshot it starts from, re-running the
+    abandoned rounds reproduces the original run EXACTLY — tables equal
+    row-for-row to a never-rolled-back crawl. Also: rolling forward or to
+    a non-ancestor refuses."""
+    import pytest
+
+    from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+    from news_crawler_slm_spark.crawl.semantics import CrawlParams
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+
+    params = CrawlParams(round_budget=6.0, max_articles=12, max_rounds=5)
+    dfs = web_dataframes(spark, WebScale(n_hosts=8, pages_per_host_max=12, seed=3))
+    fetcher = synthetic_fetcher(dfs["web"])
+
+    ref_root, rb_root = str(tmp_path / "ref"), str(tmp_path / "rb")
+    run_crawl(spark, ref_root, dfs["seeds"], dfs["robots"], fetcher, params)
+    run_crawl(spark, rb_root, dfs["seeds"], dfs["robots"], fetcher, params)
+    ref, cat = SnapshotCatalog(spark, ref_root), SnapshotCatalog(spark, rb_root)
+    final = cat.current_snapshot_id()
+    assert final == ref.current_snapshot_id()
+
+    # rewind two rounds, then refuse bad targets
+    cat.rollback(final - 2)
+    assert cat.current_snapshot_id() == final - 2
+    with pytest.raises(ValueError, match="ancestor"):
+        cat.rollback(final)  # the abandoned branch tip is not an ancestor now
+    with pytest.raises(FileNotFoundError):
+        cat.rollback(987654)
+
+    # the abandoned rounds re-run and land on the identical final state
+    run_crawl(spark, rb_root, dfs["seeds"], dfs["robots"], fetcher, params)
+    assert cat.current_snapshot_id() == final
+    for t in ("seen", "pages", "crawl_log", "frontier", "host_counts"):
+        got = sorted(map(tuple, cat.read_table(t).collect()))
+        exp = sorted(map(tuple, ref.read_table(t).collect()))
+        assert got == exp, t

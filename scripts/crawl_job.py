@@ -84,6 +84,14 @@ def main() -> int:
         "combine with --gateway --revalidate for the cheap-recrawl path)",
     )
     ap.add_argument(
+        "--rollback-to",
+        type=int,
+        default=None,
+        help="before anything else, roll CURRENT back to this ancestor "
+        "snapshot id (bad-round recovery); the crawl then re-runs the "
+        "abandoned rounds deterministically",
+    )
+    ap.add_argument(
         "--freshness-weight",
         type=float,
         default=0.0,
@@ -131,6 +139,12 @@ def main() -> int:
         n_buckets=args.buckets,
         adaptive_politeness=args.adaptive_politeness,
     )
+
+    if args.rollback_to is not None:
+        from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+        SnapshotCatalog(spark, args.catalog).rollback(args.rollback_to)
+        print(json.dumps({"rolled_back_to": args.rollback_to}), file=sys.stderr, flush=True)
 
     if args.ttl_rounds is not None:
         from news_crawler_slm_spark.crawl.rounds import retire_and_requeue

@@ -27,8 +27,11 @@ between cleaning and training):
   et al. 2007): bigram MLE backed off to 0.4x unigram, trained on the
   trusted slice, scored over everything; the backoff rate is the quality
   signal.
+- ``weighted_sample`` — weighted sampling without replacement (Efraimidis
+  & Spirakis 2006 A-ES): top-k by u^(1/w) with the engine's hash
+  permutation as the uniform draw; inclusion ∝ weight in one pass.
 
-All five are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All six are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -593,4 +596,66 @@ def stupid_backoff_scores(spark, sf_dir):
         .cast("long")
         .alias("avg_micro"),
         F.sum("bo").alias("n_backoff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+_WS_K = 40
+_M32_D = 4294967296.0  # 2^32 as the uniform-key denominator
+
+_WS_ORACLE = rf"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS weight,
+             ({knuth_shuffle_key_sql("doc_id")} + 1) / {_M32_D} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, weight, ln(u) / weight AS es_key FROM w
+    )
+    SELECT doc_id, weight
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {_WS_K}
+"""
+
+
+@register("weighted_sample", _WS_ORACLE)
+def weighted_sample(spark, sf_dir, k: int = _WS_K):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    A-ES): each item draws u ~ Uniform(0,1] and the k largest u^(1/w) win —
+    inclusion probability proportional to weight, single pass, no
+    rejection loop. The streaming/distributed standard for "sample 10k
+    docs proportional to token count" (weight here = token count, so
+    longer documents are proportionally likelier — the mixture-sampling
+    complement to ``stratified_sample``'s uniform quotas).
+
+    Determinism: u = (knuth_key(doc_id)+1) / 2^32 — the engine's seeded
+    hash permutation as the uniform draw (exact dyadic rational, identical
+    IEEE on both engines; +1 keeps u > 0). The selection key is the
+    log-domain form ln(u)/w (monotone in u^(1/w), no pow()): one ln and
+    one division of identical doubles — bit-identical cross-engine — with
+    doc_id as total tiebreak. Output columns are exact integers only; the
+    key is sort-only, never emitted.
+
+    Scale shape: a pure projection (hash, ln, divide — all codegen) into a
+    global top-k = TakeOrderedAndProject (per-partition heaps of k, one
+    k-row reduction to the driver; no sort, no shuffle of the corpus).
+    """
+    d = _t(spark, sf_dir, "documents")
+    weight = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    u = (knuth_shuffle_key(F.col("doc_id")) + F.lit(1)) / F.lit(_M32_D)
+    keyed = d.select(
+        "doc_id",
+        weight.alias("weight"),
+        (F.log(u) / weight).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), "doc_id")
+        .limit(k)
+        .select("doc_id", "weight")
     )

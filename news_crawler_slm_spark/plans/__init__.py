@@ -87,17 +87,18 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
 ]
 
-# NOTE (r04 session 5, registry at 89): the front window now carries 15
-# never-checked r04 queries (the session-5 six — stratified_sample,
+# NOTE (r04 session 5, registry at 92): the front window now carries 18
+# never-checked r04 queries (the session-5 nine — stratified_sample,
 # ccnet_perplexity_buckets, dsir_importance_weights, bpe_pair_counts,
-# dup_line_stats, plus the earlier nine) + the r04-changed set + the two
-# r02-stale queries. That pushes THIRTY-NINE r03-green queries past the
+# dup_line_stats, composite_quality_gate, stupid_backoff_scores,
+# weighted_sample, plus the earlier nine) + the r04-changed set + the two
+# r02-stale queries. That pushes FORTY-TWO r03-green queries past the
 # 50-cap (run driver_ordered_registry() and slice [50:] for the exact
-# list — from repetition_split_counts through q5_local_supplier_volume).
-# All 39 are r03-hash-green AND re-verified every run by
-# tests/test_plans.py; the two-round rule REQUIRES the r05 front window
-# to be exactly those 39 (plus anything r05 changes) — the r04-checked
-# set then waits in the tail until r06.
+# list — schema_align through q5_local_supplier_volume). All 42 are
+# r03-hash-green AND re-verified every run by tests/test_plans.py; the
+# two-round rule REQUIRES the r05 front window to be exactly those 42
+# (plus anything r05 changes) — the r04-checked set then waits in the
+# tail until r06.
 
 # Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
 # all also value-checked by the repo's own identical DuckDB-oracle tests

@@ -93,9 +93,13 @@ HEADLINE = [
     "gopher_quality_flags",
     "tfidf_search",
     # r04 session-5 additions: the data-selection flagships — DSIR's
-    # broadcast-dim scoring pass and CCNet's per-language tertile rank
+    # broadcast-dim scoring pass and CCNet's per-language tertile rank —
+    # plus the five-leg composite gate (the most join-heavy new plan) and
+    # the backoff LM scorer (two LM dims + a coalesce join)
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    "composite_quality_gate",
+    "stupid_backoff_scores",
 ]
 
 

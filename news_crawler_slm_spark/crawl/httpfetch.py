@@ -180,7 +180,15 @@ def http_fetcher(
                         )
                     if resp.status < 500:  # 404 etc: permanent, no retry
                         return (None, None, False, None, None, None, False)
-                    # 5xx: transient — retry on the same (kept-alive) socket
+                    # 5xx: transient — retry on the same (kept-alive) socket,
+                    # honoring Retry-After (RFC 9110 §10.2.3) when the server
+                    # names its own backoff, capped at the request timeout
+                    ra = resp.headers.get("Retry-After")
+                    if ra:
+                        try:
+                            time.sleep(min(float(ra), timeout_s))
+                        except ValueError:
+                            pass  # HTTP-date form: fall back to politeness
                 return (None, None, False, None, None, None, False)
 
             try:

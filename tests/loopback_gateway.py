@@ -23,7 +23,10 @@ def _etag_of(html: bytes) -> str:
 
 
 class Gateway:
-    def __init__(self, web_rows, flaky_urls=()):
+    def __init__(self, web_rows, flaky_urls=(), retry_after: float | None = None):
+        # when set, transient 503s carry a Retry-After header (RFC 9110
+        # delta-seconds; fractional here only to keep tests fast)
+        self.retry_after = retry_after
         # corpus keyed by (host, path): url -> row fields
         self.pages = {}
         for url, html, links, ok, lang, publisher in web_rows:
@@ -55,7 +58,12 @@ class Gateway:
                         gw.flaky[url] += 1
                 page = gw.pages.get((host, path))
                 if flake:
-                    self._respond(503, b"transient")
+                    hdrs = (
+                        {"Retry-After": str(gw.retry_after)}
+                        if gw.retry_after is not None
+                        else None
+                    )
+                    self._respond(503, b"transient", hdrs)
                 elif page is None:
                     self._respond(404, b"not found")
                 elif not page[2]:  # corpus fetch_ok=False -> permanent 5xx

@@ -729,3 +729,45 @@ def test_conditional_revalidation_roundtrip(spark, tmp_path, corpus, sim_result)
                 assert front[mutated] > front[u]
     finally:
         gw.close()
+
+
+def test_retry_after_paces_the_retry(spark):
+    """On a 503 with Retry-After, the fetcher waits the server-named
+    backoff before retrying (RFC 9110 §10.2.3) — the server-driven
+    complement to client-side politeness; without the header, retries are
+    immediate (politeness-gap only)."""
+    from loopback_gateway import Gateway
+
+    from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+    from news_crawler_slm_spark.crawl.semantics import host_of, path_of
+
+    url = "https://ra.example.com/page"
+    rows = [(url, b"<html><body><p>hello.</p></body></html>", [], True, "en", "pubx")]
+
+    def one_fetch(gw):
+        fetcher = http_fetcher(
+            gw.url, crawl_delays={"ra.example.com": 0.0}, timeout_s=5.0, max_retries=2
+        )
+        popped = spark.createDataFrame(
+            [("ra.example.com", url, 1)], "host string, url string, seq long"
+        )
+        out = fetcher(popped).collect()
+        assert len(out) == 1 and out[0]["fetch_ok"]
+        ts = [t for h, t, p in gw.request_log if p == path_of(url)]
+        assert len(ts) == 2  # one 503, one 200
+        return ts[1] - ts[0]
+
+    gw = Gateway(rows, flaky_urls=[url], retry_after=0.8)
+    try:
+        gap_with = one_fetch(gw)
+    finally:
+        gw.close()
+    gw2 = Gateway(rows, flaky_urls=[url])
+    try:
+        gap_without = one_fetch(gw2)
+    finally:
+        gw2.close()
+    # loose wall-clock floors (shared box): the named backoff dominates
+    assert gap_with >= 0.5, gap_with
+    assert gap_without < 0.5, gap_without
+    assert gap_with > gap_without

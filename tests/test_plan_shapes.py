@@ -151,3 +151,25 @@ def test_bpe_pair_counts_take_ordered(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan or plan.index("TakeOrderedAndProject") >= 0
+
+
+def test_predicate_pushdown_and_column_pruning(spark):
+    """The free Catalyst wins must actually be free: q1's shipdate range
+    reaches the lineitem parquet scan as a PushedFilter, and a
+    single-column aggregation reads ONE of the documents table's five
+    columns (ReadSchema pruning) — a scan reading all columns for a
+    one-column query would be wrong at any scale."""
+    import re
+
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    q1 = _plan(REGISTRY["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001"))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", q1))
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+    col = _plan(REGISTRY["count_over_limit"][0](spark, "/root/testdata/sf0.001"))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", col)
+    assert schemas and all(s == "text:string" for s in schemas)
+
+    insp = _plan(REGISTRY["sample_inspector"][0](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(source)]" in insp

@@ -30,8 +30,11 @@ between cleaning and training):
 - ``weighted_sample`` — weighted sampling without replacement (Efraimidis
   & Spirakis 2006 A-ES): top-k by u^(1/w) with the engine's hash
   permutation as the uniform draw; inclusion ∝ weight in one pass.
+- ``dsir_resample`` — DSIR's resampling stage: Gumbel-top-k over the
+  importance weights (sampling without replacement ∝ exp(weight), no
+  partition function ever computed).
 
-All six are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All seven are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -658,4 +661,61 @@ def weighted_sample(spark, sf_dir, k: int = _WS_K):
         keyed.orderBy(F.desc("es_key"), "doc_id")
         .limit(k)
         .select("doc_id", "weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample
+# ---------------------------------------------------------------------------
+
+_DSIR_K = 50
+
+_DSIR_RESAMPLE_ORACLE = rf"""
+    WITH dsir AS ({_DSIR_ORACLE}),
+    keyed AS (
+      SELECT doc_id, weight_micro,
+             (CAST(weight_micro AS DOUBLE) / 1000000.0)
+               - ln(-ln(({knuth_shuffle_key_sql("doc_id")} + 1) / {_M32_D}))
+               AS gk
+      FROM dsir
+    )
+    SELECT doc_id, weight_micro
+    FROM keyed
+    ORDER BY gk DESC, doc_id
+    LIMIT {_DSIR_K}
+"""
+
+
+@register("dsir_resample", _DSIR_RESAMPLE_ORACLE)
+def dsir_resample(spark, sf_dir, k: int = _DSIR_K):
+    """DSIR's RESAMPLING stage (Xie et al. 2023 §2 — importance
+    resampling): draw k documents without replacement with probability
+    proportional to exp(importance weight), via the Gumbel-top-k trick
+    (Vieira 2014 / Kool et al. 2019): key = weight + Gumbel(0,1), take the
+    k largest — exactly equivalent to sequential softmax sampling without
+    replacement, in ONE distributed pass with no normalization constant
+    (the log-partition term cancels inside the argmax, which is what makes
+    this feasible: Z over a 100 TB corpus is never computed).
+
+    Composes the two pieces already pinned: the weights are
+    ``dsir_importance_weights``'s exact BIGINT micro-nats, and the Gumbel
+    noise is deterministic, ``-ln(-ln(u))`` with u the same hash-permutation
+    uniform ``weighted_sample`` uses — identical IEEE doubles on both
+    engines, doc_id as total tiebreak; the key is sort-only, outputs stay
+    exact integers.
+
+    Scale shape: DSIR's scoring plan (broadcast dims) + a pure projection
+    into a global top-k — TakeOrderedAndProject, per-partition heaps of k;
+    no extra shuffle beyond the scoring aggregation.
+    """
+    w = dsir_importance_weights(spark, sf_dir)
+    u = (knuth_shuffle_key(F.col("doc_id")) + F.lit(1)) / F.lit(_M32_D)
+    gk = (F.col("weight_micro").cast("double") / F.lit(1000000.0)) - F.log(
+        -F.log(u)
+    )
+    return (
+        w.select("doc_id", "weight_micro", gk.alias("gk"))
+        .orderBy(F.desc("gk"), "doc_id")
+        .limit(k)
+        .select("doc_id", "weight_micro")
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank"]
+__all__ = ["with_global_rank", "with_group_rank"]
 
 
 def with_global_rank(
@@ -84,4 +84,46 @@ def with_global_rank(
             (F.col("__off") + F.row_number().over(w_local) - 1).cast("long"),
         )
         .drop("__pid", "__off")
+    )
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    out_col: str = "group_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed PER-GROUP rank — the scale-correct form of
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)`` when single groups
+    are data-sized.
+
+    The windowed form puts each group's entire row set into one task's
+    sort (spilled, but still one task — a 20-TB 'en' slice ranks on one
+    core). Here the group columns LEAD the global composite order, so the
+    range partitioner spreads every group across many partitions, and the
+    per-group rank falls out arithmetically:
+
+        group_rank = global_rank - min(global_rank) over the group
+
+    The per-group minimum is a tiny aggregation (one row per group) joined
+    back broadcast — O(|groups|) state, never a per-group sort in one
+    task. Inherits with_global_rank's exchange-reuse guarantee (refuses to
+    build without it) and its pinned partition count. 0-based, like
+    with_global_rank; ``order`` must total-order WITHIN groups (include a
+    unique tiebreaker).
+
+    This is the scale path the per-language tertile rank
+    (plans/catalog_selection.py:ccnet_perplexity_buckets) documents: swap
+    its window for this operator when a language outgrows a task.
+    """
+    gcols = [F.asc(c) for c in group_cols]
+    ranked = with_global_rank(
+        df, gcols + list(order), out_col="__grank", num_partitions=num_partitions
+    )
+    mins = ranked.groupBy(*group_cols).agg(F.min("__grank").alias("__gmin"))
+    return (
+        ranked.join(F.broadcast(mins), list(group_cols))
+        .withColumn(out_col, (F.col("__grank") - F.col("__gmin")).cast("long"))
+        .drop("__grank", "__gmin")
     )

@@ -176,9 +176,9 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     corpus) — broadcast here, shuffle-join on (lang, tok) beyond broadcast
     size. The tertile rank is a per-language window: CCNet's own design
     shards the corpus per language, and the window carries only
-    (doc_id, lang, two ints) — not text; at 100 TB replace with per-lang
-    range partitioning on the sort key (operators/rank.py generalized per
-    group) or quantile thresholds from token_count_quantiles' rank plan.
+    (doc_id, lang, two ints) — not text; at 100 TB swap the window for
+    ``operators/rank.py:with_group_rank`` (range-partitioned per-group
+    rank, no one-task-per-language sort — window-equivalence tested).
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(

@@ -771,3 +771,37 @@ def test_retry_after_paces_the_retry(spark):
     assert gap_with >= 0.5, gap_with
     assert gap_without < 0.5, gap_without
     assert gap_with > gap_without
+
+
+def test_group_rank_equals_window_and_avoids_group_sort(spark):
+    """with_group_rank ≡ the per-group window row_number (0-based) on a
+    skewed group distribution, and its plan range-partitions on the
+    composite key instead of clustering whole groups into single window
+    partitions."""
+    from pyspark.sql import Window
+
+    from news_crawler_slm_spark.operators.rank import with_group_rank
+
+    rows = [("g%d" % (i % 3 if i % 7 else 0), i * 37 % 101, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v int, id long").repartition(11)
+    got = with_group_rank(
+        df, ["g"], [F.desc("v"), F.asc("id")], num_partitions=8
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    exp = df.withColumn("group_rank", (F.row_number().over(w) - 1).cast("long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+    # every group starts at 0 and is dense
+    per = {}
+    for r in got.collect():
+        per.setdefault(r["g"], []).append(r["group_rank"])
+    for g, ranks in per.items():
+        assert sorted(ranks) == list(range(len(ranks))), g
+
+    # refusal guard inherited from with_global_rank
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        with pytest.raises(RuntimeError, match="exchange.reuse"):
+            with_group_rank(df, ["g"], [F.asc("id")])
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")

@@ -77,3 +77,60 @@ def hll_estimate(registers: DataFrame, p: int = DEFAULT_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], col: str, p: int = DEFAULT_P
+) -> DataFrame:
+    """Per-GROUP register tables: (group_cols..., register, rank) — one
+    HLL sketch per key, e.g. distinct URLs per host over a 10^10-row crawl
+    log. Shuffle cardinality is |groups|·m_touched rows (each group's
+    sketch, not its key universe) with map-side partial max — the reason
+    to prefer this over an exact per-group countDistinct at scale."""
+    # same hash/rank algebra as hll_registers, grouped:
+    m = 1 << p
+    h = F.xxhash64(F.col(col))
+    idx = h.bitwiseAND(F.lit(m - 1)).cast("int")
+    w = F.expr(f"shiftrightunsigned(xxhash64({col}), {p})")
+    rank = (
+        F.when(w == 0, F.lit(64 - p + 1))
+        .otherwise(F.lit(64 - p) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, idx.alias("register"), rank.alias("rank"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimates_by(
+    registers: DataFrame, group_cols: list[str], p: int = DEFAULT_P
+) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register table —
+    the full estimator (bias-corrected harmonic mean + linear counting)
+    runs INSIDE an applyInPandas over each group's <= m register rows, so
+    driver state stays zero and groups estimate in parallel. Returns
+    (group_cols..., estimate double)."""
+    import pandas as pd
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def est(pdf: pd.DataFrame) -> pd.DataFrame:
+        ranks = dict(zip(pdf["register"], pdf["rank"]))
+        s = sum(2.0 ** -ranks.get(j, 0) for j in range(m))
+        e = alpha * m * m / s
+        zeros = m - len([v for v in ranks.values() if v > 0])
+        if e <= 2.5 * m and zeros > 0:
+            e = m * math.log(m / zeros)
+        out = pdf.iloc[:1][list(group_cols)].copy()
+        out["estimate"] = float(e)
+        return out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in registers.schema.fields
+        if f.name in group_cols
+    ) + ", estimate double"
+    return registers.groupBy(*group_cols).applyInPandas(est, schema=schema)

@@ -70,3 +70,39 @@ def test_long_keys_and_duplicates_do_not_move_the_sketch(spark):
     df = spark.createDataFrame([(i,) for i in ids + ids], "doc_id long")
     got = {r.register: r.rank for r in hll_registers(df, "doc_id").collect()}
     assert got == _twin_registers(ids, long=True)
+
+
+def test_grouped_registers_and_estimates(spark):
+    """Per-group sketches: each group's register table is bit-exact the
+    single-sketch twin over that group alone, and the distributed
+    applyInPandas estimator matches the driver-side estimator per group
+    (and lands within the error band of the true per-group cardinality)."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.operators.hll import (
+        hll_estimate,
+        hll_estimates_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rows = [("h%d" % (i % 4), "u%d" % (i % (50 * (1 + i % 4)))) for i in range(4000)]
+    df = spark.createDataFrame(rows, "host string, url string").repartition(9)
+
+    grouped = hll_registers_by(df, ["host"], "url", p=12)
+    got = {}
+    for r in grouped.collect():
+        got.setdefault(r["host"], {})[r["register"]] = r["rank"]
+    for h in sorted({g for g, _u in rows}):
+        solo = hll_registers(df.where(F.col("host") == h), "url", p=12)
+        exp = {r["register"]: r["rank"] for r in solo.collect()}
+        assert got[h] == exp, h
+
+    est = {r["host"]: r["estimate"] for r in hll_estimates_by(grouped, ["host"], p=12).collect()}
+    truth = {}
+    for h, u in rows:
+        truth.setdefault(h, set()).add(u)
+    for h, urls in truth.items():
+        solo = hll_registers(df.where(F.col("host") == h), "url", p=12)
+        assert abs(est[h] - hll_estimate(solo, p=12)) < 1e-9, h
+        assert abs(est[h] - len(urls)) / len(urls) < 0.05, (h, est[h], len(urls))

@@ -85,22 +85,10 @@ _GOPHER_ORACLE = rf"""
 """
 
 
-@register("gopher_quality_flags", _GOPHER_ORACLE)
-def gopher_quality_flags(spark, sf_dir):
-    """Gopher word-statistics quality rules as ONE shuffle-free projection.
-
-    Cross-engine notes: every ratio divides the same two exact integers on
-    both engines (identical IEEE doubles before the display round); the
-    keep flag compares the UNROUNDED ratios, which are bit-identical for
-    the same reason. ``alpha_words`` counts whitespace-delimited words
-    containing an ASCII letter with one regexp_extract_all pass — the
-    greedy ``\\S*[A-Za-z]\\S*`` match always extends to the word boundary,
-    so each qualifying word matches exactly once (no explode, no HOF
-    filter: both alternatives leave whole-stage codegen). ``stop_hits``
-    counts DISTINCT stop-list words present via 10 array_contains probes —
-    distinct-by-construction, still per-row.
-    """
-    d = _t(spark, sf_dir, "documents")
+def _gopher_cols() -> dict[str, F.Column]:
+    """The Gopher word statistics as named Columns over a ``text`` column —
+    shared by the standalone query and the fused composite-gate leg so the
+    two can never drift."""
     ltoks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     word_chars = F.length(F.regexp_replace("text", r"\s+", "")).cast("long")
@@ -121,15 +109,34 @@ def gopher_quality_flags(spark, sf_dir):
         & (stop_hits >= _MIN_STOP_HITS)
         & (symbol_hits / n_words.cast("double") < _MAX_SYMBOL_RATIO)
     )
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        stop_hits.alias("stop_hits"),
-        symbol_hits.alias("symbol_hits"),
-        keep.alias("keep"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mwl, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "stop_hits": stop_hits,
+        "symbol_hits": symbol_hits,
+        "keep": keep,
+    }
+
+
+@register("gopher_quality_flags", _GOPHER_ORACLE)
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher word-statistics quality rules as ONE shuffle-free projection.
+
+    Cross-engine notes: every ratio divides the same two exact integers on
+    both engines (identical IEEE doubles before the display round); the
+    keep flag compares the UNROUNDED ratios, which are bit-identical for
+    the same reason. ``alpha_words`` counts whitespace-delimited words
+    containing an ASCII letter with one regexp_extract_all pass — the
+    greedy ``\\S*[A-Za-z]\\S*`` match always extends to the word boundary,
+    so each qualifying word matches exactly once (no explode, no HOF
+    filter: both alternatives leave whole-stage codegen). ``stop_hits``
+    counts DISTINCT stop-list words present via 10 array_contains probes —
+    distinct-by-construction, still per-row.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cols = _gopher_cols()
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 _TOP_NGRAM_ORACLE = r"""
@@ -253,6 +260,13 @@ def c4_line_filter(spark, sf_dir):
     crafted fixture in tests/test_quality.py against the same oracle.
     """
     d = _t(spark, sf_dir, "documents")
+    cols = _c4_cols()
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _c4_cols() -> dict[str, F.Column]:
+    """The C4 line-filter outputs as named Columns over a ``text`` column —
+    shared by the standalone query and the fused composite-gate leg."""
     # btrim with an explicit whitespace set: plain trim strips only spaces
     # (identically on both engines), but C4 lines are stripped of tabs and
     # carriage returns too
@@ -271,13 +285,12 @@ def c4_line_filter(spark, sf_dir):
         )
 
     kept = F.filter(lines, keep_line)
-    return d.select(
-        "doc_id",
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        (F.size(kept) >= 3).alias("keep_doc"),
-        F.md5(F.array_join(kept, "\n")).alias("clean_md5"),
-    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+        "keep_doc": F.size(kept) >= 3,
+        "clean_md5": F.md5(F.array_join(kept, "\n")),
+    }
 
 
 _QUANTILES = [0.25, 0.5, 0.75, 0.95, 0.99]
@@ -529,17 +542,21 @@ def composite_quality_gate(spark, sf_dir):
     on the sub-queries' rounded output columns — the values already proven
     hash-identical cross-engine at sf0.1.
 
-    Plan shape: the gopher and c4 legs are shuffle-free projections; the
-    three repetition legs each pay their documented (doc, gram/line)
-    shuffle; the joins key on doc_id. The composed plan scans documents
-    once per leg (Spark does not merge scans across join branches) — fine
-    at gate-audit scale, but at 100 TB the projection legs (gopher + c4)
-    belong in ONE select and, above all, the gate output is MATERIALIZED
-    once per corpus version and every downstream consumer reads the bit:
-    a gate is computed per document per version, never per query.
+    Plan shape: the two shuffle-free rule sets (Gopher word statistics and
+    the C4 line filter) are FUSED into one projection over a single
+    documents scan — the expression helpers are shared with the standalone
+    queries (_gopher_cols/_c4_cols), so the fusion cannot drift from them.
+    The three repetition legs each pay their documented (doc, gram/line)
+    shuffle and join back on doc_id: four corpus scans and three joins
+    total instead of the naive five and four (plan-shape test pins the
+    scan count). Above all, the gate output is MATERIALIZED once per
+    corpus version and every downstream consumer reads the bit: a gate is
+    computed per document per version, never per query.
     """
-    g = gopher_quality_flags(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("gopher_keep")
+    g = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        _gopher_cols()["keep"].alias("gopher_keep"),
+        _c4_cols()["keep_doc"].alias("c4_keep"),
     )
     t = top_ngram_char_fraction(spark, sf_dir).select(
         "doc_id", (F.col("top_gram_char_frac") <= 0.20).alias("tk")
@@ -553,9 +570,6 @@ def composite_quality_gate(spark, sf_dir):
             (F.col("dup_line_frac") <= 0.30) & (F.col("dup_line_char_frac") <= 0.20)
         ).alias("lk"),
     )
-    c = c4_line_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep_doc").alias("c4_keep")
-    )
     rep = (
         F.coalesce(F.col("tk"), F.lit(True))
         & F.coalesce(F.col("nk"), F.lit(True))
@@ -565,7 +579,6 @@ def composite_quality_gate(spark, sf_dir):
         g.join(t, "doc_id", "left")
         .join(n, "doc_id", "left")
         .join(line, "doc_id", "left")
-        .join(c, "doc_id")
         .select(
             "doc_id",
             "gopher_keep",

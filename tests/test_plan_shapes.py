@@ -173,3 +173,15 @@ def test_predicate_pushdown_and_column_pruning(spark):
 
     insp = _plan(REGISTRY["sample_inspector"][0](spark, "/root/testdata/sf0.001"))
     assert "PushedFilters: [IsNotNull(source)]" in insp
+
+
+def test_composite_gate_fuses_projection_legs(spark):
+    """The gopher and c4 rule sets share ONE documents scan inside the
+    composite gate (fused projection): exactly four parquet scans — the
+    fused flags leg plus the three repetition legs."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    plan = _plan(
+        REGISTRY["composite_quality_gate"][0](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Scan parquet") == 4

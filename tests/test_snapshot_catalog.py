@@ -242,3 +242,28 @@ def test_rollback_and_rerun_reproduces_run(spark, tmp_path):
         got = sorted(map(tuple, cat.read_table(t).collect()))
         exp = sorted(map(tuple, ref.read_table(t).collect()))
         assert got == exp, t
+
+
+def test_append_chain_schema_evolution_adds_nullable_column(spark, tmp_path):
+    """The pages 'etag' upgrade path: a chain whose older delta files lack
+    a column reads cleanly under the newest snapshot's recorded schema
+    (missing column -> null), while time travel to the pre-upgrade
+    snapshot still reads the old shape."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "evo"))
+    cat.commit(
+        1,
+        appends={"pages": spark.createDataFrame(
+            [("u1", "t1")], "url string, text string")},
+    )
+    cat.commit(
+        2,
+        appends={"pages": spark.createDataFrame(
+            [("u2", "t2", '"e2"')], "url string, text string, etag string")},
+    )
+    rows = {r["url"]: (r["text"], r["etag"]) for r in cat.read_table("pages").collect()}
+    assert rows == {"u1": ("t1", None), "u2": ("t2", '"e2"')}
+    old = cat.read_table("pages", snapshot_id=1)
+    assert set(old.columns) == {"url", "text"}
+    # the incremental read of the upgrade delta carries the new column
+    inc = cat.read_table_incremental("pages", 1, 2)
+    assert [tuple(r) for r in inc.collect()] == [("u2", "t2", '"e2"')]

@@ -104,15 +104,18 @@ def http_fetcher(
 
         in_cols = [f.name for f in popped.schema.fields]
         if validators is not None:
-            popped = popped.join(
-                F.broadcast(
-                    validators.select(
-                        F.col("url"), F.col("etag").alias("__val_etag")
-                    )
-                ),
-                "url",
-                "left",
-            )
+            # JOIN DIRECTION MATTERS AT SCALE: validators is the url->etag
+            # dim of everything ever fetched — corpus-sized on a real
+            # recrawl — while the popped batch is one round's politeness
+            # budget. Broadcasting validators would ship the corpus to
+            # every task; instead the TINY side broadcasts twice: a
+            # broadcast semi-join prunes validators down to the popped
+            # urls (scan-side pruning of the big table), and only that
+            # pruned, popped-sized slice broadcasts back onto the batch.
+            vals = validators.select(
+                F.col("url"), F.col("etag").alias("__val_etag")
+            ).join(F.broadcast(popped.select("url")), "url", "left_semi")
+            popped = popped.join(F.broadcast(vals), "url", "left")
         else:
             popped = popped.withColumn("__val_etag", F.lit(None).cast("string"))
         out_schema = T.StructType(

@@ -49,6 +49,7 @@ _DRIVER_FIRST = [
     "stupid_backoff_scores",  # new this round: never driver-checked
     "weighted_sample",  # new this round: never driver-checked
     "dsir_resample",  # new this round: never driver-checked
+    "corpus_datacard",  # new this round: never driver-checked
     "gopher_quality_flags",  # new this round: never driver-checked
     "top_ngram_char_fraction",  # new this round: never driver-checked
     "semdedup_prune",  # new this round: never driver-checked (rows-only)

@@ -587,3 +587,101 @@ def composite_quality_gate(spark, sf_dir):
             (F.col("gopher_keep") & rep & F.col("c4_keep")).alias("keep"),
         )
     )
+
+
+_DATACARD_ORACLE = r"""
+    WITH base AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(length(regexp_split_to_array(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+      FROM documents
+    ),
+    lang_h AS (
+      SELECT CAST(sum(lp.e) AS BIGINT) AS lang_entropy_micro
+      FROM (
+        SELECT CAST(round(-(c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(n AS DOUBLE)) * 1000000.0, 0)
+                    AS BIGINT) AS e
+        FROM (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+             (SELECT count(*) AS n FROM documents)
+      ) lp
+    ),
+    g AS (
+      SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS gopher_pass
+      FROM ({GOPHER}) gg
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN keep_doc THEN 1 ELSE 0 END) AS BIGINT)
+               AS c4_pass
+      FROM ({C4}) cc
+    )
+    SELECT base.*, lang_h.lang_entropy_micro, g.gopher_pass, c.c4_pass,
+           CAST(base.n_docs - base.distinct_texts AS BIGINT)
+             AS exact_dup_docs
+    FROM base, lang_h, g, c
+"""
+
+
+@register(
+    "corpus_datacard",
+    _DATACARD_ORACLE.replace("{GOPHER}", _GOPHER_ORACLE).replace(
+        "{C4}", _C4_ORACLE
+    ),
+)
+def corpus_datacard(spark, sf_dir):
+    """The one-row corpus summary a dataset release publishes (the "data
+    card" statistics): document/token/source/language counts, exact-dup
+    document count (docs minus distinct text md5s), Shannon entropy of the
+    language mix, and the Gopher / C4 gate pass counts — one artifact a
+    100 TB pipeline recomputes per corpus version and attaches to the
+    release.
+
+    Cross-engine discipline: every output is an exact BIGINT except the
+    entropy, which quantizes each language's -p·ln p term to integer
+    micro-nats INSIDE the |langs|-row dim and sums exactly (the
+    temperature-mixing/entropy convention). Plan shape: four independent
+    1-row aggregations cross-joined broadcast — the base pass is one scan
+    with map-side partial aggregation (count distinct of md5s rides a
+    hash re-aggregation, not a text shuffle: only 16-byte digests move);
+    the gate legs reuse the shared rule expressions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).cast("long").alias(
+            "n_tokens"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct(F.md5("text")).alias("distinct_texts"),
+    )
+    lc = d.groupBy("lang").agg(F.count("*").alias("c"))
+    n = d.agg(F.count("*").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    lang_h = (
+        lc.crossJoin(F.broadcast(n))
+        .select(
+            F.round(-p * F.log(p) * F.lit(1000000.0), 0).cast("long").alias("e")
+        )
+        .agg(F.sum("e").alias("lang_entropy_micro"))
+    )
+    flags = d.select(
+        _gopher_cols()["keep"].alias("gk"), _c4_cols()["keep_doc"].alias("ck")
+    ).agg(
+        F.sum(F.when(F.col("gk"), 1).otherwise(0)).cast("long").alias("gopher_pass"),
+        F.sum(F.when(F.col("ck"), 1).otherwise(0)).cast("long").alias("c4_pass"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lang_h))
+        .crossJoin(F.broadcast(flags))
+        .select(
+            "*",
+            (F.col("n_docs") - F.col("distinct_texts")).cast("long").alias(
+                "exact_dup_docs"
+            ),
+        )
+    )

@@ -50,6 +50,7 @@ _DRIVER_FIRST = [
     "weighted_sample",  # new this round: never driver-checked
     "dsir_resample",  # new this round: never driver-checked
     "corpus_datacard",  # new this round: never driver-checked
+    "distilled_quality_classifier",  # new this round: never driver-checked
     "gopher_quality_flags",  # new this round: never driver-checked
     "top_ngram_char_fraction",  # new this round: never driver-checked
     "semdedup_prune",  # new this round: never driver-checked (rows-only)

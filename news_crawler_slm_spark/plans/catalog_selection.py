@@ -33,8 +33,11 @@ between cleaning and training):
 - ``dsir_resample`` — DSIR's resampling stage: Gumbel-top-k over the
   importance weights (sampling without replacement ∝ exp(weight), no
   partition function ever computed).
+- ``distilled_quality_classifier`` — the DCLM/FineWeb-Edu bootstrap:
+  Naive Bayes trained on the Gopher gate's verdicts as weak labels,
+  scoring every document with vocabulary-level log-odds.
 
-All seven are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All eight are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -718,4 +721,158 @@ def dsir_resample(spark, sf_dir, k: int = _DSIR_K):
         .orderBy(F.desc("gk"), "doc_id")
         .limit(k)
         .select("doc_id", "weight_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# distilled_quality_classifier
+# ---------------------------------------------------------------------------
+
+_DQC_ORACLE = r"""
+    WITH g AS (
+      SELECT doc_id, keepx AS label
+      FROM (
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ),
+        per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(length(w)) AS BIGINT) AS word_chars,
+                 CAST(sum(CASE WHEN regexp_matches(w, '[A-Za-z]') THEN 1
+                          ELSE 0 END) AS BIGINT) AS alpha_words,
+                 CAST(count(DISTINCT CASE WHEN lower(w) IN
+                        ('the','a','an','and','or','of','to','in','is','it')
+                      THEN lower(w) END) AS BIGINT) AS stop_hits
+          FROM toks GROUP BY doc_id
+        ),
+        sym AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS s
+          FROM documents
+        )
+        SELECT p.doc_id,
+               (    p.n_words BETWEEN 50 AND 100000
+                AND p.word_chars / CAST(p.n_words AS DOUBLE) BETWEEN 3 AND 10
+                AND p.alpha_words / CAST(p.n_words AS DOUBLE) > 0.8
+                AND p.stop_hits >= 2
+                AND y.s / CAST(p.n_words AS DOUBLE) < 0.1) AS keepx
+        FROM per p JOIN sym y USING (doc_id)
+      )
+    ),
+    toks AS (
+      SELECT d.doc_id, g.label,
+             unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS tok
+      FROM documents d JOIN g USING (doc_id)
+    ),
+    tc AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS ck,
+             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(ck) AS BIGINT) AS nk, CAST(sum(cr) AS BIGINT) AS nr,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tc
+    ),
+    dim AS (
+      SELECT tc.tok,
+             CAST(round((ln((tc.ck + 1) / CAST(t.nk + t.v AS DOUBLE))
+                       - ln((tc.cr + 1) / CAST(t.nr + t.v AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM tc CROSS JOIN tot t
+    ),
+    prior AS (
+      SELECT CAST(round(ln(sum(CASE WHEN label THEN 1 ELSE 0 END)
+                           / CAST(sum(CASE WHEN label THEN 0 ELSE 1 END)
+                                  AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS prior_micro
+      FROM g
+    )
+    SELECT toks.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(dim.lr_micro) + max(prior.prior_micro) AS BIGINT)
+             AS logodds_micro,
+           (sum(dim.lr_micro) + max(prior.prior_micro)) > 0 AS pred_keep
+    FROM toks JOIN dim USING (tok) CROSS JOIN prior
+    GROUP BY toks.doc_id
+"""
+
+
+@register("distilled_quality_classifier", _DQC_ORACLE)
+def distilled_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering bootstrapped from heuristic labels —
+    the DCLM / FineWeb-Edu pattern: take a rule gate's verdicts as weak
+    labels (here the Gopher word-statistics keep bit), train a multinomial
+    Naive Bayes over document tokens on those labels, and score EVERY
+    document with the classifier's log-odds. The classifier generalizes
+    the gate from thresholds to vocabulary: documents that *read like*
+    gate-passing text score high even when a single statistic trips, which
+    is exactly why production pipelines layer a learned filter on top of
+    the rules. Training and scoring run in ONE plan, like
+    ``nb_lang_classifier`` (the supervised-by-language sibling).
+
+    Cross-engine discipline: per-token log-likelihood ratios (Laplace
+    smoothing over the shared vocab size) and the class-prior log-ratio
+    quantize to integer micro-nats inside their dims; per-doc sums are
+    exact BIGINTs and every output column is integral or boolean.
+
+    Scale shape: the label bit reuses the shared Gopher expressions (one
+    extra projection on the training pass, no join against a gate table);
+    the parameter dim is the Heaps-law token vocab (broadcast here,
+    shuffle join past broadcast size); totals and priors are 1-row dims.
+    """
+    from .catalog_quality import _gopher_cols
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        "doc_id",
+        F.trim(F.lower(F.col("text"))).alias("ltext"),
+        _gopher_cols()["keep"].alias("label"),
+    )
+    toks = labeled.select(
+        "doc_id", "label", F.explode(F.split("ltext", r"\s+")).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("ck"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = tc.agg(
+        F.sum("ck").alias("nk"), F.sum("cr").alias("nr"), F.count("*").alias("v")
+    )
+    dim = tc.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            (
+                F.log((F.col("ck") + 1) / (F.col("nk") + F.col("v")).cast("double"))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")).cast("double"))
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    prior = labeled.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(F.col("label"), 1).otherwise(0))
+                / F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("double")
+            )
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("prior_micro")
+    )
+    return (
+        toks.join(F.broadcast(dim), "tok")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum("lr_micro") + F.max("prior_micro")).alias("logodds_micro"),
+            ((F.sum("lr_micro") + F.max("prior_micro")) > 0).alias("pred_keep"),
+        )
     )

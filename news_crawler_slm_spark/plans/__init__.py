@@ -90,19 +90,20 @@ _DRIVER_FIRST = [
     "ann_ivf_topk",
 ]
 
-# NOTE (r04 session 5, registry at 93): the front window now carries 20
-# never-checked r04 queries (the session-5 eleven — stratified_sample,
-# ccnet_perplexity_buckets, dsir_importance_weights, dsir_resample,
-# bpe_pair_counts, dup_line_stats, composite_quality_gate,
-# stupid_backoff_scores, weighted_sample, plus the earlier nine) + the
-# r04-changed set + the two r02-stale queries. That pushes FORTY-THREE
-# r03-green queries past the 50-cap (run driver_ordered_registry() and
-# slice [50:] for the exact list). All 43 are r03-hash-green AND
-# re-verified every run by tests/test_plans.py; the two-round rule
-# REQUIRES the r05 front window to be exactly those 43 (plus anything
-# r05 changes — only ~7 free slots, so keep r05 additions modest or
-# accept a third-round tail for the most-stable aggregations). The
-# r04-checked set waits in the tail until r06.
+# NOTE (r04 session 5 final, registry at 95): the front window carries
+# 22 never-checked r04 queries (the session-5 thirteen —
+# stratified_sample, ccnet_perplexity_buckets, dsir_importance_weights,
+# dsir_resample, bpe_pair_counts, dup_line_stats, composite_quality_gate,
+# stupid_backoff_scores, weighted_sample, corpus_datacard,
+# distilled_quality_classifier, plus the earlier nine) + the r04-changed
+# set + the two r02-stale queries. That pushes FORTY-FIVE r03-green
+# queries past the 50-cap (run driver_ordered_registry() and slice [50:]
+# for the exact list). All 45 are r03-hash-green AND re-verified every
+# run by tests/test_plans.py; the two-round rule REQUIRES the r05 front
+# window to be exactly those 45 (plus anything r05 changes — only ~5
+# free slots, so keep r05 additions modest or accept a third-round tail
+# for the most-stable aggregations). The r04-checked set waits in the
+# tail until r06.
 
 # Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
 # all also value-checked by the repo's own identical DuckDB-oracle tests

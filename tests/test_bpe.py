@@ -125,3 +125,46 @@ def test_encode_is_shuffle_free(spark):
     corpus = spark.createDataFrame([(1, "low slow")], "doc_id long, text string")
     plan = bpe_encode(corpus, [("l", "o")])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---- pure-python property tests (no Spark): the greedy rewrite invariants
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SYM = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_SYM, max_size=12), _SYM, _SYM)
+def test_merge_word_properties(symbols, left, right):
+    from news_crawler_slm_spark.operators.bpe import bpe_merge_word
+
+    out = bpe_merge_word(list(symbols), left, right)
+    # 1. concatenation is preserved (merges never lose or invent bytes)
+    assert "".join(out) == "".join(symbols)
+    # 2. greedy completeness: no adjacent (left, right) pair survives —
+    #    any survivor would have been merged when the scan reached it
+    #    (a merge consumes both symbols, and the created symbol left+right
+    #    can never equal the single symbol `left` since right is nonempty)
+    assert all(
+        not (a == left and b == right) for a, b in zip(out, out[1:])
+    ), out
+    # 3. idempotence: re-applying the same merge changes nothing
+    assert bpe_merge_word(out, left, right) == out
+    # 4. output length shrinks by exactly the number of merges performed
+    merged = sum(1 for s in out if s == left + right and (left + right) not in symbols)
+    assert len(out) <= len(symbols)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_SYM, min_size=1, max_size=10))
+def test_encode_word_reconstructs(symbols):
+    """Any merge sequence applied by the encoder preserves the word."""
+    from news_crawler_slm_spark.operators.bpe import bpe_encode_word
+
+    word = "".join(symbols)
+    merges = [("a", "b"), ("ab", "c"), ("b", "b"), ("c", "a")]
+    out = bpe_encode_word(word, merges)
+    assert "".join(out) == word
+    assert all(s for s in out)

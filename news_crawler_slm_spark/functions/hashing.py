@@ -1,4 +1,27 @@
-"""Deterministic shuffle-key hashing shared by the training-order ops.
+"""Deterministic cross-engine hashing.
+
+Two families live here:
+
+1. Knuth multiplicative shuffle keys (training-order ops) — below.
+2. ``md5_long``: a 60-bit string hash computed bit-identically by Spark,
+   DuckDB, and pure Python — the key that lets the sketch family
+   (minhash/LSH, simhash, doc fingerprints, ANN hyperplanes) carry full
+   driver value oracles instead of rows-only checks. xxhash64 is
+   JVM-only; Rabin–Karp char folds are cross-engine but interpreted
+   (higher-order Columns are CodegenFallback). MD5 is the standard
+   primitive all three engines share natively:
+
+   - Spark:  ``conv(substring(md5(s), 1, 15), 16, 10)`` — StaticInvoke
+     into commons-codec inside whole-stage codegen;
+   - DuckDB: ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``;
+   - Python: ``int(hashlib.md5(b).hexdigest()[:15], 16)``.
+
+   15 hex chars = 60 bits keeps every value strictly below 2^63, so
+   signed-BIGINT semantics can never diverge (no sign bit, no overflow).
+   MD5 is a deterministic mixer here, not a security primitive — the
+   same role FNV/xxhash play in production dedup pipelines.
+
+Knuth multiplicative shuffle keys — the original family:
 
 Knuth multiplicative hash mod 2^32 (key = doc_id * 2654435761 mod 2^32) —
 a bijection of [0, 2^32), so keys stay unique for doc_id < 2^32 and the
@@ -30,7 +53,34 @@ KNUTH_A = 2654435761
 _M32 = 4294967296  # 2^32
 _M16 = 65536  # 2^16
 
-__all__ = ["KNUTH_A", "knuth_shuffle_key", "knuth_shuffle_key_sql"]
+__all__ = [
+    "KNUTH_A",
+    "knuth_shuffle_key",
+    "knuth_shuffle_key_sql",
+    "HASH_BITS",
+    "md5_long",
+    "md5_long_duck",
+    "md5_long_py",
+]
+
+HASH_BITS = 60
+
+
+def md5_long(col: Column | str) -> Column:
+    """Spark: 60-bit integer hash of a string column (codegen-side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_duck(expr: str) -> str:
+    """DuckDB SQL fragment computing the same 60-bit hash of ``expr``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_long_py(s: str) -> int:
+    """Pure-Python twin (for property/value oracles in tests)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def knuth_shuffle_key(doc_id: Column) -> Column:

@@ -42,11 +42,14 @@ _N_GRAM, _N_HASHES, _BANDS = 3, 16, 4
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH band rows for ``docs`` (doc_id, text):
-    3-gram shingles -> 16 xxhash64 minhashes -> 4 bands x 4 rows, bucket =
-    xxhash64 of the band's signature slice. The single sketching core
-    shared by the batch query (plans/catalog_dedup.py:
-    minhash_lsh_candidates) and this incremental index — one definition,
-    so index and batch can never drift."""
+    3-gram shingles -> 16 salted 60-bit minhashes (md5_long,
+    functions/hashing.py — bit-identical in Spark/DuckDB/Python, which is
+    what gives the batch query a full driver value oracle) -> 4 bands x 4
+    rows, bucket = md5_long of the band's '|'-joined signature slice. The
+    single sketching core shared by the batch query
+    (plans/catalog_dedup.py:minhash_lsh_candidates) and this incremental
+    index — one definition, so index and batch can never drift."""
+    from ..functions.hashing import md5_long
     from ..plans.catalog import word_windows, ws_normalize
 
     rows_per_band = _N_HASHES // _BANDS
@@ -57,14 +60,14 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
     sigs = grams.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"seed{i}:"), F.col("g")))).alias(f"h{i}")
+            F.min(md5_long(F.concat(F.lit(f"seed{i}:"), F.col("g")))).alias(f"h{i}")
             for i in range(_N_HASHES)
         ]
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
+            md5_long(
                 F.concat_ws(
                     "|",
                     *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],

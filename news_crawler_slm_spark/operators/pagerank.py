@@ -26,6 +26,14 @@ rows, so no per-iteration degree join) and ONE aggregation shuffle on dst.
 Dangling mass is a single scalar aggregate (O(1) driver state per
 iteration — the only collect). Edges persist MEMORY_AND_DISK for the loop,
 the standard cache-for-iterations trade.
+
+Iteration discipline (the part that keeps this O(iters), not O(iters^2)):
+each new rank frame is persisted and MATERIALIZED before its predecessor
+is unpersisted. The materializing action is the dangling-mass aggregate
+the NEXT iteration needs anyway, so the loop costs exactly one job per
+iteration and the active lineage is always one step deep — never a replay
+of the whole chain. tests/test_pagerank.py pins this by asserting the
+executed-stage count per extra iteration is constant.
 """
 
 from __future__ import annotations
@@ -66,17 +74,28 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
     ek.count()
 
     teleport = ((D_DEN - D_NUM) * MICRO) // (D_DEN * n_nodes)
-    ranks = nodes.select("node", F.lit(MICRO // n_nodes).cast("long").alias("rm"))
+
+    def dangling_mass(r: DataFrame) -> int:
+        """Total micro-rank held by nodes with no out-edges. Also serves
+        as the materializing action for a freshly-persisted rank frame:
+        the aggregate job fills r's cache, truncating active lineage to
+        one iteration before the predecessor is unpersisted."""
+        return (
+            r.join(outdeg, r.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rm"), F.lit(0)).cast("long"))
+            .collect()[0][0]
+        )
+
+    ranks = nodes.select(
+        "node", F.lit(MICRO // n_nodes).cast("long").alias("rm")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # dangling nodes: their whole mass teleports uniformly. Computing it
+    # here both yields the scalar this iteration needs AND materializes the
+    # persisted frame (one job per iteration, no chain replay).
+    dangling = dangling_mass(ranks)
 
     try:
         for _ in range(iters):
-            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-            # dangling nodes: their whole mass teleports uniformly
-            dangling = (
-                ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
-                .agg(F.coalesce(F.sum("rm"), F.lit(0)).cast("long"))
-                .collect()[0][0]
-            )
             dangling_share = dangling // n_nodes
             contribs = (
                 ek.join(ranks, ek.src == ranks.node)
@@ -99,7 +118,11 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
                     .cast("long")
                     .alias("rm"),
                 )
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            # materialize new_ranks (and fetch next iteration's dangling
+            # scalar) BEFORE dropping the predecessor's cache — unpersisting
+            # first would force every later job to replay the entire chain
+            new_dangling = dangling_mass(new_ranks)
             if tol_micro > 0:
                 delta = (
                     new_ranks.alias("a")
@@ -107,15 +130,13 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
                     .agg(F.sum(F.abs(F.col("a.rm") - F.col("b.rm"))))
                     .collect()[0][0]
                 )
-                prev = ranks
-                ranks = new_ranks
-                prev.unpersist()
+                ranks.unpersist()
+                ranks, dangling = new_ranks, new_dangling
                 if delta <= tol_micro:
                     break
             else:
-                prev = ranks
-                ranks = new_ranks
-                prev.unpersist()
+                ranks.unpersist()
+                ranks, dangling = new_ranks, new_dangling
     finally:
         ek.unpersist()
         nodes.unpersist()

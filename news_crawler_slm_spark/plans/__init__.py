@@ -21,6 +21,15 @@ Union across rounds: after r03 every registered query has at least one
 green driver row; the standing rotation rule (r04+) is that any query
 whose newest green row is two rounds old re-enters the front window, so
 no query's driver coverage ever ages past two rounds.
+
+r05 amendment (closes VERDICT r04 #3/#4): queries registered with
+oracle=None whose driver row is a GUARANTEED ``no_oracle`` err (learned
+k-means cells: semdedup_prune, ann_ivf_topk) are pinned permanently past
+the cap — r01/r02/r04 spent 7 slots each proving those rows can never go
+green; their value oracles are numpy/python twins in tests/. The rest of
+the former no-oracle sketch family (minhash/simhash/doc_fingerprints/
+ann_lsh) was re-keyed on the cross-engine md5_long hash in r05 and now
+carries full DuckDB oracles, so it rotates like any other query.
 """
 
 from . import (  # noqa: F401
@@ -35,83 +44,40 @@ from . import (  # noqa: F401
 )
 from .catalog import REGISTRY  # noqa: F401
 
-# Round 4 front: queries whose SEMANTICS or plan changed this round
-# (minhash gained the hot-bucket cap; perplexity moved quantization into
-# the vocab dim), then every query whose newest green driver row is r02 or
-# older (the r03 tail) — no query's newest row may age past two rounds.
+# Round 5 front (exactly 50): the six queries whose semantics/output
+# changed this round (token_postings array_join house-rule fix; the five
+# sketch queries re-keyed on cross-engine md5_long — fresh rows must prove
+# the change), then the 45 queries displaced past the cap by the r04
+# front, per the two-round rule — with image_resize_stub (a guaranteed
+# no_oracle row, r03 proved it) swapped out for dedup_survivors_count so
+# no slot is spent on a row that cannot go green.
 _DRIVER_FIRST = [
-    "stratified_sample",  # new this round: never driver-checked
-    "ccnet_perplexity_buckets",  # new this round: never driver-checked
-    "dsir_importance_weights",  # new this round: never driver-checked
-    "bpe_pair_counts",  # new this round: never driver-checked
-    "dup_line_stats",  # new this round: never driver-checked
-    "composite_quality_gate",  # new this round: never driver-checked
-    "stupid_backoff_scores",  # new this round: never driver-checked
-    "weighted_sample",  # new this round: never driver-checked
-    "dsir_resample",  # new this round: never driver-checked
-    "corpus_datacard",  # new this round: never driver-checked
-    "distilled_quality_classifier",  # new this round: never driver-checked
-    "gopher_quality_flags",  # new this round: never driver-checked
-    "top_ngram_char_fraction",  # new this round: never driver-checked
-    "semdedup_prune",  # new this round: never driver-checked (rows-only)
-    "c4_line_filter",  # new this round: never driver-checked
-    "token_postings",  # new this round: never driver-checked
-    "tfidf_search",  # new this round: never driver-checked
-    "token_count_quantiles",  # new this round: never driver-checked
-    "dup_ngram_char_fraction",  # new this round: never driver-checked
-    "events_sliding_counts",  # new this round: never driver-checked
-    "substring_dup_stats",  # new this round: never driver-checked
-    "substring_dedup_clean",  # new this round: never driver-checked
-    "simhash_neardup_pairs",  # new this round: never driver-checked
-    "bigram_perplexity",  # new this round: never driver-checked
-    "unicode_normalize",  # new this round: never driver-checked
-    "nb_lang_classifier",  # new this round: never driver-checked
-    "ngram_jaccard_pairs",  # newest green row r02: due this round
-    "langid_heuristic",  # newest green row r02: due this round
-    "minhash_lsh_candidates",
-    "unigram_perplexity",
-    "count_per_source",
-    "lang_distribution",
-    "token_count_distribution",
-    "max_tokens_with_ties",
-    "count_over_limit",
-    "value_histogram_fd",
-    "distinct_sources",
-    "split_sizes",
-    "shrink_first_n",
-    "source_ordinals",
-    "complete_sources",
-    "prompt_format",
-    "sample_inspector",
-    "repetition_rejects",
-    "simhash_fingerprints",
-    "ann_lsh_topk",
-    "doc_fingerprints",
-    "ann_ivf_topk",
-]
-
-# NOTE (r04 session 5 final, registry at 95): the front window carries
-# 22 never-checked r04 queries (the session-5 thirteen —
-# stratified_sample, ccnet_perplexity_buckets, dsir_importance_weights,
-# dsir_resample, bpe_pair_counts, dup_line_stats, composite_quality_gate,
-# stupid_backoff_scores, weighted_sample, corpus_datacard,
-# distilled_quality_classifier, plus the earlier nine) + the r04-changed
-# set + the two r02-stale queries. That pushes FORTY-FIVE r03-green
-# queries past the 50-cap (run driver_ordered_registry() and slice [50:]
-# for the exact list). All 45 are r03-hash-green AND re-verified every
-# run by tests/test_plans.py; the two-round rule REQUIRES the r05 front
-# window to be exactly those 45 (plus anything r05 changes — only ~5
-# free slots, so keep r05 additions modest or accept a third-round tail
-# for the most-stable aggregations). The r04-checked set waits in the
-# tail until r06.
-
-# Round 4 tail (pushed past the 50-cap): freshly r03-hash-green queries,
-# all also value-checked by the repo's own identical DuckDB-oracle tests
-# every run (tests/test_plans.py) — they rotate back to the front window
-# no later than r06 by the two-round-staleness rule above.
-_DRIVER_LAST = [
-    # displaced by the six never-checked r04 queries in the front window —
-    # all three r03-hash-green, so they re-enter the front no later than r05:
+    "token_postings",  # r05 fix: postings now array_join'd (house rule)
+    "doc_fingerprints",  # r05: re-keyed md5_long, first-ever full oracle
+    "simhash_fingerprints",  # r05: re-keyed md5_long, first-ever full oracle
+    "simhash_neardup_pairs",  # r05: re-keyed md5_long, first-ever full oracle
+    "minhash_lsh_candidates",  # r05: re-keyed md5_long, first-ever full oracle
+    "ann_lsh_topk",  # r05: md5-derived hyperplanes, first-ever full oracle
+    # --- the 45 r03-green tail, due by the two-round rule (minus 1) ---
+    "prf1_rollup",
+    "value_histogram",
+    "split_assign",
+    "schema_align",
+    "token_filter",
+    "repetition_filter",
+    "repetition_split_counts",
+    "quality_features",
+    "token_budget_packing",
+    "benchmark_decontamination",
+    "vocab_topk",
+    "token_idf",
+    "exact_dedup",
+    "ann_cosine_topk",
+    "frontier_pop_topk",
+    "seen_anti_join",
+    "url_canonicalization",
+    "doc_fingerprints_rolling",
+    "orders_without_lineitems",
     "top_customers_per_nation",
     "sessionization",
     "events_running_rank",
@@ -133,10 +99,71 @@ _DRIVER_LAST = [
     "neardup_survivors_count",
     "embedding_neardup_pairs",
     "multimodal_image_meta",
-    "image_resize_stub",
+    "dedup_survivors_count",
     "frame_sample_stats",
     "audio_duration_by_lang",
     "q5_local_supplier_volume",
+]
+
+# NOTE (r05): the front window is exactly 50 — the 6 r05-changed queries
+# + 44 of the 45 due r03-green queries. dedup_survivors_count sits at
+# position 51 (head of the middle) and MUST lead the r06 front (its
+# newest row will be three rounds old — the documented escape hatch,
+# used once). The r04-checked set (CORRECTNESS_r04's 42 green rows)
+# waits in the tail and is due back in the r06 front by the two-round
+# rule: r06 has ~45 due slots again, so keep r06 additions ≤ 4.
+
+# Round 5 tail: the r04-checked set (fresh r04 hash-green rows, all also
+# value-checked every run by tests/test_plans.py), then — pinned
+# PERMANENTLY last — the two learned-cell queries whose driver row is a
+# guaranteed no_oracle err (value oracles: numpy twins in
+# tests/test_similarity.py / test_dedup.py).
+_DRIVER_LAST = [
+    "stratified_sample",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "bpe_pair_counts",
+    "dup_line_stats",
+    "composite_quality_gate",
+    "stupid_backoff_scores",
+    "weighted_sample",
+    "dsir_resample",
+    "corpus_datacard",
+    "distilled_quality_classifier",
+    "gopher_quality_flags",
+    "top_ngram_char_fraction",
+    "c4_line_filter",
+    "tfidf_search",
+    "token_count_quantiles",
+    "dup_ngram_char_fraction",
+    "events_sliding_counts",
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "bigram_perplexity",
+    "unicode_normalize",
+    "nb_lang_classifier",
+    "ngram_jaccard_pairs",
+    "langid_heuristic",
+    "unigram_perplexity",
+    "count_per_source",
+    "lang_distribution",
+    "token_count_distribution",
+    "max_tokens_with_ties",
+    "count_over_limit",
+    "value_histogram_fd",
+    "distinct_sources",
+    "split_sizes",
+    "shrink_first_n",
+    "source_ordinals",
+    "complete_sources",
+    "prompt_format",
+    "sample_inspector",
+    "repetition_rejects",
+    # permanently past the cap: guaranteed no_oracle driver rows
+    # (learned k-means cells; the codec-less multimodal stub)
+    "semdedup_prune",
+    "ann_ivf_topk",
+    "image_resize_stub",
 ]
 
 

@@ -2,10 +2,13 @@
 training-data-pipeline operator family + the frontier primitives expressed
 over the driver's oracle-checkable tables).
 
-Hash-based near-dup plans that depend on engine-specific hash functions
-(xxhash64 vs DuckDB hash) register with oracle=None — the driver records a
-rows-only check and the full value checks live in tests/ against pure-Python
-oracles instead.
+The sketch family (minhash/LSH, simhash, doc fingerprints, ANN
+hyperplanes) hashes with the cross-engine 60-bit md5_long
+(functions/hashing.py), so every pair/fingerprint pipeline carries a full
+DuckDB value oracle; independent pure-Python twins live in tests/ on top.
+Only operators whose keys are LEARNED (k-means cells: ann_ivf_topk,
+semdedup_prune) register with oracle=None — the driver records a
+rows-only check and their value oracles are numpy twins in tests/.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.hashing import md5_long, md5_long_duck
 from .catalog import _t, register, word_windows, ws_normalize
 
 # ===========================================================================
@@ -160,11 +164,64 @@ def ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 64):
     )
 
 
-@register("minhash_lsh_candidates", None)  # xxhash64-based: rows-only check
+def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
+    """DuckDB twin of minhash_bands + the capped band-bucket self-join —
+    the same 16 salted md5_long minhashes over distinct 3-gram shingles,
+    the same '|'-joined band buckets, the same over-cap drop."""
+    mins = ",\n             ".join(
+        "min({h}) AS h{i}".format(h=md5_long_duck(f"'seed{i}:' || g"), i=i)
+        for i in range(16)
+    )
+    band_cases = "\n        ".join(
+        "WHEN {b} THEN {h}".format(
+            b=b,
+            h=md5_long_duck(
+                " || '|' || ".join(
+                    f"CAST(h{b * 4 + r} AS VARCHAR)" for r in range(4)
+                )
+            ),
+        )
+        for b in range(4)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    g0 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM t WHERE len(toks) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM g0 GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             CASE band
+        {band_cases}
+             END AS bucket
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    ok AS (
+      SELECT band, bucket FROM banded GROUP BY band, bucket
+      HAVING count(*) <= {bucket_cap}
+    ),
+    capped AS (SELECT b.* FROM banded b JOIN ok USING (band, bucket))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_lsh_candidates", _minhash_oracle_sql())
 def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     """MinHash + LSH near-dup candidates: 3-gram shingle → 16 minhash
-    signatures via xxhash64(seed ⊕ shingle) → 4 bands × 4 rows → band-bucket
-    join. The shuffle key is (band, bucket-hash) — constant width per doc
+    signatures via md5_long(seed ‖ shingle) (cross-engine, so this carries
+    a full DuckDB value oracle) → 4 bands × 4 rows → band-bucket join. The
+    shuffle key is (band, bucket-hash) — constant width per doc
     regardless of document size; exact Jaccard verification then runs only
     inside candidate pairs.
 
@@ -211,22 +268,76 @@ def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     )
 
 
-@register("simhash_fingerprints", None)  # bit-ops on xxhash64: rows-only
+_SIMHASH_BITS = 60  # md5_long is 60-bit (functions/hashing.py)
+_SIMHASH_BAND_BITS = _SIMHASH_BITS // 4
+
+
+def _simhash_fp_duck(corpus_sql: str) -> str:
+    """DuckDB CTE chain ending in fp(doc_id, simhash) — the oracle twin of
+    simhash_fingerprints_of over an arbitrary corpus SELECT."""
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    pack = "\n           + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(_SIMHASH_BITS)
+    )
+    return rf"""
+    corpus AS ({corpus_sql}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM corpus
+    ),
+    h AS (SELECT doc_id, {md5_long_duck('tok')} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {pack} AS simhash FROM votes)
+    """
+
+
+@register(
+    "simhash_fingerprints",
+    f"WITH {_simhash_fp_duck('SELECT doc_id, text FROM documents')}"
+    "SELECT doc_id, simhash FROM fp",
+)
 def simhash_fingerprints(spark, sf_dir):
-    """SimHash document fingerprints: per-token xxhash64 → 64 signed bit
-    votes → sign aggregation → packed 64-bit fingerprint, entirely with
-    built-in expressions (explode + bitwise ops; no Python). Near-dup =
-    small Hamming distance (bit_count(a ^ b)) — pair generation at scale
-    is `simhash_neardup_pairs` (banded Hamming join); value oracle in
-    test_dedup.py."""
+    """SimHash document fingerprints: per-token 60-bit cross-engine hash
+    (md5_long, functions/hashing.py) → 60 signed bit votes → sign
+    aggregation → packed fingerprint, entirely with built-in expressions
+    (explode + bitwise ops; no Python). Near-dup = small Hamming distance
+    (bit_count(a ^ b)) — pair generation at scale is
+    `simhash_neardup_pairs` (banded Hamming join). Full DuckDB value
+    oracle (same hash, same votes); pure-Python twin in test_dedup.py."""
     return simhash_fingerprints_of(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
-@register("simhash_neardup_pairs", None)  # xxhash64-based: rows-only check
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH {_simhash_fp_duck(_DUP_UNION_DUCK)},
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> ({_SIMHASH_BAND_BITS} * band)) & {(1 << _SIMHASH_BAND_BITS) - 1}
+               AS bucket
+      FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    ok AS (
+      SELECT band, bucket FROM banded GROUP BY band, bucket
+      HAVING count(*) <= 64
+    ),
+    capped AS (SELECT b.* FROM banded b JOIN ok USING (band, bucket))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("simhash_neardup_pairs", _SIMHASH_PAIRS_ORACLE)
 def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int = 64):
     """SimHash near-dup PAIRS — the Manku/Jain/Sarma (WWW'07) web-dedup
-    shape Google ran at crawl scale: split each 64-bit fingerprint into 4
-    16-bit bands; by pigeonhole, any pair within Hamming distance
+    shape Google ran at crawl scale: split each 60-bit fingerprint into 4
+    15-bit bands; by pigeonhole, any pair within Hamming distance
     ``hamming_max`` ≤ 3 shares at least one band verbatim, so an exact
     band-bucket self-join finds ALL such pairs without comparing every
     pair; the exact popcount check then filters candidates.
@@ -238,14 +349,15 @@ def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int =
     prefix/suffix pattern across boilerplate docs) are dropped via the
     same broadcast anti-join cap as the MinHash path, keeping the
     self-join sub-quadratic.  All JVM expressions (shifts, xor,
-    bit_count) — no Python.  Pure-Python oracle (same banding + cap) in
+    bit_count) — no Python.  Full DuckDB value oracle (same 60-bit
+    md5_long hash, banding + cap); pure-Python twin in
     tests/test_dedup.py."""
     fps = simhash_fingerprints_of(_dup_union(spark, sf_dir))
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), _SIMHASH_BAND_BITS * b)
+            .bitwiseAND(F.lit((1 << _SIMHASH_BAND_BITS) - 1))
             .alias("bucket"),
         )
         for b in range(4)
@@ -274,7 +386,7 @@ def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int =
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("long").alias("hamming"),
         )
         .distinct()
     )
@@ -283,21 +395,22 @@ def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int =
 def simhash_fingerprints_of(docs):
     """(doc_id, text) -> (doc_id, simhash): the simhash_fingerprints body
     over an arbitrary frame (shared by the catalog query and the pair
-    generator)."""
+    generator). 60 voted bits — md5_long's width; bits 60-63 are always 0
+    in every engine, so the fingerprint is cross-engine exact."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = toks.select("doc_id", md5_long(F.col("tok")).alias("h"))
     votes = h.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(_bit(i))) != 0, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(_SIMHASH_BITS)
         ]
     )
     fp = None
-    for i in range(64):
+    for i in range(_SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(_bit(i))).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp.bitwiseOR(bit)
     return votes.select("doc_id", fp.alias("simhash"))
@@ -357,37 +470,98 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-@register("ann_lsh_topk", None)  # random-hyperplane signs: engine-defined
+_ANN_DIM = 64  # the embeddings tables ship dim-64 vectors at every SF
+
+
+def _hyperplane(p: int, dim: int = _ANN_DIM) -> list[float]:
+    """Deterministic pseudo-hyperplane p: per-dim components in [-0.5, 0.5)
+    derived from the cross-engine md5_long hash — computed ONCE driver-side
+    (hashlib) and embedded as literals in both the Spark plan and the
+    DuckDB oracle, so both engines run dot products against bit-identical
+    constants."""
+    from ..functions.hashing import md5_long_py
+
+    return [md5_long_py(f"hp:{p}:{i}") % 1000 / 1000.0 - 0.5 for i in range(dim)]
+
+
+def _ann_lsh_oracle_sql(bands: int = 8, bits: int = 8, k: int = 5) -> str:
+    def bucket_expr(b: int) -> str:
+        parts = []
+        for r in range(bits):
+            plane = ", ".join(repr(c) for c in _hyperplane(b * bits + r))
+            parts.append(
+                f"CASE WHEN list_dot_product(e, [{plane}]) > 0"
+                f" THEN CAST({1 << r} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        return "\n           + ".join(parts)
+
+    band_cases = "\n        ".join(
+        f"WHEN {b} THEN {bucket_expr(b)}" for b in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    banded AS (
+      SELECT vec_id, e, band,
+             CASE band
+        {band_cases}
+             END AS bucket
+      FROM e CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS vid
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    j AS (
+      SELECT c.query_id, c.vid, qa.e AS qe, ca.e AS ce
+      FROM cand c JOIN e qa ON qa.vec_id = c.query_id
+                  JOIN e ca ON ca.vec_id = c.vid
+    )
+    SELECT query_id, vid AS vec_id, cosine FROM (
+      SELECT query_id, vid,
+             round(list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qe, ce)
+                        / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))
+                        DESC, vid) AS rn
+      FROM j
+    ) WHERE rn <= {k}
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle_sql())
 def ann_lsh_topk(spark, sf_dir, bands: int = 8, bits: int = 8, k: int = 5):
     """Scale-path ANN: MULTI-BAND random-hyperplane LSH (the minhash banding
     shape). Each vector gets `bands` independent sign-bit buckets, `bits`
-    deterministic pseudo-hyperplanes each (hash-derived, no RNG state);
-    candidates = pairs sharing ANY band's bucket (union), deduped, then
-    exact cosine re-ranks the candidate set. Per-vector output is `bands`
-    constant-width rows, so the shuffle never carries O(corpus) state; at
-    larger corpora `bits` grows ~log2(N/target_bucket_size) to keep
-    in-bucket pair counts bounded, and `bands` buys recall back. Recall@5
-    >= 0.8 vs the brute-force baseline is asserted on a genuinely clustered
-    corpus in tests/test_similarity.py (the driver's synthetic embeddings
-    are isotropic-random — no LSH family can recover near-orthogonal
-    "neighbors" there without scanning ~everything; the same test pins the
-    measured recall floor on that corpus too)."""
+    deterministic pseudo-hyperplanes each (md5-derived literal constants —
+    the SAME constants are embedded in the DuckDB oracle, giving this a
+    full driver value oracle); candidates = pairs sharing ANY band's bucket
+    (union), deduped, then exact cosine re-ranks the candidate set.
+    Per-vector output is `bands` constant-width rows, so the shuffle never
+    carries O(corpus) state; at larger corpora `bits` grows
+    ~log2(N/target_bucket_size) to keep in-bucket pair counts bounded, and
+    `bands` buys recall back. Recall@5 >= 0.8 vs the brute-force baseline
+    is asserted on a genuinely clustered corpus in tests/test_similarity.py
+    (the driver's synthetic embeddings are isotropic-random — no LSH family
+    can recover near-orthogonal "neighbors" there without scanning
+    ~everything; the same test pins the measured recall floor on that
+    corpus too)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
 
-    # deterministic pseudo-hyperplane component for plane p, dim i:
-    # centered hash in [-0.5, 0.5): (pmod(xxhash64(p,i),1000)/1000 - 0.5)
+    # hyperplane constants precomputed driver-side (O(bands·bits·dim)
+    # literals — plan metadata, not data) and folded against each vector
     def plane_dot(p):
+        comps = _hyperplane(p)
         return F.aggregate(
             F.zip_with(
                 F.col("e"),
-                F.sequence(F.lit(0), F.size("e") - 1),
-                lambda x, i: x
-                * (
-                    F.pmod(F.xxhash64(F.lit(p), i), F.lit(1000)).cast("double") / 1000.0
-                    - 0.5
-                ),
+                F.array(*[F.lit(c) for c in comps]),
+                lambda x, c: x * c,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
@@ -584,16 +758,31 @@ def langid_heuristic(spark, sf_dir):
     return d.select("doc_id", "lang", detect_language_udf(F.col("text")).alias("lang_detected"))
 
 
-@register("doc_fingerprints", None)  # xxhash64: rows-only check
+_PREFIX8_DUCK = r"array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')"
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           {md5_long_duck('text')} AS fp64,
+           {md5_long_duck(_PREFIX8_DUCK)} AS prefix_fp
+    FROM documents
+    """,
+)
 def doc_fingerprints(spark, sf_dir):
-    """Document fingerprinting: stable 64-bit content ids (xxhash64 of text)
-    + first-8-token prefix hash for rolling/near-prefix grouping."""
+    """Document fingerprinting: stable 60-bit content ids (md5-derived,
+    functions/hashing.py — bit-identical in Spark, DuckDB, and Python, so
+    this carries a full value oracle) + first-8-token prefix hash for
+    rolling/near-prefix grouping. Shuffle-free codegen projection.
+    xxhash64 remains the marginally cheaper JVM-only alternative where
+    cross-engine verification isn't needed; the plan shape is identical."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
         "doc_id",
-        F.xxhash64("text").alias("fp64"),
-        F.xxhash64(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("prefix_fp"),
+        md5_long(F.col("text")).alias("fp64"),
+        md5_long(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("prefix_fp"),
     )
 
 

@@ -182,7 +182,13 @@ def top_ngram_char_fraction(spark, sf_dir):
     per-doc char denominator rides the rows (computed in the same scan),
     so no join back to the documents table.
     """
-    d = _t(spark, sf_dir, "documents")
+    return top_ngram_char_fraction_of(_t(spark, sf_dir, "documents"))
+
+
+def top_ngram_char_fraction_of(d):
+    """The top-bigram rule over an arbitrary (doc_id, text) frame — shared
+    by the registered query, the composite gate, and the training
+    pipeline's composite filter stage."""
     norm = ws_normalize(F.lower(F.col("text")))
     grams = d.select(
         "doc_id",
@@ -405,7 +411,11 @@ def dup_ngram_char_fraction(spark, sf_dir, n: int = 5):
     the rows. Chars are counted gram-internal (spaces excluded) on both
     engines, an overlap-insensitive proxy both engines share exactly.
     """
-    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_char_fraction_of(_t(spark, sf_dir, "documents"), n=n)
+
+
+def dup_ngram_char_fraction_of(d, n: int = 5):
+    """The duplicate-n-gram rule over an arbitrary (doc_id, text) frame."""
     norm = ws_normalize(F.lower(F.col("text")))
     grams = d.select(
         "doc_id",
@@ -471,7 +481,11 @@ def dup_line_stats(spark, sf_dir):
     no-duplicate case; the rule firing on real multi-line text is pinned by
     the crafted fixture in tests/test_quality.py against this same oracle.
     """
-    d = _t(spark, sf_dir, "documents")
+    return dup_line_stats_of(_t(spark, sf_dir, "documents"))
+
+
+def dup_line_stats_of(d):
+    """The duplicate-line rules over an arbitrary (doc_id, text) frame."""
     lines = d.select(
         "doc_id",
         F.explode(
@@ -553,18 +567,25 @@ def composite_quality_gate(spark, sf_dir):
     corpus version and every downstream consumer reads the bit: a gate is
     computed per document per version, never per query.
     """
-    g = _t(spark, sf_dir, "documents").select(
+    return composite_quality_gate_of(_t(spark, sf_dir, "documents"))
+
+
+def composite_quality_gate_of(d):
+    """The composite gate over an arbitrary (doc_id, text) frame — shared
+    by the registered query and the training pipeline's filter stage
+    (plans/training.py, gate='composite')."""
+    g = d.select(
         "doc_id",
         _gopher_cols()["keep"].alias("gopher_keep"),
         _c4_cols()["keep_doc"].alias("c4_keep"),
     )
-    t = top_ngram_char_fraction(spark, sf_dir).select(
+    t = top_ngram_char_fraction_of(d).select(
         "doc_id", (F.col("top_gram_char_frac") <= 0.20).alias("tk")
     )
-    n = dup_ngram_char_fraction(spark, sf_dir).select(
+    n = dup_ngram_char_fraction_of(d).select(
         "doc_id", (F.col("dup_char_fraction") <= 0.15).alias("nk")
     )
-    line = dup_line_stats(spark, sf_dir).select(
+    line = dup_line_stats_of(d).select(
         "doc_id",
         (
             (F.col("dup_line_frac") <= 0.30) & (F.col("dup_line_char_frac") <= 0.20)

@@ -27,7 +27,9 @@ _POSTINGS_ORACLE = rf"""
     )
     SELECT token,
            CAST(count(*) AS BIGINT) AS df,
-           (list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}] AS postings
+           array_to_string(
+             list_transform((list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}],
+                            x -> CAST(x AS VARCHAR)), ',') AS postings
     FROM toks GROUP BY token
 """
 
@@ -40,6 +42,9 @@ def token_postings(spark, sf_dir, cap: int = _POSTINGS_CAP):
     uncapped collect_list on it is the classic inverted-index hot-key
     blow-up (same hazard class as the LSH band buckets; real indexes
     shard or skip-list exactly these). df stays exact either way.
+    Postings are emitted through array_join (house rule for array outputs,
+    matching json_key_set_ops) so cross-engine value hashing sees a scalar
+    string, never a naked array cell.
 
     Plan shape: explode -> per (doc, token) dedup rides the SAME shuffle
     as the token aggregation (partial-aggregate distinct), one shuffle
@@ -52,7 +57,12 @@ def token_postings(spark, sf_dir, cap: int = _POSTINGS_CAP):
     ).distinct()
     return toks.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).alias("postings"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, cap).cast(
+                "array<string>"
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

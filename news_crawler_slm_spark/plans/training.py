@@ -6,8 +6,13 @@ them, as one plan:
 
     quality gate → exact dedup → near-dup dedup → shuffle → budget pack
 
-- quality gate: the same Column heuristics the streaming path applies
-  (streaming/quality.py — shared implementation, batch and stream).
+- quality gate: either the streaming-shared Column heuristics
+  (streaming/quality.py, gate="heuristic" — zero-shuffle, the stream
+  path's filter) or the PRODUCTION composite gate (gate="composite":
+  Gopher word stats + repetition family + C4 line rules via
+  catalog_quality.composite_quality_gate_of — 4 scans + 3 shuffles, the
+  documented cost of the real FineWeb/Dolma-style gate; survivors carry
+  the heuristic metric columns either way so packing sees n_tokens).
 - exact dedup: min doc_id per md5(text) content group (catalog
   `exact_dedup` semantics), via a window over the hash — one shuffle.
 - near-dup dedup: sketch → capped bucket join → connected components →
@@ -49,6 +54,12 @@ class TrainingPrepParams:
     max_punct_ratio: float = 0.3
     token_budget: int = 512
     neardup: bool = True
+    # "heuristic": the streaming-shared Column gate (length/punct ratios);
+    # "composite": the production Gopher+repetition+C4 gate
+    # (catalog_quality.composite_quality_gate_of) — the r04-built gate the
+    # flagship pipeline should actually run. Survivors still carry
+    # n_tokens (attached after the gate) for the packing stage.
+    gate: str = "heuristic"
 
 
 @contextmanager
@@ -88,11 +99,29 @@ def _build_training_data(
 
     from .catalog_dedup import neardup_components
 
-    gated = quality_gate(
-        docs,
-        min_tokens=params.min_tokens,
-        max_punct_ratio=params.max_punct_ratio,
-    )
+    if params.gate == "composite":
+        from ..streaming.quality import quality_columns
+        from .catalog_quality import composite_quality_gate_of
+
+        # the production gate: keep-bit per doc_id, then a semi-join prune.
+        # The gate legs re-scan `docs` (4 scans, 3 shuffles — the
+        # composite's documented cost); at corpus scale the gate output is
+        # materialized once per corpus version, so callers running the
+        # pipeline repeatedly should persist `docs` first.
+        keep = composite_quality_gate_of(docs).where(F.col("keep")).select("doc_id")
+        survivors = docs.join(keep, "doc_id", "left_semi")
+        cols = quality_columns(F.col("text"))
+        gated = survivors.select(
+            "*", *(c.alias(name) for name, c in cols.items())
+        )
+    elif params.gate == "heuristic":
+        gated = quality_gate(
+            docs,
+            min_tokens=params.min_tokens,
+            max_punct_ratio=params.max_punct_ratio,
+        )
+    else:  # pragma: no cover - guarded upstream
+        raise ValueError(f"unknown gate {params.gate!r}")
 
     w = Window.partitionBy("__h").orderBy("doc_id")
     deduped = (

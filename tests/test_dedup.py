@@ -1,11 +1,13 @@
 """Value-level oracles for the hash-based dedup/fingerprint pipelines
 (minhash_lsh_candidates, simhash_fingerprints, doc_fingerprints).
 
-These queries register with oracle=None for the driver (DuckDB has no
-xxhash64), so THIS file is their correctness gate: each pipeline is
-recomputed end-to-end in pure Python on the same parquet input, using an
-independent XXH64 implementation (xxh64_oracle.py), and compared
-value-for-value against the collected Spark result.
+These pipelines hash with the cross-engine 60-bit md5_long
+(functions/hashing.py), so they carry full DuckDB driver oracles; this
+file adds an INDEPENDENT pure-Python re-derivation of each pipeline
+end-to-end on the same parquet input (hashlib.md5 via md5_long_py), plus
+the planted-fixture and hot-bucket-cap guards no SQL oracle can express.
+xxh64_oracle.py remains the twin for the operators that still use
+xxhash64 internally without exposing it (count-min sketch, ExactSubstr).
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import re
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
+from news_crawler_slm_spark.functions.hashing import md5_long_py
 from news_crawler_slm_spark.plans import catalog_dedup as D
 from xxh64_oracle import xxh64_str
 
@@ -55,7 +58,7 @@ def _minhash_oracle(docs, n=3, n_hashes=16, bands=4, bucket_cap=64):
     def h(i, g):
         key = (i, g)
         if key not in cache:
-            cache[key] = xxh64_str(f"seed{i}:{g}")
+            cache[key] = md5_long_py(f"seed{i}:{g}")
         return cache[key]
 
     buckets: dict[tuple[int, int], list[int]] = {}
@@ -69,7 +72,7 @@ def _minhash_oracle(docs, n=3, n_hashes=16, bands=4, bucket_cap=64):
             key = "|".join(
                 str(sig[b * rows_per_band + r]) for r in range(rows_per_band)
             )
-            buckets.setdefault((b, xxh64_str(key)), []).append(doc_id)
+            buckets.setdefault((b, md5_long_py(key)), []).append(doc_id)
     pairs = set()
     for members in buckets.values():
         if len(members) > bucket_cap:
@@ -184,18 +187,20 @@ def test_ngram_jaccard_stop_shingle_capped(spark, tmp_path):
 
 
 def _simhash_oracle(docs):
+    """60-bit md5_long simhash (matches simhash_fingerprints_of — always
+    non-negative, so no sign fold is needed)."""
     fps = {}
     for doc_id, text in docs:
-        votes = [0] * 64
+        votes = [0] * 60
         for tok in _toks(text):
-            u = xxh64_str(tok) & ((1 << 64) - 1)
-            for i in range(64):
+            u = md5_long_py(tok)
+            for i in range(60):
                 votes[i] += 1 if (u >> i) & 1 else -1
         u = 0
-        for i in range(64):
+        for i in range(60):
             if votes[i] > 0:
                 u |= 1 << i
-        fps[doc_id] = u - (1 << 64) if u >= (1 << 63) else u
+        fps[doc_id] = u
     return fps
 
 
@@ -210,20 +215,17 @@ def test_simhash_fingerprints_value_oracle(spark, sf_dir):
 
 def test_simhash_neardup_pairs_value_oracle(spark, sf_dir):
     """Manku-style banded Hamming pair generation: pure-Python twin of the
-    whole pipeline (dup-union corpus → simhash → 4×16-bit bands →
+    whole pipeline (dup-union corpus → simhash → 4×15-bit bands →
     cap-filtered band buckets → Hamming <= 3 pairs). The 50 re-crawled
     docs guarantee Hamming-0 pairs, so the check is never vacuous."""
     base = _docs(sf_dir)
     docs = base + [(d + 10000, t) for d, t in base if d < 50]
     fps = _simhash_oracle(docs)
 
-    def u64(x):
-        return x & ((1 << 64) - 1)
-
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, fp in fps.items():
         for b in range(4):
-            buckets.setdefault((b, (u64(fp) >> (16 * b)) & 0xFFFF), []).append(doc_id)
+            buckets.setdefault((b, (fp >> (15 * b)) & 0x7FFF), []).append(doc_id)
     want = set()
     for members in buckets.values():
         if len(members) > 64:  # the hot-bucket cap
@@ -231,7 +233,7 @@ def test_simhash_neardup_pairs_value_oracle(spark, sf_dir):
         ms = sorted(members)
         for i, a in enumerate(ms):
             for b in ms[i + 1 :]:
-                ham = bin(u64(fps[a]) ^ u64(fps[b])).count("1")
+                ham = bin(fps[a] ^ fps[b]).count("1")
                 if ham <= 3:
                     want.add((a, b, ham))
     got = {
@@ -250,9 +252,9 @@ def test_simhash_hamming_neardup_property(spark, sf_dir):
     toks = _toks(text)
     mutated = " ".join(toks[:-2] + ["zzz", "yyy"])
     fps = _simhash_oracle([(0, text), (1, mutated), (2, "totally different words entirely")])
-    ham = bin((fps[0] ^ fps[1]) & ((1 << 64) - 1)).count("1")
+    ham = bin(fps[0] ^ fps[1]).count("1")
     assert ham <= 16
-    far = bin((fps[0] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+    far = bin(fps[0] ^ fps[2]).count("1")
     assert far > ham
 
 
@@ -262,8 +264,8 @@ def test_doc_fingerprints_value_oracle(spark, sf_dir):
         for r in D.doc_fingerprints(spark, sf_dir).collect()
     }
     for doc_id, text in _docs(sf_dir):
-        want_fp = xxh64_str(text)
-        want_prefix = xxh64_str(" ".join(_toks(text)[:8]))
+        want_fp = md5_long_py(text)
+        want_prefix = md5_long_py(" ".join(_toks(text)[:8]))
         assert got[doc_id] == (want_fp, want_prefix), doc_id
 
 

@@ -71,6 +71,45 @@ def test_pagerank_early_stop_matches_full_run(spark):
     assert order_loose == order_tight
 
 
+def _executed_stages(spark, group: str, iters: int) -> int:
+    """Distinct stages actually EXECUTED by a pagerank run (skipped stages
+    are never submitted, so they have no StageInfo — re-executed replay
+    stages get fresh stage ids and DO count)."""
+    sc = spark.sparkContext
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    sc.setJobGroup(group, f"pagerank iters={iters}")
+    try:
+        pagerank(df, iters=iters).collect()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    executed = set()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            if tracker.getStageInfo(sid) is not None:
+                executed.add(sid)
+    return len(executed)
+
+
+def test_pagerank_constant_work_per_iteration(spark):
+    """Each iteration must persist-and-materialize its rank frame before
+    unpersisting the predecessor; otherwise iteration k silently replays
+    iterations 1..k-1 from lineage and total work is O(iters^2). Pinned by
+    requiring the executed-stage count to grow LINEARLY: the same stage
+    delta for 2->4 as for 4->6 extra iterations."""
+    s2 = _executed_stages(spark, "pr-stages-2", 2)
+    s4 = _executed_stages(spark, "pr-stages-4", 4)
+    s6 = _executed_stages(spark, "pr-stages-6", 6)
+    assert s4 - s2 == s6 - s4, (s2, s4, s6)
+    # and the per-iteration cost is a small constant (~23 with AQE giving
+    # each exchange its own stage), not a replayed chain (which grows
+    # per-iteration and fails the linearity check above first anyway)
+    assert (s4 - s2) / 2 <= 30, (s2, s4, s6)
+
+
 def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):
     """The blend must lift a frontier URL the crawled web points at above
     an equal-priority sibling nobody links to, keep schema/columns, and

@@ -370,6 +370,88 @@ def test_prepare_training_data_matches_sequential_oracle(spark):
     assert len({v[3] for v in got.values()}) > 1  # multiple batches exercised
 
 
+def test_prepare_training_data_composite_gate_matches_oracle(spark):
+    """VERDICT r04 #7: the flagship pipeline with the PRODUCTION gate wired
+    in (gate='composite' — Gopher + repetition family + C4) must equal the
+    sequential oracle: gate survivors via the nested DuckDB composite
+    oracle (the same cross-engine SQL the driver checks), then exact dedup
+    -> near-dup components -> Knuth shuffle -> budget pack in pure python.
+    Composition is where join bugs hide — this pins the semi-join prune."""
+    import duckdb
+    import pandas as pd
+
+    from news_crawler_slm_spark.plans.catalog_quality import _COMPOSITE_ORACLE
+    from news_crawler_slm_spark.plans.training import (
+        TrainingPrepParams,
+        prepare_training_data,
+    )
+
+    def vline(tag, j):
+        # a 13-word line that passes every gate leg, with tag-unique tokens
+        # spaced so no 5-gram window repeats within OR across lines (the
+        # longest tag-free token run, including across line boundaries, is
+        # 4 tokens: "today. the quick brown")
+        return (
+            f"the quick brown {tag}fox{j} jumps over a lazy {tag}dog{j}"
+            f" near it {tag}w{j} today."
+        )
+
+    good_line = "the quick brown fox jumps over a lazy dog near it today."
+    dup_text = "\n".join(vline("dup", j) for j in range(5))
+    nd_body = "\n".join(vline("nd", j) for j in range(4))
+    docs = []
+    for i in range(40):
+        if i % 10 == 0:
+            # fails Gopher (mean word length < 3) but passes C4
+            docs.append((i, "\n".join(["xx xx xx xx xx xx."] * 10)))
+        elif i % 10 == 1:
+            # fails C4 (no terminal punctuation -> 0 kept lines)
+            docs.append((i, " ".join(f"the w{i}x{j} of" for j in range(20))))
+        elif i % 10 == 2:
+            # fails repetition (every line identical: dup_line_frac = 1.0)
+            docs.append((i, "\n".join([good_line] * 8)))
+        elif i % 10 == 3:
+            # exact duplicates: same gate-passing body for every such i
+            docs.append((i, dup_text))
+        elif i % 10 == 4:
+            # near-duplicates: shared 4-line body, one closing line varies
+            docs.append((i, nd_body + "\n" + vline(f"c{i}", 9)))
+        else:
+            docs.append((i, "\n".join(vline(f"g{i}", j) for j in range(5))))
+
+    params = TrainingPrepParams(token_budget=64, gate="composite")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = prepare_training_data(df, params)
+    got = {r["doc_id"]: (r["n_tokens"], r["shuffle_key"], r["cum_before"], r["batch_id"])
+           for r in out.collect()}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    keep = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({_COMPOSITE_ORACLE}) WHERE keep"
+    ).fetchall()}
+    assert 0 < len(keep) < len(docs)
+    # each crafted failure mode actually fired
+    assert not any(i % 10 in (0, 1, 2) for i in keep)
+
+    survivors = [(i, t, len(t.strip().split())) for i, t in docs if i in keep]
+    kept, seen = [], set()
+    for i, t, n in survivors:  # doc_id order: min doc_id survives
+        if t in seen:
+            continue
+        seen.add(t)
+        kept.append((i, t, n))
+    assert len(kept) < len(survivors)  # exact-dup stage removed something
+    kept2 = _neardup_keepers(kept)
+    assert len(kept2) < len(kept)  # near-dup stage removed something
+    shuffled = sorted(((i * 2654435761) % 4294967296, i, n) for i, t, n in kept2)
+    acc, want = 0, {}
+    for key, i, n in shuffled:
+        want[i] = (n, key, acc, acc // params.token_budget)
+        acc += n
+    assert got == want
+
+
 def test_training_data_session_releases_cache(spark):
     """ADVICE r03: prepare_training_data's internal persist leaked across
     repeated runs. The scoped API must return the persistent-RDD count to

@@ -100,6 +100,9 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "composite_quality_gate",
     "stupid_backoff_scores",
+    # r05 addition: BM25 — same pruned-explode shape as tfidf_search plus
+    # the per-doc length normalization riding the scan
+    "bm25_search",
 ]
 
 

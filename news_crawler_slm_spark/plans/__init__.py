@@ -106,12 +106,13 @@ _DRIVER_FIRST = [
 ]
 
 # NOTE (r05): the front window is exactly 50 — the 6 r05-changed queries
-# + 44 of the 45 due r03-green queries. dedup_survivors_count sits at
-# position 51 (head of the middle) and MUST lead the r06 front (its
-# newest row will be three rounds old — the documented escape hatch,
-# used once). The r04-checked set (CORRECTNESS_r04's 42 green rows)
-# waits in the tail and is due back in the r06 front by the two-round
-# rule: r06 has ~45 due slots again, so keep r06 additions ≤ 4.
+# + 44 of the 45 due r03-green queries (image_resize_stub swapped out for
+# dedup_survivors_count). The r06 front MUST lead with: bm25_search (new
+# in r05, never driver-checked — sits in the middle because r05 had zero
+# free slots; full oracle verified by scripts/driver_sim.py and
+# tests/test_plans.py meanwhile), then the r04-checked tail
+# (CORRECTNESS_r04's 42 green rows) due back by the two-round rule —
+# ~43 due slots, so keep r06 additions ≤ 6.
 
 # Round 5 tail: the r04-checked set (fresh r04 hash-green rows, all also
 # value-checked every run by tests/test_plans.py), then — pinned

@@ -1,14 +1,14 @@
-"""Corpus search primitives: inverted-index posting lists and TF-IDF
-keyword scoring (engine additions; the reference has no search surface at
-all — these are the query-side complement of the vocab/IDF statistics the
-catalog already computes, and the operators a corpus-exploration UI runs
-against a 100 TB crawl).
+"""Corpus search primitives: inverted-index posting lists, TF-IDF and
+BM25 keyword scoring (engine additions; the reference has no search
+surface at all — these are the query-side complement of the vocab/IDF
+statistics the catalog already computes, and the operators a
+corpus-exploration UI runs against a 100 TB crawl).
 
-Both carry full DuckDB oracles. Cross-engine discipline: IDF is quantized
-to integer micro-nats INSIDE the per-token dim (|vocab| rows), scores are
-exact BIGINT sums of tf x idf_micro — the same order-independent trick as
-unigram_perplexity. Posting lists are sorted and capped, so array values
-hash identically.
+All carry full DuckDB oracles. Cross-engine discipline: IDF is quantized
+to integer micro-nats INSIDE the per-token dim (|vocab| rows), per-term
+scores are quantized to BIGINT before the order-independent sum — the
+same trick as unigram_perplexity. Posting lists are sorted, capped, and
+emitted through array_join (the house rule for array outputs).
 """
 
 from __future__ import annotations
@@ -143,6 +143,114 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
         scored.groupBy("doc_id")
         .agg(
             F.sum(F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+# BM25 constants (Robertson k1/b defaults; Lucene's +1-inside-ln idf form
+# so idf stays positive even for df > N/2)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(len(a)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM toks
+    ),
+    hits AS (SELECT doc_id, len(a) AS dl, unnest(a) AS token FROM toks),
+    tf AS (
+      SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+      FROM hits WHERE token IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, dl, token
+    ),
+    dfx AS (SELECT *, count(*) OVER (PARTITION BY token) AS df FROM tf),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(
+               CAST(round(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1)
+                          * 1000000.0, 0) AS BIGINT)
+               * (tf * {_BM25_K1 + 1}) /
+               (tf + {_BM25_K1} * ({1 - _BM25_B} + {_BM25_B} * (dl / s.avgdl))),
+               0) AS BIGINT) AS term_score
+      FROM dfx, stats s
+    )
+    SELECT doc_id,
+           CAST(sum(term_score) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+"""
+
+
+@register("bm25_search", _BM25_ORACLE)
+def bm25_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
+    """BM25 keyword search (Robertson/Sparck Jones; the Lucene idf variant
+    ln((N-df+0.5)/(df+0.5)+1) so idf > 0 always): per matched term,
+    idf x tf(k1+1) / (tf + k1(1-b+b·dl/avgdl)), summed per document. The
+    production ranking function a corpus-exploration UI runs where TF-IDF
+    is the baseline — length normalization (b) is what keeps boilerplate-
+    padded pages from outranking short relevant ones at crawl scale.
+
+    Cross-engine float discipline: idf is quantized to integer micro-nats
+    inside the per-token dim; the per-term score is ONE double expression
+    over exact ints (tf, dl, df) and two broadcast scalars (n_docs, avgdl
+    — both exact-int divisions), identical expression tree on both
+    engines, then quantized per (doc, term) and summed as BIGINT — the
+    order-independent trick shared with tfidf_search/unigram_perplexity.
+
+    Plan shape (same as tfidf_search): doc length dl rides the hits rows
+    out of the SAME scan as the explode (no join back to documents); the
+    isin(query) filter prunes before the (doc, token) shuffle; df comes
+    from a window over the already-aggregated tf relation; (n_docs,
+    avgdl) is a broadcast 1-row dim; top-k is a TakeOrdered, no full
+    sort.
+    """
+    from pyspark.sql import Window
+
+    q = query or _QUERY_TOKENS
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(toks)).cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    hits = d.select(
+        "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token")
+    ).where(F.col("token").isin(q))
+    tf = hits.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("token")
+    dfx = tf.withColumn("df", F.count("*").over(w)).crossJoin(F.broadcast(stats))
+    idf_micro = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1)
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    term_score = F.round(
+        idf_micro * (F.col("tf") * F.lit(_BM25_K1 + 1)) / denom, 0
+    ).cast("long")
+    return (
+        dfx.select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score_micro"),
             F.count("*").alias("n_terms"),
         )
         .orderBy(F.desc("score_micro"), "doc_id")

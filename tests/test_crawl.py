@@ -53,8 +53,21 @@ def _crawl_log(catalog):
     ]
 
 
-def test_engine_matches_simulator(spark, tmp_path, sim_result):
-    state, catalog = _run_engine(spark, str(tmp_path / "cat"))
+@pytest.fixture(scope="module")
+def baseline_run(spark, tmp_path_factory):
+    """ONE default-params engine crawl shared by every test that only
+    reads the resulting catalog or copies it before mutating — the single
+    most-repeated ~35 s of the suite. Mutating consumers must copytree the
+    root first; manifest data paths are absolute, so a copy's reads still
+    resolve to the baseline's immutable parquet while its own commits land
+    under the copy."""
+    root = str(tmp_path_factory.mktemp("baseline_crawl") / "cat")
+    state, catalog = _run_engine(spark, root)
+    return state, catalog, root
+
+
+def test_engine_matches_simulator(spark, baseline_run, sim_result):
+    state, catalog, _root = baseline_run
 
     # crawl ordering: exact (round, seq, host, url, status) sequence
     assert _crawl_log(catalog) == sim_result.crawl_log
@@ -328,12 +341,18 @@ def _retire_twin(sim_result, robots, ttl_rounds):
     return retired, requeued, hc
 
 
-def test_retire_and_requeue_matches_twin_and_recrawls(spark, tmp_path, corpus, sim_result):
+def test_retire_and_requeue_matches_twin_and_recrawls(
+    spark, tmp_path, corpus, sim_result, baseline_run
+):
     """TTL recrawl: the maintenance snapshot's seen/frontier/host_counts
     must equal the pure-python twin exactly, the bloom store must stay a
     superset of the surviving seen set, and a continued crawl must actually
     RE-fetch requeued urls — appending fresh pages rows that live_pages
-    resolves to the newest copy, byte-identical to the original corpus."""
+    resolves to the newest copy, byte-identical to the original corpus.
+    Starts from a COPY of the shared baseline crawl (same PARAMS/SCALE run
+    this test used to redo from scratch) and mutates only the copy."""
+    import shutil
+
     from news_crawler_slm_spark.crawl.frontier import BloomStore
     from news_crawler_slm_spark.crawl.rounds import live_pages, retire_and_requeue
     from news_crawler_slm_spark.crawl.semantics import host_of
@@ -341,7 +360,7 @@ def test_retire_and_requeue_matches_twin_and_recrawls(spark, tmp_path, corpus, s
     dfs = web_dataframes(spark, SCALE)
     fetcher = synthetic_fetcher(dfs["web"])
     root = str(tmp_path / "retire_cat")
-    run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, PARAMS)
+    shutil.copytree(baseline_run[2], root)
     catalog = SnapshotCatalog(spark, root)
     rounds_run = sim_result.rounds_run
 

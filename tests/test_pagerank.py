@@ -39,15 +39,13 @@ def _twin(edges, iters=10):
     return rm
 
 
-def test_pagerank_matches_integer_twin(spark):
-    df = spark.createDataFrame(EDGES, "src string, dst string")
-    got = {r.node: r.rank_micro for r in pagerank(df, iters=10).collect()}
-    assert got == _twin(EDGES, iters=10)
-
-
-def test_pagerank_ordering_and_dangling(spark):
+def test_pagerank_matches_integer_twin_ordering_and_dangling(spark):
+    """One 10-iteration run checks the bit-exact twin equality AND the
+    ordering/dangling-mass sanity (merged from two tests that each ran the
+    identical job — suite wall-time, r05 #8)."""
     df = spark.createDataFrame(EDGES, "src string, dst string")
     res = {r.node: r.rank_micro for r in pagerank(df, iters=10).collect()}
+    assert res == _twin(EDGES, iters=10)
     # the hub is linked by a, b, c: it must outrank every leaf
     assert res["hub"] == max(res.values())
     # the dangling sink still holds rank (hub links to it) and its mass
@@ -59,16 +57,20 @@ def test_pagerank_ordering_and_dangling(spark):
     assert abs(sum(res.values()) - MICRO) < 100 * n
 
 
-def test_pagerank_early_stop_matches_full_run(spark):
-    """tol_micro=0 runs all iterations; a tolerant run must agree with the
-    twin at whatever iteration it stopped — monotone convergence means the
-    ordering is already stable."""
+def test_pagerank_early_stop_matches_twin_at_stop_iteration(spark):
+    """Early stop is BIT-EXACT, not just order-stable: the twin's delta
+    trajectory on EDGES first dips under tol=10000 at iteration 5 (9266),
+    so a tolerant run must return exactly the twin's iteration-5 state —
+    and must differ from the full 12-iteration state, proving the stop
+    actually fired. (Formerly a 50-iteration order-only check costing 87 s
+    of suite time for weaker coverage.)"""
     df = spark.createDataFrame(EDGES, "src string, dst string")
-    loose = {r.node: r.rank_micro for r in pagerank(df, iters=50, tol_micro=50).collect()}
-    tight = _twin(EDGES, iters=50)
-    order_loose = sorted(loose, key=lambda v: (-loose[v], v))
-    order_tight = sorted(tight, key=lambda v: (-tight[v], v))
-    assert order_loose == order_tight
+    loose = {
+        r.node: r.rank_micro
+        for r in pagerank(df, iters=12, tol_micro=10000).collect()
+    }
+    assert loose == _twin(EDGES, iters=5)
+    assert loose != _twin(EDGES, iters=12)
 
 
 def _executed_stages(spark, group: str, iters: int) -> int:
@@ -97,17 +99,18 @@ def _executed_stages(spark, group: str, iters: int) -> int:
 def test_pagerank_constant_work_per_iteration(spark):
     """Each iteration must persist-and-materialize its rank frame before
     unpersisting the predecessor; otherwise iteration k silently replays
-    iterations 1..k-1 from lineage and total work is O(iters^2). Pinned by
-    requiring the executed-stage count to grow LINEARLY: the same stage
-    delta for 2->4 as for 4->6 extra iterations."""
+    iterations 1..k-1 from lineage and total executed work is O(iters^2).
+    Pinned by the executed-stage GROWTH RATE: with constant per-iteration
+    work, tripling the iterations (2 -> 6) scales executed stages by
+    ~2-2.2x (fixed setup amortizes); the replay bug's triangular-number
+    signature scales them by ~7x. Exact stage counts vary with session
+    history (AQE/broadcast decisions), so the assertion is the ratio, not
+    a constant — measured 2.03 standalone and 2.2 mid-suite on the fixed
+    code."""
     s2 = _executed_stages(spark, "pr-stages-2", 2)
-    s4 = _executed_stages(spark, "pr-stages-4", 4)
     s6 = _executed_stages(spark, "pr-stages-6", 6)
-    assert s4 - s2 == s6 - s4, (s2, s4, s6)
-    # and the per-iteration cost is a small constant (~23 with AQE giving
-    # each exchange its own stage), not a replayed chain (which grows
-    # per-iteration and fails the linearity check above first anyway)
-    assert (s4 - s2) / 2 <= 30, (s2, s4, s6)
+    assert s6 >= s2, (s2, s6)
+    assert s6 <= 4 * s2, (s2, s6)
 
 
 def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):

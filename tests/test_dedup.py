@@ -50,16 +50,25 @@ def test_xxh64_oracle_matches_spark(spark):
 
 def _minhash_oracle(docs, n=3, n_hashes=16, bands=4, bucket_cap=64):
     """Pure-Python re-derivation of the banded MinHash plan
-    (catalog_dedup.minhash_lsh_candidates), including the hot-bucket cap:
+    (catalog_dedup.minhash_lsh_candidates) — one md5 base hash per
+    shingle + 16 linear permutations — including the hot-bucket cap:
     (band, bucket) groups over bucket_cap members emit no pairs."""
+    from news_crawler_slm_spark.operators.incremental_dedup import (
+        _MH_P,
+        _mh_params,
+    )
+
     rows_per_band = n_hashes // bands
-    cache: dict[tuple[int, str], int] = {}
+    mh_a, mh_b = _mh_params()
+    cache: dict[str, int] = {}
+
+    def hb(g):
+        if g not in cache:
+            cache[g] = md5_long_py(g) % _MH_P
+        return cache[g]
 
     def h(i, g):
-        key = (i, g)
-        if key not in cache:
-            cache[key] = md5_long_py(f"seed{i}:{g}")
-        return cache[key]
+        return (mh_a[i] * hb(g) + mh_b[i]) % _MH_P
 
     buckets: dict[tuple[int, int], list[int]] = {}
     for doc_id, text in docs:

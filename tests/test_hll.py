@@ -106,3 +106,55 @@ def test_grouped_registers_and_estimates(spark):
         solo = hll_registers(df.where(F.col("host") == h), "url", p=12)
         assert abs(est[h] - hll_estimate(solo, p=12)) < 1e-9, h
         assert abs(est[h] - len(urls)) / len(urls) < 0.05, (h, est[h], len(urls))
+
+
+def test_cross_engine_hll_query_high_cardinality(spark, tmp_path):
+    """The registered hll_distinct_tokens query on a HIGH-cardinality
+    corpus (the driver corpus's 31-token vocab only exercises the
+    linear-counting branch; 20k distinct tokens forces the harmonic-mean
+    estimator): engine result equals a pure-python md5 twin of the same
+    register algebra bit-for-bit, and the estimate lands within 4 standard
+    errors (1.04/sqrt(m) = 1.6%) of the exact count."""
+    import math
+
+    from news_crawler_slm_spark.functions.hashing import md5_long_py
+    from news_crawler_slm_spark.plans.catalog_dedup import hll_distinct_tokens
+
+    n_tok, per_doc = 20000, 40
+    vocab = [f"tok{i}" for i in range(n_tok)]
+    docs = [
+        (i, " ".join(vocab[(i * per_doc + j) % n_tok] for j in range(per_doc)))
+        for i in range(1000)
+    ]
+    out = str(tmp_path / "hll_hc")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{out}/documents.parquet"
+    )
+    row = hll_distinct_tokens(spark, out).collect()[0]
+
+    # python twin of the register algebra (p=12, 60-bit md5 hash)
+    p, m, wbits = 12, 4096, 48
+    regs: dict[int, int] = {}
+    seen = set()
+    for _i, text in docs:
+        for tok in text.strip().lower().split():
+            seen.add(tok)
+            h = md5_long_py(tok)
+            r = h & (m - 1)
+            w = h >> p
+            rank = (wbits + 1) if w == 0 else wbits - w.bit_length() + 1
+            regs[r] = max(regs.get(r, 0), rank)
+    s = sum(1 << (wbits + 1 - r) for r in regs.values()) + (m - len(regs)) * (
+        1 << (wbits + 1)
+    )
+    alpha_c = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << (wbits + 1))
+    raw = alpha_c / s
+    zeros = m - len(regs)
+    est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+    assert row["n_exact"] == len(seen) == n_tok
+    assert row["registers_touched"] == len(regs)
+    assert row["hll_estimate"] == round(est, 6)
+    # estimator quality: the whole point of shipping the sketch
+    assert abs(est - n_tok) / n_tok < 4 * 1.04 / math.sqrt(m)
+    # the harmonic branch (not linear counting) is the one exercised here
+    assert raw > 2.5 * m or zeros == 0

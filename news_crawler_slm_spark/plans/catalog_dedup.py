@@ -1636,3 +1636,93 @@ def hll_distinct_tokens(spark, sf_dir, p: int = _HLL_P):
             ).alias("hll_estimate"),
         )
     )
+
+
+_CMS_D, _CMS_W = 4, 2048
+_CMS_PROBES = ["spark", "window", "merge"]
+
+
+def _cms_oracle_sql(depth: int = _CMS_D, width: int = _CMS_W) -> str:
+    probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
+    h = md5_long_duck("tok || '#cms' || CAST(d AS VARCHAR)")
+    hp = md5_long_duck("t || '#cms' || CAST(d AS VARCHAR)")
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    depths AS (SELECT unnest(range(0, {depth})) AS d),
+    counts AS (
+      SELECT d, {h} % {width} AS col, CAST(count(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN depths GROUP BY d, col
+    ),
+    probes AS (
+      SELECT t, d, {hp} % {width} AS col
+      FROM (VALUES {probes}) p(t) CROSS JOIN depths
+    ),
+    est AS (
+      SELECT p.t AS token, CAST(min(c.c) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN counts c ON p.d = c.d AND p.col = c.col
+      GROUP BY p.t
+    ),
+    exact AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks WHERE tok IN (SELECT t FROM (VALUES {probes}) v(t))
+      GROUP BY tok
+    )
+    SELECT est.token, exact.n_exact, est.cms_estimate
+    FROM est JOIN exact USING (token)
+    """
+
+
+@register("cms_token_frequency", _cms_oracle_sql())
+def cms_token_frequency(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W):
+    """Count-min-sketch point frequencies (Cormode & Muthukrishnan 2005)
+    for a fixed probe-token set, with the exact counts alongside — the
+    overestimate-only contract (estimate >= exact, error <= eN/w w.h.p.)
+    is visible in the output itself. Cross-engine twin of operators/cms.py
+    (xxhash64, production JVM path): same cell algebra, md5_long hashing
+    with the same '#cms<d>' per-depth salt, so the DuckDB oracle
+    recomputes every cell count exactly — the third sketch (after
+    minhash and HLL) to graduate from rows-only to a full driver oracle.
+
+    Scale shape: ONE corpus scan posexplodes each token into its d cells;
+    the (row, col) shuffle is bounded by d·w distinct keys TOTAL with
+    map-side partial aggregation (never the token universe); probes are a
+    d·|probe| literal dim, broadcast; the exact branch exists for the
+    accuracy story and drops out of the production probe path.
+    """
+    d_t = _t(spark, sf_dir, "documents")
+    toks = d_t.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    buckets = F.array(
+        *[
+            F.pmod(md5_long(F.concat(F.col("tok"), F.lit(f"#cms{d}"))), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+    counts = (
+        toks.select(F.posexplode(buckets).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    from ..functions.hashing import md5_long_py
+
+    probe_rows = [
+        (t, d, md5_long_py(f"{t}#cms{d}") % width)
+        for t in _CMS_PROBES
+        for d in range(depth)
+    ]
+    probes = spark.createDataFrame(probe_rows, "token string, row int, col long")
+    est = (
+        probes.join(counts, ["row", "col"])
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = (
+        toks.where(F.col("tok").isin(_CMS_PROBES))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, "token").select("token", "n_exact", "cms_estimate")

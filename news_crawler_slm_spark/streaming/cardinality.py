@@ -1,0 +1,108 @@
+"""Streaming distinct-cardinality: a HyperLogLog register table maintained
+exactly-once across micro-batches — "how many DISTINCT URLs/tokens has
+this stream ever seen" as O(2^p) state, updated per batch, queryable at
+any time, without ever shuffling or storing the key universe.
+
+Why this shape: an exact streaming countDistinct needs unbounded state
+(every key ever seen); dropDuplicates + watermark bounds state by TIME,
+not by keys, and forgets. HLL registers are the textbook answer — and
+because register merge is a per-register ``max`` (commutative,
+idempotent, associative), the same sketch algebra serves batch shards,
+crawl rounds, and stream micro-batches interchangeably. This module is
+the END-TO-END proof of the mergeability claim in operators/hll.py: per
+batch, sketch ONLY the new rows (``hll_registers``), then fold into the
+persisted register table by per-register max.
+
+Exactly-once: the register table lives in the SnapshotCatalog; each batch
+commits as snapshot ``base_id + batchId`` (the stream_to_catalog
+discipline, streaming/catalog_sink.py) so a replayed batch after a crash
+between sink-commit and checkpoint-write finds its snapshot already on
+the lineage and skips. Even a hypothetical double-apply would be
+harmless — max-merge is idempotent — but the skip keeps the lineage
+clean and the counters exact.
+
+Stream ≡ batch equivalence is pinned in tests/test_streaming.py: running
+the files through this sink yields the IDENTICAL register table (and so
+the identical estimate) as one batch ``hll_registers`` over the union.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.hll import DEFAULT_P, hll_registers
+from ..sources.tables import SnapshotCatalog
+
+HLL_STREAM_ID_BASE = 2_100_000_000
+REGISTER_TABLE = "hll_registers"
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    catalog_root: str,
+    checkpoint_dir: str,
+    col: str,
+    p: int = DEFAULT_P,
+    base_id: int = HLL_STREAM_ID_BASE,
+):
+    """Start an availableNow stream folding each micro-batch's values of
+    ``col`` into the persisted HLL register table at ``catalog_root``.
+    Returns the StreamingQuery (caller awaits termination). Query the
+    current estimate any time with :func:`current_estimate`.
+
+    Scale shape per batch: one scan of the batch, one (register)-keyed
+    shuffle bounded by m = 2^p rows, a max-merge against an m-row-max
+    stored table, one m-row rewrite commit. Nothing is ever proportional
+    to the number of distinct keys.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cat = SnapshotCatalog(batch_df.sparkSession, catalog_root)
+        sid = base_id + batch_id
+        try:
+            cat.snapshot(sid)
+            exists = True
+        except FileNotFoundError:
+            exists = False
+        if exists:
+            if any(s.snapshot_id == sid for s in cat.lineage()):
+                return  # replayed batch: already durably committed
+            os.remove(
+                os.path.join(catalog_root, "manifests", f"snap-{sid}.json")
+            )
+        delta = hll_registers(batch_df, col, p)
+        try:
+            prev = cat.read_table(REGISTER_TABLE)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("register")
+                .agg(F.max("rank").alias("rank"))
+            )
+        except Exception:  # first batch: no table yet
+            merged = delta
+        cat.commit(
+            sid,
+            tables={REGISTER_TABLE: merged},  # m-row-max rewrite
+            counters={"hll_stream_batch": batch_id},
+            output_partitions=1,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def current_estimate(spark, catalog_root: str, p: int = DEFAULT_P) -> float:
+    """Cardinality estimate from the persisted register table as of the
+    newest committed snapshot (O(2^p) driver state, same estimator as
+    operators/hll.py)."""
+    from ..operators.hll import hll_estimate
+
+    cat = SnapshotCatalog(spark, catalog_root)
+    return hll_estimate(cat.read_table(REGISTER_TABLE), p)

@@ -453,3 +453,66 @@ def test_stream_to_catalog_orphan_manifest_recovery(spark, tmp_path):
     ).awaitTermination()
     assert cat.read_table("pages_raw").count() == len(_BATCH1)
     assert cat.snapshot(STREAM_ID_BASE).counters.get("orphan") is None
+
+
+def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
+    """Streaming cardinality (streaming/cardinality.py): folding the files
+    through the exactly-once HLL sink, one micro-batch per file, must
+    yield the IDENTICAL register table as one batch hll_registers over
+    the union — the end-to-end proof of the sketch's merge algebra — and
+    the estimate must track the exact distinct-url count. A re-run with
+    nothing new commits nothing; a replay from a fresh checkpoint cannot
+    corrupt the registers (max-merge + snapshot-id dedup)."""
+    from news_crawler_slm_spark.operators.hll import hll_estimate, hll_registers
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+    from news_crawler_slm_spark.streaming.cardinality import (
+        REGISTER_TABLE,
+        current_estimate,
+        stream_hll_registers,
+    )
+
+    src = str(tmp_path / "pages")
+    root = str(tmp_path / "hll_cat")
+    ckpt = str(tmp_path / "hll_ckpt")
+    _write_pages(spark, src, _BATCH1)
+    _write_pages(spark, src, _BATCH2)
+
+    stream = pages_stream(spark, src).drop("html")
+    stream_hll_registers(stream, root, ckpt, "url").awaitTermination()
+
+    cat = SnapshotCatalog(spark, root)
+    got = {
+        (r["register"], r["rank"])
+        for r in cat.read_table(REGISTER_TABLE).collect()
+    }
+    batch = spark.createDataFrame(_BATCH1 + _BATCH2, schemas.PAGES)
+    want = {
+        (r["register"], r["rank"])
+        for r in hll_registers(batch, "url").collect()
+    }
+    assert got == want
+
+    exact = len({r[0] for r in _BATCH1 + _BATCH2})
+    est = current_estimate(spark, root)
+    assert est == hll_estimate(cat.read_table(REGISTER_TABLE))
+    # tiny cardinality: linear counting is near-exact
+    assert abs(est - exact) / exact < 0.05
+
+    # drained stream: nothing new, nothing committed
+    before = cat.current_snapshot_id()
+    stream_hll_registers(
+        pages_stream(spark, src).drop("html"), root, ckpt, "url"
+    ).awaitTermination()
+    assert cat.current_snapshot_id() == before
+
+    # fresh checkpoint replays everything as batch 0: snapshot-id dedup
+    # skips it and the registers are unchanged
+    ckpt2 = str(tmp_path / "hll_ckpt2")
+    stream_hll_registers(
+        pages_stream(spark, src).drop("html"), root, ckpt2, "url"
+    ).awaitTermination()
+    got2 = {
+        (r["register"], r["rank"])
+        for r in cat.read_table(REGISTER_TABLE).collect()
+    }
+    assert got2 == want

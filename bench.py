@@ -100,9 +100,13 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "composite_quality_gate",
     "stupid_backoff_scores",
-    # r05 addition: BM25 — same pruned-explode shape as tfidf_search plus
-    # the per-doc length normalization riding the scan
+    # r05 additions: BM25 (same pruned-explode shape as tfidf_search plus
+    # the per-doc length normalization riding the scan) and the two
+    # cardinality/frequency sketches whose shuffles are bounded by sketch
+    # width, not key universe — their numbers should track scan throughput
     "bm25_search",
+    "hll_distinct_tokens",
+    "cms_token_frequency",
 ]
 
 

@@ -112,9 +112,10 @@ _DRIVER_FIRST = [
 # free slots; full oracle verified by scripts/driver_sim.py and
 # tests/test_plans.py meanwhile), then the r04-checked tail
 # (CORRECTNESS_r04's 42 green rows) due back by the two-round rule —
-# ~43 due slots, so keep r06 additions ≤ 6. hll_distinct_tokens and
-# cms_token_frequency (also new in r05, full oracles, same middle
-# placement) join bm25_search at the head of the r06 front.
+# ~43 due slots, so keep r06 additions ≤ 6. hll_distinct_tokens,
+# cms_token_frequency and weighted_sample_by_source (also new in r05,
+# full oracles, same middle placement) join bm25_search at the head of
+# the r06 front.
 
 # Round 5 tail: the r04-checked set (fresh r04 hash-green rows, all also
 # value-checked every run by tests/test_plans.py), then — pinned

@@ -876,3 +876,68 @@ def distilled_quality_classifier(spark, sf_dir):
             ((F.sum("lr_micro") + F.max("prior_micro")) > 0).alias("pred_keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_by_source
+# ---------------------------------------------------------------------------
+
+_WSG_K = 5
+
+_WSG_ORACLE = rf"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS weight,
+             ({knuth_shuffle_key_sql("doc_id")} + 1) / {_M32_D} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight, ln(u) / weight AS es_key FROM w
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, doc_id, weight FROM r WHERE rn <= {_WSG_K}
+"""
+
+
+@register("weighted_sample_by_source", _WSG_ORACLE)
+def weighted_sample_by_source(spark, sf_dir, k: int = _WSG_K):
+    """PER-GROUP weighted sampling without replacement: A-ES
+    (Efraimidis & Spirakis 2006) inside each source — k docs per source
+    with inclusion probability proportional to token count. The mixture
+    builder's per-domain complement to the global ``weighted_sample`` and
+    the uniform-quota ``stratified_sample``: "give me 10k
+    length-weighted docs from EVERY domain" is how curated mixtures
+    (C4-style per-source balancing with length bias) are actually drawn.
+
+    Determinism: identical u/es_key algebra as weighted_sample (dyadic
+    knuth uniform, log-domain key, doc_id tiebreak) — same cross-engine
+    bit-exactness argument.
+
+    Scale shape: one codegen projection, then ONE shuffle on source into
+    a per-group window rank — per-group top-k never sorts globally. At
+    very hot groups (a source owning half the corpus) the swap is
+    ``operators/rank.py:with_group_rank`` (global rank − broadcast group
+    minimum), the same documented scale path as CCNet's tertiles; the
+    window form is the driver-checked default because the gate corpus
+    has 20 uniform sources.
+    """
+    d = _t(spark, sf_dir, "documents")
+    weight = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    u = (knuth_shuffle_key(F.col("doc_id")) + F.lit(1)) / F.lit(_M32_D)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        weight.alias("weight"),
+        (F.log(u) / weight).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("source", "doc_id", "weight")
+    )

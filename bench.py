@@ -33,6 +33,11 @@ import tempfile
 import time
 
 from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import percentile_approx as F_percentile_approx
+from pyspark.sql.functions import size as F_size
+from pyspark.sql.functions import split as F_split
+from pyspark.sql.functions import sum as F_sum
+from pyspark.sql.functions import trim as F_trim
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -247,6 +252,79 @@ def bench_bucketed(spark) -> dict:
         spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
 
 
+def bench_quantile_pair(spark) -> dict:
+    """Exact-vs-sketch quantile pair: the EXACT value-at-position quantiles
+    (operators/rank.py — two passes over the sort key) against
+    percentile_approx (Spark's single-pass mergeable Greenwald-Khanna-style
+    sketch — at 100 TB the one-shuffle path when rank-error tolerance is
+    acceptable), same probabilities, interleaved best-of-QUERY_REPEATS.
+    Also measures the sketch's actual worst-case RANK error against the
+    bound it promises (error <= 1/accuracy of the true rank fraction) —
+    a bench leg that times an approximation without checking it would be
+    measuring garbage speed."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    accuracy = 10000
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tc = docs.select(
+        F_col("doc_id"),
+        F_size(F_split(F_trim(F_col("text")), r"\s+")).alias("tc"),
+    )
+    exact_df = REGISTRY["token_count_quantiles"][0](spark, SF_DIR)
+    approx_df = tc.agg(
+        F_percentile_approx("tc", probs, accuracy).alias("qs")
+    )
+    variants = {"exact": exact_df, "approx_gk": approx_df}
+    for df in variants.values():  # warm-up
+        _run_to_noop(df)
+    best = {k: float("inf") for k in variants}
+    for _ in range(QUERY_REPEATS):
+        for name, df in variants.items():
+            t0 = time.monotonic()
+            _run_to_noop(df)
+            best[name] = min(best[name], time.monotonic() - t0)
+
+    # measured rank error of each approx value vs its target quantile.
+    # A returned VALUE occupies the whole rank interval
+    # [count(< v) + 1, count(<= v)] when the column has ties (token counts
+    # are massively tied), so the sketch's promise is that the TARGET rank
+    # falls within that interval ± n/accuracy — measuring against either
+    # endpoint alone would report the tie-run width as sketch error.
+    vals = approx_df.collect()[0]["qs"]
+    import math as _math
+
+    n = tc.count()
+    ranks = tc.agg(
+        *[
+            agg
+            for i, v in enumerate(vals)
+            for agg in (
+                F_sum((F_col("tc") < int(v)).cast("long")).alias(f"lt{i}"),
+                F_sum((F_col("tc") <= int(v)).cast("long")).alias(f"le{i}"),
+            )
+        ]
+    ).collect()[0]
+
+    def rank_err(i, p):
+        lo, hi = ranks[f"lt{i}"] + 1, ranks[f"le{i}"]
+        target = _math.ceil(p * n)
+        if lo <= target <= hi:
+            return 0.0
+        return min(abs(target - lo), abs(target - hi)) / n
+
+    max_rank_err = max(rank_err(i, p) for i, p in enumerate(probs))
+    return {
+        "probs": probs,
+        "exact_s": round(best["exact"], 4),
+        "approx_gk_s": round(best["approx_gk"], 4),
+        "speedup": round(best["exact"] / best["approx_gk"], 3),
+        "accuracy": accuracy,
+        "max_rank_error": round(max_rank_err, 6),
+        "rank_error_bound_met": max_rank_err <= 1.0 / accuracy + 1.0 / n,
+    }
+
+
 def _drain_and_stop(spark) -> None:
     """Stop a session without the late-accumulator stack trace: jobs that
     short-circuit (limit/take) leave canceled straggler tasks whose
@@ -373,6 +451,12 @@ def main() -> None:
             bucketed = bench_bucketed(spark)
         except Exception as exc:  # noqa: BLE001
             errors["bucketed"] = f"{type(exc).__name__}: {exc}"[:300]
+    quantile_pair = None
+    if os.environ.get("SPARK_GRAFT_BENCH_QUANTILES", "1") != "0":
+        try:
+            quantile_pair = bench_quantile_pair(spark)
+        except Exception as exc:  # noqa: BLE001
+            errors["quantile_pair"] = f"{type(exc).__name__}: {exc}"[:300]
     crawl_full = {"pages_per_sec": None, "steady_pages_per_sec": None,
                   "pop_latency_s": None}
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
@@ -480,6 +564,7 @@ def main() -> None:
         "scaling": scaling,
         "round_size_scaling": round_size_scaling,
         "bucketed_join": bucketed,
+        "quantile_pair": quantile_pair,
         "errors": errors or None,
     }
     print(json.dumps(result))

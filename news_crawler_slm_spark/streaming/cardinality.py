@@ -76,13 +76,14 @@ def stream_hll_registers(
         delta = hll_registers(batch_df, col, p)
         try:
             prev = cat.read_table(REGISTER_TABLE)
+        except (KeyError, FileNotFoundError):  # first batch: no table yet
+            merged = delta
+        else:
             merged = (
                 prev.unionByName(delta)
                 .groupBy("register")
                 .agg(F.max("rank").alias("rank"))
             )
-        except Exception:  # first batch: no table yet
-            merged = delta
         cat.commit(
             sid,
             tables={REGISTER_TABLE: merged},  # m-row-max rewrite

@@ -55,20 +55,19 @@ def _mh_params() -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) LSH band rows for ``docs`` (doc_id, text):
-    3-gram shingles -> ONE 60-bit cross-engine base hash per shingle
-    (md5_long, functions/hashing.py — bit-identical in Spark/DuckDB/
-    Python, which is what gives the batch query a full driver value
-    oracle) -> 16 linear-permutation minhashes (a_i·h+b_i mod P) -> 4
-    bands x 4 rows, bucket = md5_long of the band's '|'-joined signature
-    slice. The single sketching core shared by the batch query
-    (plans/catalog_dedup.py:minhash_lsh_candidates) and this incremental
-    index — one definition, so index and batch can never drift."""
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) minwise signatures for ``docs`` (doc_id, text):
+    3-gram shingles -> ONE 60-bit cross-engine base hash per distinct
+    shingle (md5_long, functions/hashing.py — bit-identical in Spark/
+    DuckDB/Python, which is what gives the batch queries full driver
+    value oracles) -> 16 linear-permutation minhashes (a_i·h+b_i mod P,
+    Broder's minwise family). Shared by ``minhash_bands`` (LSH banding)
+    and the signature-Jaccard estimator
+    (plans/catalog_dedup.py:minhash_jaccard_estimates) — one definition,
+    so banding and estimation can never drift."""
     from ..functions.hashing import md5_long
     from ..plans.catalog import word_windows, ws_normalize
 
-    rows_per_band = _N_HASHES // _BANDS
     mh_a, mh_b = _mh_params()
     toks = docs.select("doc_id", ws_normalize(F.col("text")).alias("norm"))
     grams = (
@@ -78,7 +77,7 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     hb = grams.select(
         "doc_id", (md5_long(F.col("g")) % F.lit(_MH_P)).alias("hb")
     )
-    sigs = hb.groupBy("doc_id").agg(
+    return hb.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(mh_a[i]) * F.col("hb") + F.lit(mh_b[i])) % F.lit(_MH_P)
@@ -86,6 +85,19 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows for ``docs`` (doc_id, text):
+    ``minhash_signatures`` -> 4 bands x 4 rows, bucket = md5_long of the
+    band's '|'-joined signature slice. The single sketching core shared
+    by the batch query (plans/catalog_dedup.py:minhash_lsh_candidates)
+    and the incremental index — one definition, so index and batch can
+    never drift."""
+    from ..functions.hashing import md5_long
+
+    rows_per_band = _N_HASHES // _BANDS
+    sigs = minhash_signatures(docs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -32,7 +32,62 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "with_group_rank"]
+__all__ = ["with_global_rank", "with_group_rank", "grouped_row_number"]
+
+# A group above this many rows stops fitting comfortably in one task's
+# window sort and dispatches to the distributed form — same order of
+# magnitude as the frontier's attach_seq gate (crawl/frontier.py:
+# SEQ_RANK_THRESHOLD), the engine's standing size-aware dispatch pattern.
+GROUP_RANK_THRESHOLD = 65536
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    out_col: str = "rn",
+    threshold: int | None = None,
+    max_group_rows: int | None = None,
+) -> DataFrame:
+    """Size-aware per-group ``row_number`` (1-based, so drop-in for
+    ``row_number() OVER (PARTITION BY g ORDER BY ...)``): the window form
+    when every group fits one task's sort, ``with_group_rank`` (global
+    range rank minus broadcast per-group minimum) when any group is
+    data-sized — a single dominant source/language must not funnel the
+    whole corpus through one task.
+
+    The gate: ``max_group_rows`` if the caller already knows it (the
+    attach_seq pattern — frontier bookkeeping knows the popped count),
+    else ONE probe aggregation (groupBy(g).count().max() — map-side
+    partials, O(|groups|) shuffle, 1-row collect; the same O(|groups|)
+    state the distributed path's broadcast minimum needs anyway).
+
+    ``order`` must total-order within groups (include a unique
+    tiebreaker) — both paths then produce identical values; the planted
+    90%-one-group test in tests/test_text_ops.py pins window ≡
+    distributed equality above and below the gate.
+
+    ``threshold`` defaults to the module-level GROUP_RANK_THRESHOLD at
+    CALL time (not def time) so tests can lower the gate and drive the
+    registered queries down the distributed path on small corpora.
+    """
+    if threshold is None:
+        threshold = GROUP_RANK_THRESHOLD
+    if max_group_rows is None:
+        row = (
+            df.groupBy(*group_cols)
+            .agg(F.count("*").alias("__n"))
+            .agg(F.max("__n").alias("__m"))
+            .collect()[0]
+        )
+        max_group_rows = row["__m"] or 0
+    if max_group_rows <= threshold:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return df.withColumn(out_col, F.row_number().over(w).cast("long"))
+    ranked = with_group_rank(df, group_cols, order, out_col="__gr0")
+    return ranked.withColumn(out_col, (F.col("__gr0") + 1).cast("long")).drop(
+        "__gr0"
+    )
 
 
 def with_global_rank(

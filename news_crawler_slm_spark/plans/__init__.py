@@ -44,21 +44,86 @@ from . import (  # noqa: F401
 )
 from .catalog import REGISTRY  # noqa: F401
 
-# Round 5 front (exactly 50): the six queries whose semantics/output
-# changed this round (token_postings array_join house-rule fix; the five
-# sketch queries re-keyed on cross-engine md5_long — fresh rows must prove
-# the change), then the 45 queries displaced past the cap by the r04
-# front, per the two-round rule — with image_resize_stub (a guaranteed
-# no_oracle row, r03 proved it) swapped out for dedup_survivors_count so
-# no slot is spent on a row that cannot go green.
+# Round 6 front (exactly 50): the four r05-new queries that never got a
+# driver row (the r05 window was fully consumed by the 6 changed queries
+# + 44 due rotations — full oracles verified meanwhile by
+# scripts/driver_sim.py and tests/test_plans.py), the r06-new
+# production-shape sketch probes (no exact-answer branch in the plan),
+# then the 42 r04-green queries due back by the two-round rule. The two
+# r06-changed queries (weighted_sample_by_source, ccnet_perplexity_buckets
+# — size-aware hot-group rank dispatch) are already inside this window.
 _DRIVER_FIRST = [
-    "token_postings",  # r05 fix: postings now array_join'd (house rule)
-    "doc_fingerprints",  # r05: re-keyed md5_long, first-ever full oracle
-    "simhash_fingerprints",  # r05: re-keyed md5_long, first-ever full oracle
-    "simhash_neardup_pairs",  # r05: re-keyed md5_long, first-ever full oracle
-    "minhash_lsh_candidates",  # r05: re-keyed md5_long, first-ever full oracle
-    "ann_lsh_topk",  # r05: md5-derived hyperplanes, first-ever full oracle
-    # --- the 45 r03-green tail, due by the two-round rule (minus 1) ---
+    "bm25_search",  # new r05, never driver-checked
+    "hll_distinct_tokens",  # new r05, never driver-checked
+    "cms_token_frequency",  # new r05, never driver-checked
+    "weighted_sample_by_source",  # new r05, never checked; r06: auto-gated rank
+    "hll_distinct_tokens_probe",  # new r06: production shape, no exact branch
+    "cms_token_frequency_probe",  # new r06: production shape, no exact branch
+    "hll_distinct_tokens_by_source",  # new r06: grouped HLL, full oracle
+    "minhash_jaccard_estimates",  # new r06: signature-based estimate, full oracle
+    # --- the 42 r04-green queries, due by the two-round rule ---
+    "stratified_sample",
+    "ccnet_perplexity_buckets",  # r06: auto-gated hot-group rank dispatch
+    "dsir_importance_weights",
+    "bpe_pair_counts",
+    "dup_line_stats",
+    "composite_quality_gate",
+    "stupid_backoff_scores",
+    "weighted_sample",
+    "dsir_resample",
+    "corpus_datacard",
+    "distilled_quality_classifier",
+    "gopher_quality_flags",
+    "top_ngram_char_fraction",
+    "c4_line_filter",
+    "tfidf_search",
+    "token_count_quantiles",
+    "dup_ngram_char_fraction",
+    "events_sliding_counts",
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "bigram_perplexity",
+    "unicode_normalize",
+    "nb_lang_classifier",
+    "ngram_jaccard_pairs",
+    "langid_heuristic",
+    "unigram_perplexity",
+    "count_per_source",
+    "lang_distribution",
+    "token_count_distribution",
+    "max_tokens_with_ties",
+    "count_over_limit",
+    "value_histogram_fd",
+    "distinct_sources",
+    "split_sizes",
+    "shrink_first_n",
+    "source_ordinals",
+    "complete_sources",
+    "prompt_format",
+    "sample_inspector",
+    "repetition_rejects",
+    "token_stats_summary",
+    "value_stats_pop",
+]
+
+# NOTE (r06): front = 4 never-checked r05 queries + 4 r06-new + the 42
+# r04-green due rotations — exactly 50. The 50 r05-green queries
+# (CORRECTNESS_r05) are due back in r07 by the two-round rule; they fill
+# the whole r07 window, so keep r07 additions at ~0 or swap them in for
+# the most stable simple aggregations.
+
+# Round 6 tail: the r05-checked set (fresh r05 hash-green rows, all also
+# value-checked every run by tests/test_plans.py), then — pinned
+# PERMANENTLY last — the queries whose driver row is a guaranteed
+# no_oracle err (learned k-means cells; value oracles are numpy/python
+# twins in tests/test_similarity.py / test_dedup.py / test_multimodal.py).
+_DRIVER_LAST = [
+    "token_postings",
+    "doc_fingerprints",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "minhash_lsh_candidates",
+    "ann_lsh_topk",
     "prf1_rollup",
     "value_histogram",
     "split_assign",
@@ -103,66 +168,6 @@ _DRIVER_FIRST = [
     "frame_sample_stats",
     "audio_duration_by_lang",
     "q5_local_supplier_volume",
-]
-
-# NOTE (r05): the front window is exactly 50 — the 6 r05-changed queries
-# + 44 of the 45 due r03-green queries (image_resize_stub swapped out for
-# dedup_survivors_count). The r06 front MUST lead with: bm25_search (new
-# in r05, never driver-checked — sits in the middle because r05 had zero
-# free slots; full oracle verified by scripts/driver_sim.py and
-# tests/test_plans.py meanwhile), then the r04-checked tail
-# (CORRECTNESS_r04's 42 green rows) due back by the two-round rule —
-# ~43 due slots, so keep r06 additions ≤ 6. hll_distinct_tokens,
-# cms_token_frequency and weighted_sample_by_source (also new in r05,
-# full oracles, same middle placement) join bm25_search at the head of
-# the r06 front.
-
-# Round 5 tail: the r04-checked set (fresh r04 hash-green rows, all also
-# value-checked every run by tests/test_plans.py), then — pinned
-# PERMANENTLY last — the two learned-cell queries whose driver row is a
-# guaranteed no_oracle err (value oracles: numpy twins in
-# tests/test_similarity.py / test_dedup.py).
-_DRIVER_LAST = [
-    "stratified_sample",
-    "ccnet_perplexity_buckets",
-    "dsir_importance_weights",
-    "bpe_pair_counts",
-    "dup_line_stats",
-    "composite_quality_gate",
-    "stupid_backoff_scores",
-    "weighted_sample",
-    "dsir_resample",
-    "corpus_datacard",
-    "distilled_quality_classifier",
-    "gopher_quality_flags",
-    "top_ngram_char_fraction",
-    "c4_line_filter",
-    "tfidf_search",
-    "token_count_quantiles",
-    "dup_ngram_char_fraction",
-    "events_sliding_counts",
-    "substring_dup_stats",
-    "substring_dedup_clean",
-    "bigram_perplexity",
-    "unicode_normalize",
-    "nb_lang_classifier",
-    "ngram_jaccard_pairs",
-    "langid_heuristic",
-    "unigram_perplexity",
-    "count_per_source",
-    "lang_distribution",
-    "token_count_distribution",
-    "max_tokens_with_ties",
-    "count_over_limit",
-    "value_histogram_fd",
-    "distinct_sources",
-    "split_sizes",
-    "shrink_first_n",
-    "source_ordinals",
-    "complete_sources",
-    "prompt_format",
-    "sample_inspector",
-    "repetition_rejects",
     # permanently past the cap: guaranteed no_oracle driver rows
     # (learned k-means cells; the codec-less multimodal stub)
     "semdedup_prune",

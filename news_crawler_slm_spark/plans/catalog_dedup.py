@@ -164,11 +164,13 @@ def ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 64):
     )
 
 
-def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
-    """DuckDB twin of minhash_bands + the capped band-bucket self-join —
-    the same ONE md5_long base hash per distinct 3-gram shingle, the same
-    16 linear permutations (a_i·h+b_i mod P), the same '|'-joined band
-    buckets, the same over-cap drop."""
+def _minhash_cte(bucket_cap: int = 64) -> str:
+    """Reusable DuckDB CTE chain (t → g0 → hb → sig → banded → ok →
+    capped) — the oracle twin of minhash_signatures + minhash_bands + the
+    over-cap drop: the same ONE md5_long base hash per distinct 3-gram
+    shingle, the same 16 linear permutations (a_i·h+b_i mod P), the same
+    '|'-joined band buckets. Shared by the candidate-pair oracle and the
+    signature-Jaccard oracle so the twins can never drift."""
     from ..operators.incremental_dedup import _MH_P, _mh_params
 
     mh_a, mh_b = _mh_params()
@@ -187,8 +189,7 @@ def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
         )
         for b in range(4)
     )
-    return rf"""
-    WITH t AS (
+    return rf"""t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
     ),
@@ -216,7 +217,13 @@ def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
       SELECT band, bucket FROM banded GROUP BY band, bucket
       HAVING count(*) <= {bucket_cap}
     ),
-    capped AS (SELECT b.* FROM banded b JOIN ok USING (band, bucket))
+    capped AS (SELECT b.* FROM banded b JOIN ok USING (band, bucket))"""
+
+
+def _minhash_oracle_sql(bucket_cap: int = 64) -> str:
+    """DuckDB twin of minhash_bands + the capped band-bucket self-join."""
+    return rf"""
+    WITH {_minhash_cte(bucket_cap)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM capped a JOIN capped b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -1523,46 +1530,122 @@ def semdedup_prune(spark, sf_dir, k_cells: int = 10, tau: float = 0.7):
 _HLL_P = 12  # m = 4096 registers: standard error ~1.6%
 
 
-def _hll_oracle_sql(p: int = _HLL_P) -> str:
+def _hll_oracle_sql(
+    p: int = _HLL_P, include_exact: bool = True, key: str | None = None
+) -> str:
+    """DuckDB twin of the cross-engine HLL estimate over the lowercased
+    whitespace token stream — optionally carrying the exact
+    count(DISTINCT) branch (the self-evaluating form) and optionally
+    grouped by a documents column ``key`` (the per-group form)."""
     m = 1 << p
     wbits = 60 - p
     maxrank = wbits + 1
     alpha_c = repr(0.7213 / (1 + 1.079 / m) * m * m * float(1 << maxrank))
+    k = f"{key}, " if key else ""
+    kgrp = f"GROUP BY {key}" if key else ""
+    exact_cte = (
+        f""",
+    exact AS (SELECT {k}CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+              FROM toks {kgrp})"""
+        if include_exact
+        else ""
+    )
+    exact_col = "exact.n_exact," if include_exact else ""
+    exact_from = (
+        (f"JOIN exact USING ({key})" if key else ", exact") if include_exact else ""
+    )
     return rf"""
     WITH toks AS (
-      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      SELECT {k}unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
       FROM documents
     ),
-    h AS (SELECT {md5_long_duck('tok')} AS h FROM toks),
+    h AS (SELECT {k}{md5_long_duck('tok')} AS h FROM toks),
     reg AS (
-      SELECT h & {m - 1} AS register,
+      SELECT {k}h & {m - 1} AS register,
              max(CASE WHEN (h >> {p}) = 0 THEN {maxrank}
                       ELSE {wbits} - length(bin(h >> {p})) + 1 END) AS rank
-      FROM h GROUP BY register
+      FROM h GROUP BY {k}register
     ),
     agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS nonzero,
+      SELECT {k}CAST(count(*) AS BIGINT) AS nonzero,
              CAST(sum(CAST(1 AS BIGINT) << ({maxrank} - rank)) AS BIGINT)
                AS s_touched
-      FROM reg
+      FROM reg {kgrp}
     ),
     est AS (
-      SELECT nonzero,
+      SELECT {k}nonzero,
              {m} - nonzero AS zeros,
              {alpha_c}
                / CAST(s_touched
                       + ({m} - nonzero) * (CAST(1 AS BIGINT) << {maxrank})
                       AS DOUBLE) AS raw
       FROM agg
-    ),
-    exact AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_exact FROM toks)
-    SELECT exact.n_exact,
+    ){exact_cte}
+    SELECT {'est.' + key + ',' if key else ''} {exact_col}
            est.nonzero AS registers_touched,
            round(CASE WHEN est.raw <= {2.5 * m} AND est.zeros > 0
                       THEN {float(m)} * ln(CAST({m} AS DOUBLE) / est.zeros)
                       ELSE est.raw END, 6) AS hll_estimate
-    FROM est, exact
+    FROM est {exact_from}
     """
+
+
+def _hll_token_hashes(spark, sf_dir, keys=()):
+    """(keys..., h) — md5_long over the lowercased whitespace token
+    stream; the shared scan for every HLL variant."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        *keys,
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return toks.select(*keys, md5_long(F.col("tok")).alias("h")), toks
+
+
+def _hll_estimate(hh, p, keys=()):
+    """Fold (keys..., h) down to (keys..., registers_touched,
+    hll_estimate): register = low p bits, rank = LZC of the remaining
+    bits + 1, exact-BIGINT harmonic sum, linear-counting branch. The
+    shuffle carries at most m = 2^p rows per (key, mapper) — never the
+    token universe."""
+    m = 1 << p
+    wbits = 60 - p
+    maxrank = wbits + 1
+    alpha_c = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << maxrank)
+    w = F.shiftrightunsigned(F.col("h"), p)
+    rank = (
+        F.when(w == 0, F.lit(maxrank))
+        .otherwise(F.lit(wbits) - F.length(F.bin(w)) + F.lit(1))
+    )
+    reg = (
+        hh.select(
+            *keys,
+            F.col("h").bitwiseAND(F.lit(m - 1)).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy(*keys, "register")
+        .agg(F.max("rank").alias("rank"))
+    )
+    agg = reg.groupBy(*keys).agg(
+        F.count("*").alias("nonzero"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrank} - rank)")
+        ).alias("s_touched"),
+    )
+    zeros = F.lit(m) - F.col("nonzero")
+    s_full = (
+        F.col("s_touched")
+        + zeros.cast("long") * F.lit(1 << maxrank).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha_c) / s_full
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return agg.select(
+        *keys,
+        F.col("nonzero").alias("registers_touched"),
+        F.round(
+            F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw),
+            6,
+        ).alias("hll_estimate"),
+    )
 
 
 @register("hll_distinct_tokens", _hll_oracle_sql())
@@ -1586,55 +1669,55 @@ def hll_distinct_tokens(spark, sf_dir, p: int = _HLL_P):
     partial max — the shuffle carries at most m = 4096 rows per mapper,
     NOT the token universe; the final agg is 1 row. The n_exact column
     (a real countDistinct, a full shuffle of the vocabulary) exists so
-    the query doubles as its own accuracy evaluation — a production
-    cardinality probe at 100 TB drops that branch and keeps the sketch.
+    the query doubles as its own accuracy evaluation — the production
+    probe WITHOUT that branch is registered as `hll_distinct_tokens_probe`
+    (plan-shape-pinned: no distinct-aggregate Exchange).
     """
-    m = 1 << p
-    wbits = 60 - p
-    maxrank = wbits + 1
-    alpha_c = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << maxrank)
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
-    )
-    hh = toks.select(md5_long(F.col("tok")).alias("h"))
-    w = F.shiftrightunsigned(F.col("h"), p)
-    rank = (
-        F.when(w == 0, F.lit(maxrank))
-        .otherwise(F.lit(wbits) - F.length(F.bin(w)) + F.lit(1))
-    )
-    reg = (
-        hh.select(
-            F.col("h").bitwiseAND(F.lit(m - 1)).alias("register"),
-            rank.alias("rank"),
-        )
-        .groupBy("register")
-        .agg(F.max("rank").alias("rank"))
-    )
-    agg = reg.agg(
-        F.count("*").alias("nonzero"),
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {maxrank} - rank)")
-        ).alias("s_touched"),
-    )
-    zeros = F.lit(m) - F.col("nonzero")
-    s_full = (
-        F.col("s_touched")
-        + zeros.cast("long") * F.lit(1 << maxrank).cast("long")
-    ).cast("double")
-    raw = F.lit(alpha_c) / s_full
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    hh, toks = _hll_token_hashes(spark, sf_dir)
+    est = _hll_estimate(hh, p)
     exact = toks.agg(F.count_distinct("tok").alias("n_exact"))
-    return (
-        agg.crossJoin(F.broadcast(exact))
-        .select(
-            "n_exact",
-            F.col("nonzero").alias("registers_touched"),
-            F.round(
-                F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw),
-                6,
-            ).alias("hll_estimate"),
-        )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_exact", "registers_touched", "hll_estimate"
+    )
+
+
+@register(
+    "hll_distinct_tokens_probe", _hll_oracle_sql(include_exact=False)
+)
+def hll_distinct_tokens_probe(spark, sf_dir, p: int = _HLL_P):
+    """The PRODUCTION shape of `hll_distinct_tokens`: the identical
+    register fold and estimator, with the exact count_distinct branch
+    dropped — this is the plan a 100 TB cardinality probe actually runs.
+    The whole job is one corpus scan whose only wide exchange carries at
+    most m = 4096 (register, rank) rows per mapper; there is NO
+    distinct-aggregate Exchange anywhere in the plan
+    (tests/test_plan_shapes.py pins that shape). Accuracy evidence lives in
+    the self-evaluating twin, which shares every expression via
+    _hll_token_hashes/_hll_estimate."""
+    hh, _ = _hll_token_hashes(spark, sf_dir)
+    return _hll_estimate(hh, p)
+
+
+@register(
+    "hll_distinct_tokens_by_source",
+    _hll_oracle_sql(include_exact=True, key="source"),
+)
+def hll_distinct_tokens_by_source(spark, sf_dir, p: int = _HLL_P):
+    """GROUPED HyperLogLog: per-source distinct-token estimates from one
+    scan — the per-host frontier-health shape (distinct URLs per host,
+    distinct tokens per publisher) that powers crawl monitoring at scale.
+    Same cross-engine register algebra as `hll_distinct_tokens`, keyed by
+    source: the shuffle is bounded by |sources| x m register rows with
+    map-side partial max, never the per-source token universe; the
+    grouped exact branch rides along as the accuracy column (at 100 TB
+    the probe form drops it, exactly as in the ungrouped pair).
+    Register-table form for streaming merges: streaming/cardinality.py
+    (hll_registers_by)."""
+    hh, toks = _hll_token_hashes(spark, sf_dir, keys=("source",))
+    est = _hll_estimate(hh, p, keys=("source",))
+    exact = toks.groupBy("source").agg(F.count_distinct("tok").alias("n_exact"))
+    return est.join(exact, "source").select(
+        "source", "n_exact", "registers_touched", "hll_estimate"
     )
 
 
@@ -1642,10 +1725,28 @@ _CMS_D, _CMS_W = 4, 2048
 _CMS_PROBES = ["spark", "window", "merge"]
 
 
-def _cms_oracle_sql(depth: int = _CMS_D, width: int = _CMS_W) -> str:
+def _cms_oracle_sql(
+    depth: int = _CMS_D, width: int = _CMS_W, include_exact: bool = True
+) -> str:
     probes = ", ".join(f"('{t}')" for t in _CMS_PROBES)
     h = md5_long_duck("tok || '#cms' || CAST(d AS VARCHAR)")
     hp = md5_long_duck("t || '#cms' || CAST(d AS VARCHAR)")
+    exact_cte = (
+        f""",
+    exact AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_exact
+      FROM toks WHERE tok IN (SELECT t FROM (VALUES {probes}) v(t))
+      GROUP BY tok
+    )"""
+        if include_exact
+        else ""
+    )
+    final = (
+        """SELECT est.token, exact.n_exact, est.cms_estimate
+    FROM est JOIN exact USING (token)"""
+        if include_exact
+        else "SELECT est.token, est.cms_estimate FROM est"
+    )
     return rf"""
     WITH toks AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
@@ -1664,14 +1765,8 @@ def _cms_oracle_sql(depth: int = _CMS_D, width: int = _CMS_W) -> str:
       SELECT p.t AS token, CAST(min(c.c) AS BIGINT) AS cms_estimate
       FROM probes p JOIN counts c ON p.d = c.d AND p.col = c.col
       GROUP BY p.t
-    ),
-    exact AS (
-      SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_exact
-      FROM toks WHERE tok IN (SELECT t FROM (VALUES {probes}) v(t))
-      GROUP BY tok
-    )
-    SELECT est.token, exact.n_exact, est.cms_estimate
-    FROM est JOIN exact USING (token)
+    ){exact_cte}
+    {final}
     """
 
 
@@ -1690,8 +1785,21 @@ def cms_token_frequency(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W)
     the (row, col) shuffle is bounded by d·w distinct keys TOTAL with
     map-side partial aggregation (never the token universe); probes are a
     d·|probe| literal dim, broadcast; the exact branch exists for the
-    accuracy story and drops out of the production probe path.
+    accuracy story — the production probe WITHOUT it is registered as
+    `cms_token_frequency_probe` (plan-shape-pinned).
     """
+    toks, est = _cms_estimates(spark, sf_dir, depth, width)
+    exact = (
+        toks.where(F.col("tok").isin(_CMS_PROBES))
+        .groupBy(F.col("tok").alias("token"))
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return est.join(exact, "token").select("token", "n_exact", "cms_estimate")
+
+
+def _cms_estimates(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W):
+    """(token stream, per-probe CMS estimates) — the shared core of the
+    self-evaluating query and the production probe."""
     d_t = _t(spark, sf_dir, "documents")
     toks = d_t.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
@@ -1720,9 +1828,154 @@ def cms_token_frequency(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W)
         .groupBy("token")
         .agg(F.min("c").alias("cms_estimate"))
     )
-    exact = (
-        toks.where(F.col("tok").isin(_CMS_PROBES))
-        .groupBy(F.col("tok").alias("token"))
-        .agg(F.count("*").alias("n_exact"))
+    return toks, est
+
+
+@register(
+    "cms_token_frequency_probe",
+    _cms_oracle_sql(include_exact=False),
+)
+def cms_token_frequency_probe(
+    spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W
+):
+    """The PRODUCTION shape of `cms_token_frequency`: identical cell
+    algebra and probe join, with the exact per-probe count branch
+    dropped — the plan a 100 TB frequency probe actually runs. One corpus
+    scan; the only wide exchange is the (row, col) cell aggregation
+    bounded by d·w keys with map-side partials; the probe dim is a
+    broadcast literal. No token-keyed Exchange anywhere
+    (tests/test_plan_shapes.py pins the shape). Accuracy evidence lives in
+    the self-evaluating twin, which shares every expression via
+    _cms_estimates."""
+    _, est = _cms_estimates(spark, sf_dir, depth, width)
+    return est.select("token", "cms_estimate")
+
+
+# ===========================================================================
+# Signature-Jaccard estimation (the sketch carrying its own error bar)
+# ===========================================================================
+
+
+def _minhash_jaccard_oracle_sql(bucket_cap: int = 64) -> str:
+    """DuckDB twin of minhash_jaccard_estimates: the shared minhash CTE
+    chain (_minhash_cte — identical hashes, permutations, banding, cap),
+    then per candidate pair the signature agreement count, the estimated
+    Jaccard (matches/16) and the exact Jaccard over the distinct 3-gram
+    shingle space."""
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16)
     )
-    return est.join(exact, "token").select("token", "n_exact", "cms_estimate")
+    return rf"""
+    WITH {_minhash_cte(bucket_cap)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    m AS (
+      SELECT p.doc_a, p.doc_b, CAST({matches} AS BIGINT) AS sig_matches
+      FROM pairs p
+      JOIN sig sa ON p.doc_a = sa.doc_id
+      JOIN sig sb ON p.doc_b = sb.doc_id
+    ),
+    cd AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+    cg AS (SELECT g0.doc_id, g0.g FROM g0 JOIN cd USING (doc_id)),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM cg GROUP BY doc_id),
+    isect AS (
+      SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS isect
+      FROM pairs p
+      JOIN cg a ON a.doc_id = p.doc_a
+      JOIN cg b ON b.doc_id = p.doc_b AND b.g = a.g
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.sig_matches,
+           round(CAST(m.sig_matches AS DOUBLE) / 16, 6) AS jaccard_est,
+           round(CAST(coalesce(i.isect, 0) AS DOUBLE)
+                 / CAST(za.sz + zb.sz - coalesce(i.isect, 0) AS DOUBLE), 6)
+             AS jaccard_exact
+    FROM m
+    LEFT JOIN isect i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN sz za ON za.doc_id = m.doc_a
+    JOIN sz zb ON zb.doc_id = m.doc_b
+    """
+
+
+@register("minhash_jaccard_estimates", _minhash_jaccard_oracle_sql())
+def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
+    """Per-candidate-pair Jaccard ESTIMATION from the minwise signatures,
+    with the exact shingle Jaccard alongside — the canonical LSH verify
+    stage (Broder 1997: P[h_min(A) = h_min(B)] = J(A,B), so the fraction
+    of agreeing signature components is an unbiased 16-sample estimate).
+    Output: (doc_a, doc_b, sig_matches, jaccard_est, jaccard_exact).
+
+    Scale shape — why this is the 100 TB verify plan: the exact-Jaccard
+    quadratic is confined to CANDIDATE pairs (the LSH-pruned set), never
+    the corpus; candidate docs are first semi-join-pruned before their
+    shingle sets are re-derived, so the shingle join keys on
+    (doc_id, gram) over candidate docs only. Signatures come from the
+    single shared sketching core (operators/incremental_dedup.py:
+    minhash_signatures — the same frame the banding consumes), so
+    estimate and candidate generation can never drift. Full DuckDB value
+    oracle via the shared _minhash_cte chain."""
+    from ..operators.incremental_dedup import minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_lsh_candidates(spark, sf_dir, bucket_cap)
+    sigs = minhash_signatures(docs)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int") for i in range(16)
+    )
+    with_sig = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", matches.cast("long").alias("sig_matches"))
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(word_windows(ws_normalize(F.col("text")), 3)).alias("g"),
+        )
+        .distinct()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # the candidate doc set is LSH-pruned — small by construction
+    cgrams = grams.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = cgrams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ga = cgrams.alias("ga")
+    gb = cgrams.alias("gb")
+    inter = (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(
+            gb,
+            (F.col("doc_b") == F.col("gb.doc_id"))
+            & (F.col("ga.g") == F.col("gb.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    isect = F.coalesce(F.col("isect"), F.lit(0)).cast("long")
+    jexact = isect.cast("double") / (
+        F.col("za.sz") + F.col("zb.sz") - isect
+    ).cast("double")
+    return (
+        with_sig.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            F.round(F.col("sig_matches").cast("double") / F.lit(16.0), 6).alias(
+                "jaccard_est"
+            ),
+            F.round(jexact, 6).alias("jaccard_exact"),
+        )
+    )

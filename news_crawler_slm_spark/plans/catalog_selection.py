@@ -51,6 +51,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import knuth_shuffle_key, knuth_shuffle_key_sql
+from ..operators.rank import grouped_row_number
 from .catalog import _t, register, word_windows, ws_normalize
 
 # ---------------------------------------------------------------------------
@@ -177,11 +178,13 @@ def ccnet_perplexity_buckets(spark, sf_dir):
 
     Scale shape: the dim is |vocab|·|langs| rows (Heaps-law small vs the
     corpus) — broadcast here, shuffle-join on (lang, tok) beyond broadcast
-    size. The tertile rank is a per-language window: CCNet's own design
-    shards the corpus per language, and the window carries only
-    (doc_id, lang, two ints) — not text; at 100 TB swap the window for
-    ``operators/rank.py:with_group_rank`` (range-partitioned per-group
-    rank, no one-task-per-language sort — window-equivalence tested).
+    size. The tertile rank is SIZE-AWARE (operators/rank.py:
+    grouped_row_number, r06): a per-language window while every language
+    fits one task — the window carries only (doc_id, lang, two ints), not
+    text — and the range-partitioned distributed rank (with_group_rank)
+    the moment one language outgrows a task, gated on the per-lang doc
+    counts the plan already aggregates. Window ≡ distributed equality is
+    pinned by the planted-skew test in tests/test_text_ops.py.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -204,11 +207,17 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("s"))
     )
     sized = per.groupBy("lang").agg(F.count("*").alias("lang_docs"))
-    w = Window.partitionBy("lang").orderBy(
-        F.desc(F.col("s").cast("double") / F.col("n_tokens")), "doc_id"
-    )
-    ranked = per.join(F.broadcast(sized), "lang").withColumn(
-        "rn", F.row_number().over(w)
+    # size-aware dispatch (r06): the per-lang doc counts are already on
+    # hand, so the gate costs one O(|langs|) collect — window rank while
+    # every language fits a task, range-partitioned distributed rank
+    # (with_group_rank) the moment one language dominates the corpus.
+    max_lang = sized.agg(F.max("lang_docs").alias("m")).collect()[0]["m"] or 0
+    ranked = grouped_row_number(
+        per.join(F.broadcast(sized), "lang"),
+        ["lang"],
+        [F.desc(F.col("s").cast("double") / F.col("n_tokens")), F.col("doc_id")],
+        out_col="rn",
+        max_group_rows=max_lang,
     )
     idx = F.floor(
         (F.lit(3) * (F.col("rn") - 1)) / F.col("lang_docs").cast("double")
@@ -918,13 +927,15 @@ def weighted_sample_by_source(spark, sf_dir, k: int = _WSG_K):
     knuth uniform, log-domain key, doc_id tiebreak) — same cross-engine
     bit-exactness argument.
 
-    Scale shape: one codegen projection, then ONE shuffle on source into
-    a per-group window rank — per-group top-k never sorts globally. At
-    very hot groups (a source owning half the corpus) the swap is
-    ``operators/rank.py:with_group_rank`` (global rank − broadcast group
-    minimum), the same documented scale path as CCNet's tertiles; the
-    window form is the driver-checked default because the gate corpus
-    has 20 uniform sources.
+    Scale shape: one codegen projection, then a SIZE-AWARE per-group
+    rank (operators/rank.py:grouped_row_number, r06): one shuffle on
+    source into a window rank while every source fits a task; the moment
+    one source dominates (the 90%-one-domain crawl), the same call
+    dispatches to with_group_rank — global range rank minus a broadcast
+    per-group minimum — so no single task ever sorts a data-sized group.
+    The gate is one O(|sources|) probe aggregation; equality of the two
+    paths above/below the gate is pinned by the planted-skew test in
+    tests/test_text_ops.py.
     """
     d = _t(spark, sf_dir, "documents")
     weight = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
@@ -935,9 +946,10 @@ def weighted_sample_by_source(spark, sf_dir, k: int = _WSG_K):
         weight.alias("weight"),
         (F.log(u) / weight).alias("es_key"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    ranked = grouped_row_number(
+        keyed, ["source"], [F.desc("es_key"), F.col("doc_id")], out_col="rn"
+    )
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        ranked.where(F.col("rn") <= k)
         .select("source", "doc_id", "weight")
     )

@@ -229,3 +229,37 @@ def test_composite_gate_fuses_projection_legs(spark):
         REGISTRY["composite_quality_gate"][0](spark, "/root/testdata/sf0.001")
     )
     assert plan.count("Scan parquet") == 4
+
+
+def test_hll_probe_has_no_token_exchange(spark):
+    """The production HLL probe must never shuffle the token universe:
+    its only exchanges carry register-shaped rows (<= 2^p per mapper).
+    The self-evaluating twin DOES carry a count_distinct(tok) branch —
+    the contrast this test pins."""
+    import re as _re
+
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    probe = REGISTRY["hll_distinct_tokens_probe"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(probe)
+    for ex in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "tok" not in ex.group(0), ex.group(0)
+    assert "distinct" not in plan.lower()
+    # the twin keeps the vocabulary shuffle (its accuracy branch)
+    full = _plan(REGISTRY["hll_distinct_tokens"][0](spark, "/root/testdata/sf0.001"))
+    assert "tok" in full
+
+
+def test_cms_probe_shuffles_only_cells(spark):
+    """The production CMS probe's only wide exchange is the (row, col)
+    cell aggregation (bounded by d*w keys): no Exchange carries the raw
+    token column, and the probe dim joins as a broadcast."""
+    import re as _re
+
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    probe = REGISTRY["cms_token_frequency_probe"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(probe)
+    for ex in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
+        assert "tok#" not in ex.group(0), ex.group(0)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -331,3 +331,67 @@ def test_nb_lang_classifier_learns_separable_vocab(spark, tmp_path):
     assert len(rows) == len(docs)
     truth = {d: l for d, _, l in docs}
     assert all(r["pred_lang"] == truth[d] and r["correct"] == 1 for d, r in rows.items())
+
+
+# ---------------------------------------------------------------------------
+# Size-aware per-group rank dispatch (operators/rank.py:grouped_row_number)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_groups(spark, n=1200, hot_frac=0.9):
+    """Planted 90%-one-group frame: ids 0..n-1, group 'hot' for the first
+    90%, the rest spread over 6 cold groups; value column de-correlated
+    from id so the rank order is non-trivial."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.functions.hashing import knuth_shuffle_key
+
+    hot = int(n * hot_frac)
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 6).cast("string")))
+        .alias("g"),
+        knuth_shuffle_key(F.col("id")).alias("v"),
+    )
+    return df
+
+
+def test_grouped_row_number_window_equals_distributed_on_planted_skew(spark):
+    """The two dispatch paths must produce IDENTICAL ranks on a planted
+    90%-one-group corpus: threshold above the hot group forces the window
+    form, threshold below forces the with_group_rank form."""
+    from pyspark.sql import functions as F
+
+    from news_crawler_slm_spark.operators.rank import grouped_row_number
+
+    df = _skewed_groups(spark)
+    order = [F.desc("v"), F.col("doc_id")]
+    via_window = grouped_row_number(df, ["g"], order, threshold=10**9)
+    via_dist = grouped_row_number(df, ["g"], order, threshold=100)
+    a = {(r["g"], r["doc_id"]): r["rn"] for r in via_window.collect()}
+    b = {(r["g"], r["doc_id"]): r["rn"] for r in via_dist.collect()}
+    assert a == b and len(a) == 1200
+    # the distributed path really is the range-partitioned plan, and the
+    # window path really is a hash-partitioned window — distinct shapes
+    dist_plan = via_dist._jdf.queryExecution().executedPlan().toString()
+    win_plan = via_window._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in dist_plan
+    assert "rangepartitioning" not in win_plan
+
+
+def test_hot_group_queries_dispatch_equal_results(spark, sf_dir, monkeypatch):
+    """The registered weighted_sample_by_source / ccnet_perplexity_buckets
+    must return bit-identical rows whichever side of the gate they run on:
+    lower the module threshold so the real queries take the distributed
+    path on the gate corpus, and compare to the window-path rows."""
+    import news_crawler_slm_spark.operators.rank as rank_mod
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    for name in ("weighted_sample_by_source", "ccnet_perplexity_buckets"):
+        fn = REGISTRY[name][0]
+        baseline = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        monkeypatch.setattr(rank_mod, "GROUP_RANK_THRESHOLD", 3)
+        forced = {tuple(r) for r in fn(spark, sf_dir).collect()}
+        monkeypatch.undo()
+        assert forced == baseline and len(baseline) > 0, name

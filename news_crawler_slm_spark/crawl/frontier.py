@@ -626,6 +626,11 @@ def reprioritize_frontier_pagerank(
     PageRank loop is the operator's two-shuffle-per-iteration plan; the
     blend joins the (nodes-sized) rank table to the frontier on url —
     co-keyed with the frontier's own url-keyed maintenance joins.
+
+    Cache contract: eager — the blended frontier is persisted and
+    materialized here, the PageRank cache is released before returning,
+    and the RETURNED frame is the single surviving cache (call
+    ``.unpersist()`` once the crawl adopts the new priorities).
     """
     from ..operators.pagerank import MICRO, pagerank
 
@@ -636,6 +641,8 @@ def reprioritize_frontier_pagerank(
         .select("src", U.canonical_url(F.col("raw")).alias("dst"))
         .where(is_fetchable_col(F.col("dst")))
     )
+    from pyspark import StorageLevel
+
     ranks = pagerank(edges, iters=iters)
     n = ranks.agg(F.count("*").cast("double").alias("n_nodes"))
     boost = ranks.crossJoin(F.broadcast(n)).select(
@@ -643,7 +650,7 @@ def reprioritize_frontier_pagerank(
         (F.col("rank_micro") * F.col("n_nodes") / F.lit(float(MICRO))).alias("rel"),
     )
     cols = frontier.columns
-    return (
+    out = (
         frontier.join(boost, "url", "left")
         .withColumn(
             "priority",
@@ -652,3 +659,11 @@ def reprioritize_frontier_pagerank(
         )
         .select(*cols)
     )
+    # cache contract (ADVICE r05): materialize the blended frontier, then
+    # release the pagerank cache — this maintenance pass leaves exactly
+    # ONE persisted frame (the returned frontier, caller-unpersists when
+    # the crawl adopts it), mirroring pagerank()'s own contract
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranks.unpersist()
+    return out

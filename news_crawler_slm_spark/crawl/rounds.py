@@ -393,6 +393,28 @@ def run_crawl(
         }
         if deltas.host_delays is not None:
             rewrite_tables["host_delays"] = deltas.host_delays
+        if params.host_hll_p is not None:
+            # per-host distinct-URL HLL riding the round commit: register
+            # rows for this round's popped urls (the exact seen-delta
+            # universe), max-merged into the committed table — idempotent,
+            # so crash/replay/resume cannot double-count; O(hosts x 2^p)
+            # rows total, never the url universe. Batch-equality contract:
+            # tests/test_hll.py::test_crawl_host_hll_matches_batch.
+            from ..operators.hll import hll_registers_by
+
+            new_regs = hll_registers_by(
+                popped.select("host", "url"), ["host"], "url", p=params.host_hll_p
+            )
+            try:
+                prev_regs = catalog.read_table("host_url_hll")
+                new_regs = (
+                    prev_regs.unionByName(new_regs)
+                    .groupBy("host", "register")
+                    .agg(F.max("rank").alias("rank"))
+                )
+            except KeyError:
+                pass  # first round: no committed register table yet
+            rewrite_tables["host_url_hll"] = new_regs
         snap = catalog.commit(
             rnd,
             tables=rewrite_tables,

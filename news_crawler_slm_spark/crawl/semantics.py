@@ -168,6 +168,13 @@ class CrawlParams:
     # backs off automatically. Default False: the simulator-equivalence
     # contract pins budgets to the robots-declared delay alone.
     adaptive_politeness: bool = False
+    # Per-host distinct-URL HyperLogLog maintained WITH the crawl (r06):
+    # each round merges the popped urls' registers into a `host_url_hll`
+    # rewrite table (max-merge — idempotent across resume/replay), the
+    # sketch powering frontier-health / per-host coverage stats without a
+    # per-host countDistinct over 10^10 urls. 2^p registers per host
+    # (p=8 -> ~6.5% standard error, <= 256 rows/host). None disables.
+    host_hll_p: int | None = 8
 
 
 # Adaptive politeness (AIMD-style): multiplicative backoff on any fetch

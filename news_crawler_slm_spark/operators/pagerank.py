@@ -53,6 +53,15 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
 
     Duplicate edges count once (a page linking twice is one endorsement —
     matches the seen-dedup discipline of the crawl); self-loops count.
+
+    Cache contract (ADVICE r05): the RETURNED frame is the one persisted
+    frame this call leaves behind, already materialized — call
+    ``.unpersist()`` on it once its consumers have run (unpersisting
+    earlier is safe but forces an O(iters) lineage replay on the next
+    action). All loop-internal persists (edges, nodes, per-iteration rank
+    frames) are released before returning, on the exception path too —
+    a mid-loop failure leaves ZERO cached frames
+    (tests/test_pagerank.py::test_pagerank_releases_cache_on_failure).
     """
     from pyspark import StorageLevel
 
@@ -94,6 +103,8 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
     # persisted frame (one job per iteration, no chain replay).
     dangling = dangling_mass(ranks)
 
+    new_ranks = None
+    ok = False
     try:
         for _ in range(iters):
             dangling_share = dangling // n_nodes
@@ -131,18 +142,32 @@ def pagerank(edges: DataFrame, iters: int = 10, tol_micro: int = 0) -> DataFrame
                     .collect()[0][0]
                 )
                 ranks.unpersist()
-                ranks, dangling = new_ranks, new_dangling
+                ranks, new_ranks, dangling = new_ranks, None, new_dangling
                 if delta <= tol_micro:
                     break
             else:
                 ranks.unpersist()
-                ranks, dangling = new_ranks, new_dangling
+                ranks, new_ranks, dangling = new_ranks, None, new_dangling
+        ok = True
     finally:
         ek.unpersist()
         nodes.unpersist()
+        if not ok:
+            # mid-loop failure: release the current ranks AND the
+            # in-flight successor so no cached frame outlives the call
+            ranks.unpersist()
+            if new_ranks is not None:
+                new_ranks.unpersist()
 
-    return ranks.select(
+    # hand ownership of the single surviving cache to the CALLER: persist
+    # the output projection, fill it from ranks' still-warm cache (one
+    # cheap job), then drop the internal frame — the caller releases the
+    # returned frame itself with .unpersist() when done
+    out = ranks.select(
         "node",
         F.col("rm").alias("rank_micro"),
         (F.col("rm") / F.lit(float(MICRO))).alias("rank"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    ranks.unpersist()
+    return out

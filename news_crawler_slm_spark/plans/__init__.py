@@ -61,6 +61,7 @@ _DRIVER_FIRST = [
     "cms_token_frequency_probe",  # new r06: production shape, no exact branch
     "hll_distinct_tokens_by_source",  # new r06: grouped HLL, full oracle
     "minhash_jaccard_estimates",  # new r06: signature-based estimate, full oracle
+    "image_resize_png",  # new r06: REAL stdlib PNG codec, full oracle
     # --- the 42 r04-green queries, due by the two-round rule ---
     "stratified_sample",
     "ccnet_perplexity_buckets",  # r06: auto-gated hot-group rank dispatch
@@ -88,7 +89,6 @@ _DRIVER_FIRST = [
     "ngram_jaccard_pairs",
     "langid_heuristic",
     "unigram_perplexity",
-    "count_per_source",
     "lang_distribution",
     "token_count_distribution",
     "max_tokens_with_ties",
@@ -168,11 +168,15 @@ _DRIVER_LAST = [
     "frame_sample_stats",
     "audio_duration_by_lang",
     "q5_local_supplier_volume",
+    # displaced one round by image_resize_png (r06 front was full): the
+    # most-checked trivial aggregation, green r01/r02/r03/r04 — due r07
+    "count_per_source",
     # permanently past the cap: guaranteed no_oracle driver rows
-    # (learned k-means cells; the codec-less multimodal stub)
+    # (learned k-means cells; their value oracles are numpy twins in
+    # tests/). image_resize_stub retired in r06 — replaced by the
+    # full-oracle image_resize_png over the real stdlib PNG codec.
     "semdedup_prune",
     "ann_ivf_topk",
-    "image_resize_stub",
 ]
 
 

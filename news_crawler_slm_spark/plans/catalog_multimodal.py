@@ -90,15 +90,50 @@ def multimodal_image_meta(spark, sf_dir):
     return d.mapInPandas(MM.image_meta_batches, MM.IMAGE_META_SCHEMA)
 
 
-@register("image_resize_stub", None)  # rows-only: byte-level checksum has no SQL twin
-def image_resize_stub(spark, sf_dir):
-    """Resize pipeline plumbing: blob in -> fixed-size record out, bounded
-    memory per Arrow batch. Decode/resample is the stubbed step (real
-    deployment: PIL inside the same mapInPandas body)."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+@register(
+    "image_resize_png",
+    """
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 13 AS w, 16 + doc_id % 7 AS h
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id,
+             i.i, j.j,
+             (31 * ((i.i * d.h) // 8) + 17 * ((j.j * d.w) // 8) + d.doc_id)
+               % 256 AS px
+      FROM dims d
+      CROSS JOIN (SELECT unnest(range(8)) AS i) i
+      CROSS JOIN (SELECT unnest(range(8)) AS j) j
     )
-    return d.mapInPandas(MM.resize_batches(64, 64), MM.RESIZE_SCHEMA)
+    SELECT doc_id,
+           8 AS out_w, 8 AS out_h,
+           CAST(max(CASE WHEN i = 0 AND j = 0 THEN px END) AS INTEGER) AS p00,
+           CAST(max(CASE WHEN i = 0 AND j = 7 THEN px END) AS INTEGER) AS p07,
+           CAST(max(CASE WHEN i = 7 AND j = 0 THEN px END) AS INTEGER) AS p70,
+           CAST(max(CASE WHEN i = 7 AND j = 7 THEN px END) AS INTEGER) AS p77,
+           CAST(sum(px) AS BIGINT) AS px_sum
+    FROM grid GROUP BY doc_id
+    """,
+)
+def image_resize_png(spark, sf_dir):
+    """REAL image resize over a REAL stdlib PNG codec (functions/png.py,
+    r06 — this retired the engine's last stubbed decode): per document a
+    deterministic grayscale PNG is synthesized (pixels arithmetic in
+    (doc_id, row, col); filter type doc_id % 5 so the corpus exercises
+    all five PNG filters), then resize_image runs the full inflate ->
+    unfilter -> nearest-neighbor -> re-encode roundtrip inside
+    mapInPandas, the output is decoded AGAIN, and the corner pixels +
+    pixel sum are reported. The DuckDB oracle recomputes every value from
+    the arithmetic alone — the roundtrip must be bit-exact to go green.
+    JPEG / out-of-envelope shapes still raise CodecUnavailable
+    (strict-mode honesty; tests/test_multimodal.py).
+
+    Scale shape: blob bytes are born and die inside one Arrow batch in
+    one task — no shuffle ever carries a blob; output is 8 scalar columns
+    per doc."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(MM.resize_batches(8, 8), MM.RESIZE_SCHEMA)
 
 
 @register(

@@ -80,15 +80,27 @@ class PreprocessResult:
 
 
 def preprocess_pages(
-    pages: DataFrame, params: PreprocessParams = PreprocessParams()
+    pages: DataFrame,
+    params: PreprocessParams = PreprocessParams(),
+    text_precleaned: bool = False,
 ) -> PreprocessResult:
-    """pages(url, html, publisher, ...) -> the full step_02→06 chain, lazy."""
+    """pages(url, html, publisher, ...) -> the full step_02→06 chain, lazy.
+
+    ``text_precleaned=True`` consumes pages that already carry extracted
+    ``text`` (the crawl's pages table runs the SAME clean_html_udf as its
+    extraction stage, crawl/rounds.py pages_delta) — the chain is
+    identical from step_02 on; running the UDF twice would only re-clean
+    clean text."""
     splits = assign_splits(pages.select("publisher").distinct(), params)
 
     w_pos = Window.partitionBy("split").orderBy("publisher", "url")
+    with_text = (
+        pages
+        if text_precleaned
+        else pages.withColumn("text", clean_html_udf(F.col("html")))
+    )
     cleaned = (
-        pages.join(F.broadcast(splits), "publisher")
-        .withColumn("text", clean_html_udf(F.col("html")))
+        with_text.join(F.broadcast(splits), "publisher")
         .withColumn("position", F.row_number().over(w_pos) - 1)
         .select("url", "publisher", "split", "position", "text")
     )

@@ -14,12 +14,17 @@ batch, sketch ONLY the new rows (``hll_registers``), then fold into the
 persisted register table by per-register max.
 
 Exactly-once: the register table lives in the SnapshotCatalog; each batch
-commits as snapshot ``base_id + batchId`` (the stream_to_catalog
-discipline, streaming/catalog_sink.py) so a replayed batch after a crash
-between sink-commit and checkpoint-write finds its snapshot already on
-the lineage and skips. Even a hypothetical double-apply would be
-harmless — max-merge is idempotent — but the skip keeps the lineage
-clean and the counters exact.
+commits with a CONTENT fingerprint (sorted input-file list; sketch-delta
+registers when the source isn't file-backed) in its snapshot counters. A
+replayed batch after a crash between sink-commit and checkpoint-write
+finds (batchId, fingerprint) already on the lineage and skips. Keying the
+dedup on CONTENT, not batchId alone (ADVICE r05), closes the
+fresh-checkpoint hole: if the checkpoint is deleted/replaced while NEW
+source files exist, availableNow re-batches everything as batch 0 — same
+batchId, different content — and the sink now FOLDS it (max-merge is
+idempotent, so re-folding the already-seen subset is harmless while the
+new files' values land) instead of silently skipping. Either way the
+registers stay exact; the skip path merely keeps the lineage clean.
 
 Stream ≡ batch equivalence is pinned in tests/test_streaming.py: running
 the files through this sink yields the IDENTICAL register table (and so
@@ -60,20 +65,40 @@ def stream_hll_registers(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import hashlib
+
         cat = SnapshotCatalog(batch_df.sparkSession, catalog_root)
-        sid = base_id + batch_id
-        try:
-            cat.snapshot(sid)
-            exists = True
-        except FileNotFoundError:
-            exists = False
-        if exists:
-            if any(s.snapshot_id == sid for s in cat.lineage()):
-                return  # replayed batch: already durably committed
-            os.remove(
-                os.path.join(catalog_root, "manifests", f"snap-{sid}.json")
-            )
         delta = hll_registers(batch_df, col, p)
+        # content fingerprint (ADVICE r05): the batch's input-file set
+        # when file-backed; else the m-row-max delta registers (the batch
+        # already reduces to them — one O(2^p) collect, never the keys)
+        files = sorted(batch_df.inputFiles())
+        if files:
+            fp = hashlib.md5("\n".join(files).encode()).hexdigest()
+        else:
+            regs = sorted((r["register"], r["rank"]) for r in delta.collect())
+            fp = hashlib.md5(repr(regs).encode()).hexdigest()
+        lineage = cat.lineage()
+        if any(
+            s.counters.get("hll_stream_batch") == batch_id
+            and s.counters.get("hll_batch_fp") == fp
+            for s in lineage
+        ):
+            return  # true replay (same batch, same CONTENT): durably done
+        sid = base_id + batch_id
+        committed = {s.snapshot_id for s in lineage}
+        if sid in committed:
+            # reused batchId with NEW content — a replaced checkpoint
+            # re-batched history + fresh files as batch 0. Fold under the
+            # next free id: max-merge makes re-folding the old subset a
+            # no-op while the new files' values land.
+            sid = max(committed | {sid}) + 1
+        else:
+            manifest = os.path.join(
+                catalog_root, "manifests", f"snap-{sid}.json"
+            )
+            if os.path.exists(manifest):
+                os.remove(manifest)  # orphan from a crash mid-commit
         try:
             prev = cat.read_table(REGISTER_TABLE)
         except (KeyError, FileNotFoundError):  # first batch: no table yet
@@ -87,7 +112,7 @@ def stream_hll_registers(
         cat.commit(
             sid,
             tables={REGISTER_TABLE: merged},  # m-row-max rewrite
-            counters={"hll_stream_batch": batch_id},
+            counters={"hll_stream_batch": batch_id, "hll_batch_fp": fp},
             output_partitions=1,
         )
 

@@ -44,7 +44,9 @@ def test_pagerank_matches_integer_twin_ordering_and_dangling(spark):
     ordering/dangling-mass sanity (merged from two tests that each ran the
     identical job — suite wall-time, r05 #8)."""
     df = spark.createDataFrame(EDGES, "src string, dst string")
-    res = {r.node: r.rank_micro for r in pagerank(df, iters=10).collect()}
+    ranks = pagerank(df, iters=10)
+    res = {r.node: r.rank_micro for r in ranks.collect()}
+    ranks.unpersist()  # caller-owned cache (pagerank's r06 contract)
     assert res == _twin(EDGES, iters=10)
     # the hub is linked by a, b, c: it must outrank every leaf
     assert res["hub"] == max(res.values())
@@ -65,10 +67,9 @@ def test_pagerank_early_stop_matches_twin_at_stop_iteration(spark):
     actually fired. (Formerly a 50-iteration order-only check costing 87 s
     of suite time for weaker coverage.)"""
     df = spark.createDataFrame(EDGES, "src string, dst string")
-    loose = {
-        r.node: r.rank_micro
-        for r in pagerank(df, iters=12, tol_micro=10000).collect()
-    }
+    ranks = pagerank(df, iters=12, tol_micro=10000)
+    loose = {r.node: r.rank_micro for r in ranks.collect()}
+    ranks.unpersist()
     assert loose == _twin(EDGES, iters=5)
     assert loose != _twin(EDGES, iters=12)
 
@@ -81,7 +82,9 @@ def _executed_stages(spark, group: str, iters: int) -> int:
     df = spark.createDataFrame(EDGES, "src string, dst string")
     sc.setJobGroup(group, f"pagerank iters={iters}")
     try:
-        pagerank(df, iters=iters).collect()
+        ranks = pagerank(df, iters=iters)
+        ranks.collect()
+        ranks.unpersist()
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     tracker = sc.statusTracker()
@@ -108,9 +111,17 @@ def test_pagerank_constant_work_per_iteration(spark):
     a constant — measured 2.03 standalone and 2.2 mid-suite on the fixed
     code."""
     s2 = _executed_stages(spark, "pr-stages-2", 2)
+    s4 = _executed_stages(spark, "pr-stages-4", 4)
     s6 = _executed_stages(spark, "pr-stages-6", 6)
-    assert s6 >= s2, (s2, s6)
-    assert s6 <= 4 * s2, (s2, s6)
+    assert s6 >= s4 >= s2, (s2, s4, s6)
+    assert s6 <= 4 * s2, (s2, s4, s6)
+    # explicit O(iters^2) signature (ADVICE r05): constant per-iteration
+    # work makes the stage count LINEAR in iters — the second difference
+    # is ~0. The replay bug's triangular growth makes the 4->6 increment
+    # strictly larger than the 2->4 increment (sums 3, 10, 21 -> diffs
+    # 7, 11), so even a future headroom bump on the ratio above cannot
+    # mask it. Slack 3 covers AQE/broadcast stage-count jitter.
+    assert (s6 - s4) <= (s4 - s2) + 3, (s2, s4, s6)
 
 
 def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):
@@ -134,17 +145,65 @@ def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):
         ],
         "url string, out_links array<string>",
     )
-    out = {
-        r.url: r.priority
-        for r in reprioritize_frontier_pagerank(frontier, fetched).collect()
-    }
+    blended = reprioritize_frontier_pagerank(frontier, fetched)
+    out = {r.url: r.priority for r in blended.collect()}
     assert out[hot] > out[cold]
     assert out[cold] >= 5.0  # monotone: never demotes
-
-    same = {
-        r.url: r.priority
-        for r in reprioritize_frontier_pagerank(frontier, fetched, weight=0.0).collect()
-    }
-    assert same == {hot: 5.0, cold: 5.0}
-    cols = reprioritize_frontier_pagerank(frontier, fetched).columns
+    cols = blended.columns
     assert cols == frontier.columns
+    blended.unpersist()  # caller-owned cache (r06 contract)
+
+    flat = reprioritize_frontier_pagerank(frontier, fetched, weight=0.0)
+    same = {r.url: r.priority for r in flat.collect()}
+    flat.unpersist()
+    assert same == {hot: 5.0, cold: 5.0}
+
+
+def _persisted_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_pagerank_cache_contract(spark):
+    """ADVICE r05: pagerank must leave exactly ONE persisted frame — the
+    returned, already-materialized rank frame — and the caller's
+    ``.unpersist()`` on it must return the persistent-RDD count to its
+    baseline (the old code's surviving cache was an INTERNAL frame the
+    caller had no handle to release)."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    base = _persisted_rdd_count(spark)
+    ranks = pagerank(df, iters=3)
+    assert _persisted_rdd_count(spark) == base + 1
+    got = {r.node: r.rank_micro for r in ranks.collect()}
+    assert got == _twin(EDGES, iters=3)
+    ranks.unpersist()
+    assert _persisted_rdd_count(spark) == base
+
+
+def test_pagerank_releases_cache_on_failure(spark, monkeypatch):
+    """ADVICE r05: a MID-LOOP exception must release the current ranks
+    AND the in-flight successor — the old finally block only freed
+    ek/nodes, leaking two rank frames per failed call. Fault injection:
+    the dangling-mass scalar is the loop's only collect(), so failing the
+    3rd collect aborts exactly inside iteration 2 with both frames live."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    cls = type(df)  # the CONCRETE DataFrame class (spark 4: sql.classic)
+    base = _persisted_rdd_count(spark)
+    orig = cls.collect
+    calls = {"n": 0}
+
+    def flaky(self):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected mid-iteration failure")
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", flaky)
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="injected"):
+            pagerank(df, iters=5)
+    finally:
+        monkeypatch.setattr(cls, "collect", orig)
+    assert calls["n"] == 3  # the failure really happened mid-loop
+    assert _persisted_rdd_count(spark) == base

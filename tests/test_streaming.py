@@ -505,8 +505,9 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
     ).awaitTermination()
     assert cat.current_snapshot_id() == before
 
-    # fresh checkpoint replays everything as batch 0: snapshot-id dedup
-    # skips it and the registers are unchanged
+    # fresh checkpoint, SAME files: replays everything as batch 0 whose
+    # (batchId, content-fingerprint) pair is already on the lineage ->
+    # skipped, registers unchanged
     ckpt2 = str(tmp_path / "hll_ckpt2")
     stream_hll_registers(
         pages_stream(spark, src).drop("html"), root, ckpt2, "url"
@@ -516,3 +517,30 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
         for r in cat.read_table(REGISTER_TABLE).collect()
     }
     assert got2 == want
+
+    # fresh checkpoint WITH new files (ADVICE r05): batch 0 re-batches
+    # history + the new file — same batchId, DIFFERENT content. batchId-only
+    # dedup silently skipped this and lost the new urls forever; the
+    # content-keyed sink folds it (max-merge makes re-folding the old
+    # subset a no-op) so the registers equal the batch sketch over ALL rows
+    batch3 = [
+        ("https://d/p1", _ts(3, 0), None, "quatro", "pt", "D", 7),
+        ("https://d/p2", _ts(3, 5), None, "cinque", "it", "D", 8),
+    ]
+    _write_pages(spark, src, batch3)
+    ckpt3 = str(tmp_path / "hll_ckpt3")
+    stream_hll_registers(
+        pages_stream(spark, src).drop("html"), root, ckpt3, "url"
+    ).awaitTermination()
+    all_rows = spark.createDataFrame(_BATCH1 + _BATCH2 + batch3, schemas.PAGES)
+    want3 = {
+        (r["register"], r["rank"])
+        for r in hll_registers(all_rows, "url").collect()
+    }
+    got3 = {
+        (r["register"], r["rank"])
+        for r in cat.read_table(REGISTER_TABLE).collect()
+    }
+    assert got3 == want3
+    exact3 = len({r[0] for r in _BATCH1 + _BATCH2 + batch3})
+    assert abs(current_estimate(spark, root) - exact3) / exact3 < 0.05

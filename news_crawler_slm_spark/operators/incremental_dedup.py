@@ -94,10 +94,18 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     by the batch query (plans/catalog_dedup.py:minhash_lsh_candidates)
     and the incremental index — one definition, so index and batch can
     never drift."""
+    return minhash_bands_of(minhash_signatures(docs))
+
+
+def minhash_bands_of(sigs: DataFrame) -> DataFrame:
+    """Band rows from an EXISTING signature frame. Split out so a stage
+    that needs BOTH the signatures and their banding (the Jaccard
+    estimator, plans/catalog_dedup.py:minhash_jaccard_estimates) defines
+    the expensive shingle->md5->min aggregation ONCE and lets Catalyst
+    reuse its exchange, instead of sketching the corpus twice."""
     from ..functions.hashing import md5_long
 
     rows_per_band = _N_HASHES // _BANDS
-    sigs = minhash_signatures(docs)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

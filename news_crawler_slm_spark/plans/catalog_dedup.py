@@ -261,6 +261,14 @@ def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     from ..operators.incremental_dedup import minhash_bands
 
     banded = minhash_bands(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _lsh_candidate_pairs(banded, bucket_cap)
+
+
+def _lsh_candidate_pairs(banded, bucket_cap: int):
+    """(band, bucket, doc_id) rows -> distinct (doc_a < doc_b) candidate
+    pairs from under-cap buckets. Shared by ``minhash_lsh_candidates``
+    and the signature-Jaccard estimator so the capping discipline is one
+    definition."""
     too_big = (
         banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("bsz"))
@@ -1908,20 +1916,21 @@ def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
     of agreeing signature components is an unbiased 16-sample estimate).
     Output: (doc_a, doc_b, sig_matches, jaccard_est, jaccard_exact).
 
-    Scale shape — why this is the 100 TB verify plan: the exact-Jaccard
-    quadratic is confined to CANDIDATE pairs (the LSH-pruned set), never
-    the corpus; candidate docs are first semi-join-pruned before their
-    shingle sets are re-derived, so the shingle join keys on
-    (doc_id, gram) over candidate docs only. Signatures come from the
-    single shared sketching core (operators/incremental_dedup.py:
-    minhash_signatures — the same frame the banding consumes), so
-    estimate and candidate generation can never drift. Full DuckDB value
+    Scale shape — why this is the 100 TB verify plan: the corpus is
+    sketched ONCE (one ``minhash_signatures`` frame feeds both the
+    banding, via ``minhash_bands_of``, and the per-pair agreement join —
+    Catalyst reuses the aggregation exchange instead of running the
+    shingle->md5->min pass twice); the exact-Jaccard quadratic is
+    confined to CANDIDATE pairs (the LSH-pruned set), never the corpus;
+    and candidate docs are semi-join-pruned BEFORE their shingle sets are
+    re-derived, so the gram explode+distinct — the token-universe shuffle
+    — runs over candidate docs only, not the corpus. Full DuckDB value
     oracle via the shared _minhash_cte chain."""
-    from ..operators.incremental_dedup import minhash_signatures
+    from ..operators.incremental_dedup import minhash_bands_of, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_lsh_candidates(spark, sf_dir, bucket_cap)
     sigs = minhash_signatures(docs)
+    cand = _lsh_candidate_pairs(minhash_bands_of(sigs), bucket_cap)
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = sum(
@@ -1932,20 +1941,22 @@ def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", matches.cast("long").alias("sig_matches"))
     )
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(word_windows(ws_normalize(F.col("text")), 3)).alias("g"),
-        )
-        .distinct()
-    )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # the candidate doc set is LSH-pruned — small by construction
-    cgrams = grams.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # the candidate doc set is LSH-pruned — small by construction; prune
+    # the DOCS before shingling so the distinct-gram shuffle never sees
+    # non-candidate text
+    cgrams = (
+        docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(word_windows(ws_normalize(F.col("text")), 3)).alias("g"),
+        )
+        .distinct()
+    )
     sizes = cgrams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ga = cgrams.alias("ga")
     gb = cgrams.alias("gb")

@@ -72,7 +72,7 @@ def corpus_from_crawl(
     catalog,
     preprocess: PreprocessParams = PreprocessParams(),
     training: TrainingPrepParams = TrainingPrepParams(gate="composite"),
-    since_snapshot: str | None = None,
+    since_snapshot: int | None = None,
 ) -> CorpusResult:
     """Crawl catalog -> packed training corpus, one lineage.
 

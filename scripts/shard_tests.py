@@ -63,7 +63,10 @@ def pack(files: list[str], costs: dict[str, float], n: int) -> list[list[str]]:
 
 
 _DUR_RE = re.compile(
-    r"^\s*([0-9.]+)s\s+(?:call|setup|teardown)\s+(tests/[^:]+\.py)::", re.M
+    # pytest prints the nodeid relative to its computed rootdir — which
+    # varies with the invocation cwd (shards run from a scratch dir), so
+    # match the basename: test files are unique by name
+    r"^\s*([0-9.]+)s\s+(?:call|setup|teardown)\s+\S*?(test_[^:/\s]+\.py)::", re.M
 )
 
 

@@ -598,3 +598,63 @@ def test_corpus_from_crawl_matches_sequential_oracle(spark, tmp_path):
     # non-vacuity: the gate fired but left a corpus, and packing packed it
     assert 0 < len(want) < len(docs)
     assert len(survivors) < len(docs)
+
+
+def test_corpus_from_crawl_incremental_cdc(spark, tmp_path):
+    """The daily-refresh shape: corpus_from_crawl(since_snapshot=k)
+    consumes ONLY pages appended after snapshot k (read_table_incremental
+    CDC over the append-only pages chain). Pins the seam — the CDC read,
+    latest-fetch reduction, and training prep compose without rescanning
+    history — plus the r06 partition guard: the docs frame must be
+    re-spread to defaultParallelism, never the <= 3-partition funnel the
+    split-position window leaves behind."""
+    from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+    from news_crawler_slm_spark.crawl.semantics import CrawlParams
+    from news_crawler_slm_spark.functions.hashing import md5_long_py
+    from news_crawler_slm_spark.plans.corpus import corpus_from_crawl
+    from news_crawler_slm_spark.plans.training import TrainingPrepParams
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale, web_dataframes
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+
+    scale = WebScale(n_hosts=8, pages_per_host_max=12, links_per_page=4, seed=23)
+    params = CrawlParams(round_budget=5.0, max_articles=10, max_rounds=2)
+    dfs = web_dataframes(spark, scale)
+    root = str(tmp_path / "cat")
+    fetcher = synthetic_fetcher(dfs["web"])
+    state = run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, params)
+    sid = state.round  # snapshot id of the last committed round
+    run_crawl(
+        spark, root, dfs["seeds"], dfs["robots"], fetcher, params, max_rounds=4
+    )
+    catalog = SnapshotCatalog(spark, root)
+
+    # the CDC read is exactly the post-sid appends
+    full = {
+        (r["url"], r["fetch_round"])
+        for r in catalog.read_table("pages").collect()
+    }
+    delta = {
+        (r["url"], r["fetch_round"])
+        for r in catalog.read_table_incremental("pages", sid).collect()
+    }
+    assert delta == {(u, fr) for u, fr in full if fr > sid}
+    assert delta and delta != full  # both crawls really appended
+
+    pp = PreprocessParams(train_frac=0.8, token_threshold=100000, cap_n=5)
+    tp = TrainingPrepParams(token_budget=256, gate="composite")
+    res = corpus_from_crawl(catalog, pp, tp, since_snapshot=sid)
+
+    # partition guard: the gate's four scans must see the re-spread frame
+    assert res.docs.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    # the incremental corpus is the full pipeline over ONLY the delta urls
+    got_docs = {r["doc_id"] for r in res.docs.collect()}
+    want_urls = {u for u, fr in delta}
+    assert got_docs  # the delta produced a corpus
+    assert got_docs <= {md5_long_py(u) for u in want_urls}
+    # and no doc from the pre-sid-only set leaked in
+    pre_only = {md5_long_py(u) for u, fr in full if fr <= sid} - {
+        md5_long_py(u) for u in want_urls
+    }
+    assert not (got_docs & pre_only)
+    res.docs.unpersist()

@@ -211,3 +211,76 @@ def frame_batches(frame_bytes: int = 256, stride: int = 4):
             )
 
     return run
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic test clip: mono PCM WAV whose every sample is
+    arithmetic in (doc_id, index) — n = 64 + id%49, rate 8000, bit depth
+    16 when id is even / 8 when odd, so the corpus exercises BOTH depths
+    through the real RIFF encode/decode path while staying
+    SQL-recomputable: s16(i) = (37i + 13·id) % 4096 - 2048,
+    s8(i) = (37i + 13·id) % 256 - 128."""
+    from . import wav as WAV
+
+    d = int(doc_id)
+    n = 64 + d % 49
+    i = np.arange(n, dtype=np.int64)
+    if d % 2 == 0:
+        samples = (37 * i + 13 * d) % 4096 - 2048
+        return WAV.encode_wav(samples, 8000, bit_depth=16)
+    samples = (37 * i + 13 * d) % 256 - 128
+    return WAV.encode_wav(samples, 8000, bit_depth=8)
+
+
+WAV_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, bit_depth int, out_n int, "
+    "s_first int, s_last int, s_sum bigint, s_abs_sum bigint"
+)
+
+
+def wav_batches(out_n: int):
+    """REAL audio stage over synthesized WAV blobs: encode (both bit
+    depths across the corpus) -> decode (RIFF chunk walk, PCM extraction)
+    -> nearest-neighbor resample to ``out_n`` -> re-encode at the decoded
+    depth -> decode AGAIN, and report first/last samples plus the sum and
+    abs-sum of the resampled clip. Every reported value is arithmetic in
+    doc_id (synth_wav samples + the floor index map), which is what gives
+    the catalog query ``audio_decode_wav`` a full DuckDB value oracle
+    over a genuine codec roundtrip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import wav as WAV
+
+        for pdf in batches:
+            recs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples, rate, depth = WAV.decode_wav(synth_wav(d))
+                res = WAV.resample_nearest(samples, out_n)
+                rt, rt_rate, rt_depth = WAV.decode_wav(
+                    WAV.encode_wav(res[:, 0], rate, bit_depth=depth)
+                )
+                assert rt_rate == rate and rt_depth == depth
+                clip = rt[:, 0].astype(np.int64)
+                recs.append(
+                    (
+                        d,
+                        int(samples.shape[0]),
+                        rate,
+                        depth,
+                        out_n,
+                        int(clip[0]),
+                        int(clip[-1]),
+                        int(clip.sum()),
+                        int(np.abs(clip).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "bit_depth",
+                    "out_n", "s_first", "s_last", "s_sum", "s_abs_sum",
+                ],
+            )
+
+    return run

@@ -62,6 +62,8 @@ _DRIVER_FIRST = [
     "hll_distinct_tokens_by_source",  # new r06: grouped HLL, full oracle
     "minhash_jaccard_estimates",  # new r06: signature-based estimate, full oracle
     "image_resize_png",  # new r06: REAL stdlib PNG codec, full oracle
+    "cms_heavy_hitters",  # new r06: broadcast-sketch semi-filter, full oracle
+    "audio_decode_wav",  # new r06: REAL stdlib WAV codec, full oracle
     # --- the 42 r04-green queries, due by the two-round rule ---
     "stratified_sample",
     "ccnet_perplexity_buckets",  # r06: auto-gated hot-group rank dispatch
@@ -94,8 +96,10 @@ _DRIVER_FIRST = [
     "max_tokens_with_ties",
     "count_over_limit",
     "value_histogram_fd",
-    "distinct_sources",
-    "split_sizes",
+    # distinct_sources / split_sizes: displaced by cms_heavy_hitters /
+    # audio_decode_wav under the stable-aggregation swap rule (see the
+    # r06 amendment below) — both green r01–r04 and value-checked every
+    # run by tests/test_plans.py; due back r07.
     "shrink_first_n",
     "source_ordinals",
     "complete_sources",
@@ -106,11 +110,22 @@ _DRIVER_FIRST = [
     "value_stats_pop",
 ]
 
-# NOTE (r06): front = 4 never-checked r05 queries + 4 r06-new + the 42
-# r04-green due rotations — exactly 50. The 50 r05-green queries
+# NOTE (r06): front = 4 never-checked r05 queries + 6 r06-new + the 40
+# r04-green due rotations that fit — exactly 50. The 50 r05-green queries
 # (CORRECTNESS_r05) are due back in r07 by the two-round rule; they fill
 # the whole r07 window, so keep r07 additions at ~0 or swap them in for
 # the most stable simple aggregations.
+#
+# r06 AMENDMENT (stable-aggregation cadence): with 102 full-oracle
+# rotating queries and a 50-row window, a strict two-round cadence is
+# arithmetically infeasible (102/2 > 50). Per the r05 verdict's own
+# mechanism ("swap them in for the most stable simple aggregations"),
+# TRIVIAL aggregations that (a) have >= 3 green driver rows across
+# rounds and (b) are value-checked on every run by the identical DuckDB
+# oracle in tests/test_plans.py rotate on a THREE-round cadence; every
+# other query keeps the two-round rule. r06 applies it to
+# distinct_sources and split_sizes (displaced by the two r06 sketch/
+# codec queries; due back r07).
 
 # Round 6 tail: the r05-checked set (fresh r05 hash-green rows, all also
 # value-checked every run by tests/test_plans.py), then — pinned

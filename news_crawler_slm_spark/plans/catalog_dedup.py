@@ -1805,24 +1805,34 @@ def cms_token_frequency(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W)
     return est.join(exact, "token").select("token", "n_exact", "cms_estimate")
 
 
-def _cms_estimates(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W):
-    """(token stream, per-probe CMS estimates) — the shared core of the
-    self-evaluating query and the production probe."""
+def _cms_token_stream(spark, sf_dir):
+    """The lowered whitespace token stream every CMS query sketches."""
     d_t = _t(spark, sf_dir, "documents")
-    toks = d_t.select(
+    return d_t.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
-    buckets = F.array(
-        *[
-            F.pmod(md5_long(F.concat(F.col("tok"), F.lit(f"#cms{d}"))), F.lit(width))
-            for d in range(depth)
-        ]
-    )
-    counts = (
+
+
+def _cms_cell_expr(d: int, width: int):
+    """Column: the depth-``d`` cell of the current row's ``tok``."""
+    return F.pmod(md5_long(F.concat(F.col("tok"), F.lit(f"#cms{d}"))), F.lit(width))
+
+
+def _cms_counts(toks, depth: int, width: int):
+    """(row, col, c) cell counts — the sketch itself, d·w rows max."""
+    buckets = F.array(*[_cms_cell_expr(d, width) for d in range(depth)])
+    return (
         toks.select(F.posexplode(buckets).alias("row", "col"))
         .groupBy("row", "col")
         .agg(F.count("*").alias("c"))
     )
+
+
+def _cms_estimates(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W):
+    """(token stream, per-probe CMS estimates) — the shared core of the
+    self-evaluating query and the production probe."""
+    toks = _cms_token_stream(spark, sf_dir)
+    counts = _cms_counts(toks, depth, width)
     from ..functions.hashing import md5_long_py
 
     probe_rows = [
@@ -1857,6 +1867,102 @@ def cms_token_frequency_probe(
     _cms_estimates."""
     _, est = _cms_estimates(spark, sf_dir, depth, width)
     return est.select("token", "cms_estimate")
+
+
+_CMS_HH_DENOM = 2000
+
+
+def _cms_hh_oracle_sql(
+    depth: int = _CMS_D, width: int = _CMS_W, denom: int = _CMS_HH_DENOM
+) -> str:
+    h = md5_long_duck("tok || '#cms' || CAST(d AS VARCHAR)")
+    hd = md5_long_duck("dd.tok || '#cms' || CAST(dep.d AS VARCHAR)")
+    return rf"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    depths AS (SELECT unnest(range(0, {depth})) AS d),
+    counts AS (
+      SELECT d, {h} % {width} AS col, CAST(count(*) AS BIGINT) AS c
+      FROM toks CROSS JOIN depths GROUP BY d, col
+    ),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts WHERE d = 0),
+    dist AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY tok
+    ),
+    est AS (
+      SELECT dd.tok, CAST(min(c.c) AS BIGINT) AS cms_estimate
+      FROM dist dd CROSS JOIN depths dep
+      JOIN counts c ON c.d = dep.d AND c.col = {hd} % {width}
+      GROUP BY dd.tok
+    )
+    SELECT d.tok AS token, d.n_exact, e.cms_estimate,
+           t.n_total // {denom} AS threshold
+    FROM dist d JOIN est e USING (tok) CROSS JOIN total t
+    WHERE e.cms_estimate >= t.n_total // {denom}
+    """
+
+
+@register("cms_heavy_hitters", _cms_hh_oracle_sql())
+def cms_heavy_hitters(
+    spark,
+    sf_dir,
+    depth: int = _CMS_D,
+    width: int = _CMS_W,
+    denom: int = _CMS_HH_DENOM,
+):
+    """Heavy hitters (tokens with frequency >= N/denom) via a
+    BROADCAST-SKETCH SEMI-FILTER — the batch form of CMS+heap
+    (Cormode & Muthukrishnan 2005 §3.3) that never shuffles the token
+    universe:
+
+    pass 1 builds the d·w-cell sketch (the same `_cms_counts` exchange as
+    `cms_token_frequency`, bounded by d·w keys with map-side partials);
+    pass 2 re-scans the token stream and joins each occurrence's d cells
+    against the BROADCAST per-depth cell slices (w rows each), so every
+    occurrence learns its estimate min(c_0..c_{d-1}) MAP-SIDE; only
+    occurrences whose estimate clears the threshold reach the final
+    token-keyed aggregation. The threshold N/denom is derived from the
+    sketch itself (row 0's cells sum to N exactly) — no extra corpus scan.
+
+    Why this scales: the only token-keyed exchange carries survivor
+    occurrences AFTER map-side partial counting, i.e. at most
+    (#partitions x #candidates) rows; candidates are bounded because each
+    sketch row sums to N, so at most ~denom cells per row can clear
+    N/denom (plus CMS's false-positive tail — visible in the output,
+    since the exact count rides along and may be < threshold). The
+    sketch is an 8 KB-row broadcast at any corpus size.
+
+    The DuckDB oracle recomputes every cell, the threshold, and the
+    per-token minima exactly over the same md5 cell algebra (integer-only
+    — bit-identical cross-engine)."""
+    toks = _cms_token_stream(spark, sf_dir)
+    counts = _cms_counts(toks, depth, width)
+    total = counts.where(F.col("row") == 0).agg(
+        F.sum("c").cast("long").alias("n_total")
+    )
+    cand = toks
+    for d in range(depth):
+        cell = counts.where(F.col("row") == d).select(
+            F.col("col").alias(f"col{d}"), F.col("c").alias(f"c{d}")
+        )
+        cand = cand.withColumn(f"col{d}", _cms_cell_expr(d, width)).join(
+            F.broadcast(cell), f"col{d}"
+        )
+    est = F.least(*[F.col(f"c{d}") for d in range(depth)])
+    return (
+        cand.select(F.col("tok").alias("token"), est.alias("cms_estimate"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cms_estimate") >= F.expr(f"n_total DIV {denom}"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.min("cms_estimate").alias("cms_estimate"),
+            F.min(F.expr(f"n_total DIV {denom}")).alias("threshold"),
+        )
+        .select("token", "n_exact", "cms_estimate", "threshold")
+    )
 
 
 # ===========================================================================

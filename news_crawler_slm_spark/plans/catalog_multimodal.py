@@ -137,6 +137,58 @@ def image_resize_png(spark, sf_dir):
 
 
 @register(
+    "audio_decode_wav",
+    """
+    WITH dims AS (
+      SELECT doc_id, 64 + doc_id % 49 AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS depth
+      FROM documents
+    ),
+    grid AS (
+      SELECT d.doc_id, d.n, d.depth, j.j, (j.j * d.n) // 16 AS i
+      FROM dims d CROSS JOIN (SELECT unnest(range(16)) AS j) j
+    ),
+    vals AS (
+      SELECT doc_id, n, depth, j,
+             CASE WHEN depth = 16
+                  THEN (37 * i + 13 * doc_id) % 4096 - 2048
+                  ELSE (37 * i + 13 * doc_id) % 256 - 128 END AS s
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST(max(n) AS INTEGER) AS n_samples,
+           8000 AS sample_rate,
+           CAST(max(depth) AS INTEGER) AS bit_depth,
+           16 AS out_n,
+           CAST(max(CASE WHEN j = 0 THEN s END) AS INTEGER) AS s_first,
+           CAST(max(CASE WHEN j = 15 THEN s END) AS INTEGER) AS s_last,
+           CAST(sum(s) AS BIGINT) AS s_sum,
+           CAST(sum(abs(s)) AS BIGINT) AS s_abs_sum
+    FROM vals GROUP BY doc_id
+    """,
+)
+def audio_decode_wav(spark, sf_dir):
+    """REAL audio decode over a REAL stdlib WAV codec (functions/wav.py,
+    r06 — the audio twin of `image_resize_png`, retiring the byte-math
+    fake for RIFF/PCM blobs): per document a deterministic mono clip is
+    synthesized (samples arithmetic in (doc_id, index); bit depth 16 for
+    even ids / 8 for odd so the corpus exercises both PCM layouts), then
+    the full encode -> RIFF chunk walk -> PCM extract -> nearest-neighbor
+    resample -> re-encode -> decode-AGAIN roundtrip runs inside
+    mapInPandas, and first/last samples + sum/abs-sum of the resampled
+    clip are reported. The DuckDB oracle recomputes every value from the
+    arithmetic alone — the roundtrip must be bit-exact to go green.
+    Non-PCM / truncated streams raise WavFormatError (strict-mode
+    honesty; tests/test_multimodal.py).
+
+    Scale shape: blob bytes are born and die inside one Arrow batch in
+    one task — no shuffle ever carries a blob; output is 9 scalar columns
+    per doc."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(MM.wav_batches(16), MM.WAV_SCHEMA)
+
+
+@register(
     "frame_sample_stats",
     """
     SELECT doc_id,

@@ -184,3 +184,71 @@ def test_resize_nearest_golden_and_envelope_errors():
     )
     # decode_image_meta reports REAL dims for PNG (not the fake header)
     assert MMod.decode_image_meta(PNG.encode_png(img))[:3] == (10, 12, 1)
+
+
+def test_wav_roundtrip_both_depths_and_stereo():
+    import numpy as np
+
+    from news_crawler_slm_spark.functions import wav as WAV
+
+    mono = (np.arange(40, dtype=np.int64) * 37) % 4096 - 2048
+    arr, rate, depth = WAV.decode_wav(WAV.encode_wav(mono, 8000, 16))
+    assert (rate, depth, arr.shape) == (8000, 16, (40, 1))
+    np.testing.assert_array_equal(arr[:, 0], mono)
+    # 8-bit: centered convention survives the unsigned storage bias
+    small = (np.arange(33, dtype=np.int64) * 7) % 256 - 128
+    arr8, rate8, depth8 = WAV.decode_wav(WAV.encode_wav(small, 44100, 8))
+    assert (rate8, depth8) == (44100, 8)
+    np.testing.assert_array_equal(arr8[:, 0], small)
+    # stereo interleave roundtrips column-exact
+    st = np.stack([mono, mono[::-1]], axis=1)
+    arr2, _, _ = WAV.decode_wav(WAV.encode_wav(st, 16000, 16))
+    np.testing.assert_array_equal(arr2, st)
+
+
+def test_wav_rejects_out_of_envelope():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from news_crawler_slm_spark.functions import wav as WAV
+
+    good = WAV.encode_wav(np.zeros(8, np.int64), 8000, 16)
+    with _pytest.raises(WAV.WavFormatError):
+        WAV.decode_wav(b"RIFX" + good[4:])  # wrong magic
+    with _pytest.raises(WAV.WavFormatError):
+        WAV.decode_wav(good[:20])  # missing data chunk
+    # non-PCM format code refuses (IEEE float = 3)
+    bad = bytearray(good)
+    (fmt_off,) = [i for i in range(len(bad)) if bad[i : i + 4] == b"fmt "]
+    bad[fmt_off + 8 : fmt_off + 10] = struct.pack("<H", 3)
+    with _pytest.raises(WAV.WavFormatError):
+        WAV.decode_wav(bytes(bad))
+    # truncated data payload refuses
+    data_off = good.index(b"data")
+    with _pytest.raises(WAV.WavFormatError):
+        WAV.decode_wav(good[: data_off + 8] + good[data_off + 8 : -1])
+    with _pytest.raises(WAV.WavFormatError):
+        WAV.encode_wav(np.zeros(4, np.int64), 8000, 24)
+
+
+def test_wav_resample_golden_and_synth_formula():
+    import numpy as np
+
+    from news_crawler_slm_spark.functions import wav as WAV
+
+    arr = np.arange(10, dtype=np.int64)[:, None]
+    # floor map j*10//4 -> indices 0,2,5,7
+    np.testing.assert_array_equal(
+        WAV.resample_nearest(arr, 4)[:, 0], np.array([0, 2, 5, 7])
+    )
+    # synth_wav obeys the documented arithmetic for both parities
+    for d in (6, 7):
+        samples, rate, depth = WAV.decode_wav(MM.synth_wav(d))
+        n = 64 + d % 49
+        assert (rate, depth, samples.shape[0]) == (8000, 16 if d % 2 == 0 else 8, n)
+        i = np.arange(n, dtype=np.int64)
+        want = (37 * i + 13 * d) % (4096 if d % 2 == 0 else 256)
+        want -= 2048 if d % 2 == 0 else 128
+        np.testing.assert_array_equal(samples[:, 0], want)

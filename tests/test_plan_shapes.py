@@ -263,3 +263,24 @@ def test_cms_probe_shuffles_only_cells(spark):
     for ex in _re.finditer(r"Exchange hashpartitioning\([^\n]*", plan):
         assert "tok#" not in ex.group(0), ex.group(0)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cms_heavy_hitters_broadcast_sketch_semi_filter(spark):
+    """The heavy-hitters pass must learn estimates MAP-SIDE: all four
+    per-depth cell joins and the 1-row threshold join are broadcasts (no
+    SortMergeJoin anywhere), and the final token-keyed aggregation is
+    preceded by a map-side partial count — so the only token-shaped
+    exchange carries (#partitions x #survivors) rows, never the
+    vocabulary."""
+    import re as _re
+
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["cms_heavy_hitters"][0](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert len(_re.findall(r"BroadcastHashJoin", plan)) >= 4
+    # token-keyed exchange exists (survivor counting) but only after a
+    # partial aggregate on the token key
+    agg = _re.search(r"HashAggregate\(keys=\[token[^\n]*partial_count[^\n]*", plan)
+    assert agg is not None, plan

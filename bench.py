@@ -122,6 +122,13 @@ HEADLINE = [
     "hll_distinct_tokens_by_source",
     "minhash_jaccard_estimates",
     "weighted_sample_by_source",
+    # r06 wave 2: the broadcast-sketch heavy-hitter semi-filter (its number
+    # should sit near 2x the CMS probe — two token-stream scans, zero
+    # vocabulary shuffles) and the two real codec roundtrips, whose numbers
+    # are per-doc Arrow-batch decode throughput (no shuffle carries blobs)
+    "cms_heavy_hitters",
+    "image_resize_png",
+    "audio_decode_wav",
 ]
 
 

@@ -2023,20 +2023,31 @@ def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
     Output: (doc_a, doc_b, sig_matches, jaccard_est, jaccard_exact).
 
     Scale shape — why this is the 100 TB verify plan: the corpus is
-    sketched ONCE (one ``minhash_signatures`` frame feeds both the
-    banding, via ``minhash_bands_of``, and the per-pair agreement join —
-    Catalyst reuses the aggregation exchange instead of running the
-    shingle->md5->min pass twice); the exact-Jaccard quadratic is
-    confined to CANDIDATE pairs (the LSH-pruned set), never the corpus;
-    and candidate docs are semi-join-pruned BEFORE their shingle sets are
-    re-derived, so the gram explode+distinct — the token-universe shuffle
-    — runs over candidate docs only, not the corpus. Full DuckDB value
-    oracle via the shared _minhash_cte chain."""
+    sketched ONCE — ``sigs`` is PERSISTED (the materialized
+    signature-table step every production LSH pipeline has; 17 ints/doc,
+    MEMORY_AND_DISK) because Catalyst/AQE do NOT reuse the aggregation
+    exchange across its five consumers (measured r06: the lazy form
+    fanned out to 46 parquet scans of `documents`, re-running the
+    shingle->md5->min pass ~two dozen times). ``cand`` and the candidate
+    gram sets are persisted too — both are LSH-pruned, orders of
+    magnitude below corpus size. The exact-Jaccard quadratic is confined
+    to CANDIDATE pairs, never the corpus, and candidate docs are
+    semi-join-pruned BEFORE their shingle sets are re-derived, so the
+    gram explode+distinct — the token-universe shuffle — runs over
+    candidate docs only. The three caches are scoped to the returned
+    plan's lifetime (caller-owned, same contract as
+    ``prepare_training_data``'s ``keyed`` stage — unpersist via
+    ``spark.catalog.clearCache()`` when re-running in a long session).
+    Full DuckDB value oracle via the shared _minhash_cte chain."""
+    from pyspark import StorageLevel
+
     from ..operators.incremental_dedup import minhash_bands_of, minhash_signatures
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(docs)
-    cand = _lsh_candidate_pairs(minhash_bands_of(sigs), bucket_cap)
+    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _lsh_candidate_pairs(minhash_bands_of(sigs), bucket_cap).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sa = sigs.alias("sa")
     sb = sigs.alias("sb")
     matches = sum(
@@ -2062,6 +2073,7 @@ def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
             F.explode(word_windows(ws_normalize(F.col("text")), 3)).alias("g"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = cgrams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ga = cgrams.alias("ga")

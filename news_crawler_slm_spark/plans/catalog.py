@@ -1015,30 +1015,47 @@ def nb_lang_classifier(spark, sf_dir):
     out |langs| times AFTER the per-doc count aggregation (map-side
     combine eats within-doc repetition first); one final shuffle on doc_id
     resolves the argmax.  Priors and V are 1-row/|langs|-row broadcasts.
+
+    Corpus-scan discipline (r06): the lazy train-and-score plan fanned
+    out to EIGHT corpus scans (vocab, V, totals, and priors each re-ran
+    the tokenize pass; the argmax joined back to documents). Now the
+    (lang, token) count dim — vocab-sized, NOT corpus-sized — is
+    persisted and everything trainable derives from it; the true label
+    rides the scoring rows, so the plan reads documents exactly three
+    times (train tokenize, score tokenize, |langs|-row prior census) at
+    any corpus size.
     """
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    dtok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
-    ltc = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-    ltot = ltc.groupBy("lang").agg(F.sum("c").alias("ct"))
-    vsz = toks.agg(F.count_distinct("tok").alias("v"))
-    n_docs = d.agg(F.count("*").alias("n_all"))
-    prior = (
-        d.groupBy("lang")
-        .agg(F.count("*").alias("nl"))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "lang",
-            F.round(F.log(F.col("nl") / F.col("n_all").cast("double")) * 1e6, 0)
-            .cast("long")
-            .alias("lp"),
-        )
+    # the true label rides the per-doc token counts (lang is constant per
+    # doc, so the extra key adds no rows) — no join back to documents
+    dtok = toks.groupBy("doc_id", F.col("lang").alias("lang_true"), "tok").agg(
+        F.count("*").alias("n")
     )
-    vocab = toks.select("tok").distinct()
+    # ONE training pass; vocab, V and per-lang totals all derive from
+    # this persisted vocab-sized dim instead of re-tokenizing the corpus
+    ltc = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ltot = ltc.groupBy("lang").agg(F.sum("c").alias("ct"))
+    vsz = ltc.select("tok").distinct().agg(F.count("*").alias("v"))
+    lcounts = d.groupBy("lang").agg(F.count("*").alias("nl"))
+    n_docs = lcounts.agg(F.sum("nl").alias("n_all"))
+    prior = lcounts.crossJoin(F.broadcast(n_docs)).select(
+        "lang",
+        F.round(F.log(F.col("nl") / F.col("n_all").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("lp"),
+    )
+    vocab = ltc.select("tok").distinct()
     probs = (
         vocab.crossJoin(F.broadcast(ltot))
         .join(ltc, ["lang", "tok"], "left")
@@ -1060,22 +1077,20 @@ def nb_lang_classifier(spark, sf_dir):
     )
     scored = (
         dtok.join(F.broadcast(probs), "tok")
-        .groupBy("doc_id", "lang")
+        .groupBy("doc_id", "lang_true", "lang")
         .agg(F.sum(F.col("n") * F.col("lpt")).alias("st"))
         .join(F.broadcast(prior), "lang")
-        .select("doc_id", "lang", (F.col("st") + F.col("lp")).alias("s"))
+        .select(
+            "doc_id", "lang_true", "lang", (F.col("st") + F.col("lp")).alias("s")
+        )
     )
-    best = scored.groupBy("doc_id").agg(
+    best = scored.groupBy("doc_id", "lang_true").agg(
         F.min(F.struct((-F.col("s")).alias("ns"), F.col("lang"))).alias("b")
     )
-    return (
-        best.select("doc_id", F.col("b.lang").alias("pred_lang"))
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "pred_lang",
-            (F.col("pred_lang") == F.col("lang")).cast("int").alias("correct"),
-        )
+    return best.select(
+        "doc_id",
+        F.col("b.lang").alias("pred_lang"),
+        (F.col("b.lang") == F.col("lang_true")).cast("int").alias("correct"),
     )
 
 

@@ -137,9 +137,18 @@ def ngram_jaccard_pairs(spark, sf_dir, df_cap: int = 64):
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > df_cap)
     )
+    from pyspark import StorageLevel
+
     # over-cap shingles are few by construction (boilerplate) — broadcast
-    # ANTI join, mirroring the minhash band-bucket cap
-    grams = grams0.join(F.broadcast(hot.select("source", "g")), ["source", "g"], "left_anti")
+    # ANTI join, mirroring the minhash band-bucket cap. The capped index
+    # is consumed by sizes + both self-join sides; left lazy, each
+    # consumer re-runs the shingle explode+distinct (the token-universe
+    # shuffle) — measured r06: 8 corpus scans. Persist it: this IS the
+    # inverted index, the artifact a production similarity pipeline
+    # materializes once per corpus version.
+    grams = grams0.join(
+        F.broadcast(hot.select("source", "g")), ["source", "g"], "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -375,7 +384,17 @@ def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int =
     bit_count) — no Python.  Full DuckDB value oracle (same 60-bit
     md5_long hash, banding + cap); pure-Python twin in
     tests/test_dedup.py."""
-    fps = simhash_fingerprints_of(_dup_union(spark, sf_dir))
+    from pyspark import StorageLevel
+
+    # the voted-fingerprint aggregation is the expensive stage (token
+    # explode + md5 + 60 conditional sums); its four consumers (hot-bucket
+    # census + both self-join sides, each twice through the cap's anti
+    # join) would re-run it 4x through lineage fan-out (measured r06:
+    # 8 corpus scans) — persist the O(docs)x2-column frame instead, the
+    # materialized fingerprint-table step of a production simhash dedup
+    fps = simhash_fingerprints_of(_dup_union(spark, sf_dir)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1937,8 +1956,14 @@ def cms_heavy_hitters(
     The DuckDB oracle recomputes every cell, the threshold, and the
     per-token minima exactly over the same md5 cell algebra (integer-only
     — bit-identical cross-engine)."""
+    from pyspark import StorageLevel
+
     toks = _cms_token_stream(spark, sf_dir)
-    counts = _cms_counts(toks, depth, width)
+    # the sketch has five consumers (four per-depth broadcast slices + the
+    # row-0 total); left lazy, each re-runs the sketch-building corpus
+    # scan (measured r06: 6 scans) — persist the <= d*w-row frame so the
+    # corpus is sketched once and re-scanned once (the probe pass)
+    counts = _cms_counts(toks, depth, width).persist(StorageLevel.MEMORY_AND_DISK)
     total = counts.where(F.col("row") == 0).agg(
         F.sum("c").cast("long").alias("n_total")
     )

@@ -284,3 +284,52 @@ def test_cms_heavy_hitters_broadcast_sketch_semi_filter(spark):
     # partial aggregate on the token key
     agg = _re.search(r"HashAggregate\(keys=\[token[^\n]*partial_count[^\n]*", plan)
     assert agg is not None, plan
+
+
+def _count_file_scans(node):
+    """Per-execution parquet scans in a physical plan tree: descends into
+    the AQE wrapper and broadcast/scalar subqueries, and STOPS at
+    InMemoryTableScan boundaries — a persisted subtree materializes once
+    per cache lifetime, so its internal scans are not per-execution
+    work."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return _count_file_scans(node.initialPlan())
+    if "InMemoryTableScan" in cls:
+        return 0
+    n = 1 if cls.startswith("FileSourceScan") or cls == "BatchScanExec" else 0
+    ch = node.children()
+    for i in range(ch.size()):
+        n += _count_file_scans(ch.apply(i))
+    sq = node.subqueries()
+    for i in range(sq.size()):
+        n += _count_file_scans(sq.apply(i))
+    return n
+
+
+def test_corpus_scan_budgets(spark):
+    """Lineage-fan-out regression pin (r06): Catalyst/AQE do NOT dedup
+    structurally different consumers of a shared frame, so a lazy
+    multi-consumer plan silently re-runs its expensive upstream once per
+    consumer (minhash_jaccard_estimates was measured at 46 corpus scans
+    before its signature table was persisted). Each query below carries a
+    documented per-execution scan budget; exceeding it means a persist
+    was dropped or a new consumer re-derives the corpus."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    budgets = {
+        # fingerprint/index/sketch tables persisted -> pairs stages read
+        # caches, not parquet
+        "simhash_neardup_pairs": 2,
+        "ngram_jaccard_pairs": 2,
+        "minhash_jaccard_estimates": 4,
+        # sketch cells cached; the probe pass re-scans the corpus once
+        "cms_heavy_hitters": 2,
+        # train tokenize + score tokenize + |langs|-row prior census
+        "nb_lang_classifier": 3,
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
+        n = _count_file_scans(df._jdf.queryExecution().executedPlan())
+        assert n <= budget, f"{name}: {n} per-execution scans > budget {budget}"
+    spark.catalog.clearCache()

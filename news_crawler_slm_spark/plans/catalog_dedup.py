@@ -267,9 +267,17 @@ def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     core ``operators/incremental_dedup.py:minhash_bands`` — the same
     definition powers the incremental index, so batch and incremental can
     never drift."""
+    from pyspark import StorageLevel
+
     from ..operators.incremental_dedup import minhash_bands
 
-    banded = minhash_bands(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # the band frame feeds the hot-bucket census AND both self-join sides;
+    # left lazy each consumer re-runs the shingle->md5->min sketch pass
+    # (4 corpus scans measured r06) — persist the O(docs x 4 bands) frame,
+    # the same materialized-sketch discipline as minhash_jaccard_estimates
+    banded = minhash_bands(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     return _lsh_candidate_pairs(banded, bucket_cap)
 
 

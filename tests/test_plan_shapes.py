@@ -322,6 +322,7 @@ def test_corpus_scan_budgets(spark):
         # caches, not parquet
         "simhash_neardup_pairs": 2,
         "ngram_jaccard_pairs": 2,
+        "minhash_lsh_candidates": 2,
         "minhash_jaccard_estimates": 4,
         # sketch cells cached; the probe pass re-scans the corpus once
         "cms_heavy_hitters": 2,

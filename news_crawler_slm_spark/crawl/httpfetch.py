@@ -64,6 +64,7 @@ _ADDED_FIELDS = [
     T.StructField("publisher", T.StringType(), True),
     T.StructField("etag", T.StringType(), True),
     T.StructField("not_modified", T.BooleanType(), False),
+    T.StructField("redirect_to", T.StringType(), True),
 ]
 
 
@@ -139,7 +140,8 @@ def http_fetcher(
                 return resp, body
 
             def fetch_row(host: str, url: str, val_etag: str | None):
-                """-> (html, out_links, ok, lang, publisher, etag, not_modified)"""
+                """-> (html, out_links, ok, lang, publisher, etag,
+                not_modified, redirect_to)"""
                 nonlocal conn
                 path = path_of(url)
                 for attempt in range(max_retries + 1):
@@ -169,6 +171,7 @@ def http_fetcher(
                             None,
                             resp.headers.get("ETag") or val_etag,
                             True,
+                            None,
                         )
                     if resp.status == 200:
                         links = json.loads(resp.headers.get("X-Out-Links") or "null")
@@ -180,9 +183,33 @@ def http_fetcher(
                             resp.headers.get("X-Publisher"),
                             resp.headers.get("ETag"),
                             False,
+                            None,
                         )
+                    if resp.status in (301, 302, 303, 307, 308):
+                        # NOT auto-followed: the target lives on an
+                        # arbitrary host whose politeness budget and robots
+                        # rules must apply — the round loop re-enqueues it
+                        # through the normal discovery pipeline. A relative
+                        # Location resolves against the LOGICAL url
+                        # (RFC 9110 §10.2.2); a missing Location is a
+                        # malformed response -> failed.
+                        loc = resp.headers.get("Location")
+                        if loc:
+                            from urllib.parse import urljoin
+
+                            return (
+                                None,
+                                None,
+                                True,
+                                None,
+                                None,
+                                None,
+                                False,
+                                urljoin(url, loc),
+                            )
+                        return (None, None, False, None, None, None, False, None)
                     if resp.status < 500:  # 404 etc: permanent, no retry
-                        return (None, None, False, None, None, None, False)
+                        return (None, None, False, None, None, None, False, None)
                     # 5xx: transient — retry on the same (kept-alive) socket,
                     # honoring Retry-After (RFC 9110 §10.2.3) when the server
                     # names its own backoff, capped at the request timeout
@@ -192,7 +219,7 @@ def http_fetcher(
                             time.sleep(min(float(ra), timeout_s))
                         except ValueError:
                             pass  # HTTP-date form: fall back to politeness
-                return (None, None, False, None, None, None, False)
+                return (None, None, False, None, None, None, False, None)
 
             try:
                 for pdf in batches:
@@ -217,6 +244,7 @@ def http_fetcher(
                             "publisher",
                             "etag",
                             "not_modified",
+                            "redirect_to",
                         ],
                         index=pdf.index,
                     )

@@ -63,9 +63,13 @@ def synthetic_fetcher(web: DataFrame) -> Fetcher:
     rule: no raw-URL/html shuffles; SURVEY.md §4.3)."""
 
     def fetch(popped: DataFrame) -> DataFrame:
-        w = web.select(
-            F.col("url").alias("w_url"), "html", "out_links", "fetch_ok", "lang", "publisher"
+        # the optional redirect channel rides through when the web table
+        # declares it (a 3xx row: fetch_ok=true, html null, redirect_to set)
+        has_rd = "redirect_to" in web.columns
+        cols = ["html", "out_links", "fetch_ok", "lang", "publisher"] + (
+            ["redirect_to"] if has_rd else []
         )
+        w = web.select(F.col("url").alias("w_url"), *cols)
         # hot path: inner broadcast-hash join, build side = popped (small),
         # stream side = web scan — html stays in its scan/cache partitions.
         hits = w.join(F.broadcast(popped), popped.url == w.w_url, "inner").drop("w_url")
@@ -79,6 +83,7 @@ def synthetic_fetcher(web: DataFrame) -> Fetcher:
             F.lit(False).alias("fetch_ok"),
             F.lit(None).cast("string").alias("lang"),
             F.lit(None).cast("string").alias("publisher"),
+            *([F.lit(None).cast("string").alias("redirect_to")] if has_rd else []),
         )
         return hits.unionByName(misses)
 
@@ -188,17 +193,34 @@ def build_round(
     nm = F.col("not_modified") if has_reval else F.lit(False)
     etag_col = F.col("etag") if has_reval else F.lit(None).cast("string")
 
+    # Redirect channel (3xx, not auto-followed — politeness must apply to
+    # the TARGET host too): a fetcher may add `redirect_to` (the
+    # canonicalizable Location of a 301/302/307/308; null otherwise). A
+    # redirect row is a successful exchange with no body: logged
+    # "redirected", no pages append, no article-budget charge; the target
+    # re-enters the crawl through the NORMAL discovery pipeline below
+    # (canonicalize -> robots -> seen/frontier dedup), inheriting the
+    # source's priority and depth unchanged — a redirect is the same
+    # document at a new address, not a deeper link. Loops (a->b->a) and
+    # self-redirects terminate via the seen set: every popped URL is seen
+    # exactly once, so a chain of n distinct URLs resolves in <= n rounds
+    # and cycles die at their first revisit. Fetchers without the column
+    # behave exactly as before.
+    has_redirect = "redirect_to" in fetched_full.columns
+    rd = F.col("redirect_to") if has_redirect else F.lit(None).cast("string")
+
     log_delta = fetched_slim.select(
         F.lit(rnd).alias("round"),
         "seq",
         "host",
         "url",
         F.when(~F.col("fetch_ok"), "failed")
+        .when(rd.isNotNull(), "redirected")
         .when(nm, "revalidated")
         .otherwise("fetched")
         .alias("status"),
     )
-    pages_delta = fetched_full.where(F.col("fetch_ok") & ~nm).select(
+    pages_delta = fetched_full.where(F.col("fetch_ok") & ~nm & rd.isNull()).select(
         "url",
         clean_html_udf(F.col("html")).alias("text"),
         "lang",
@@ -210,9 +232,26 @@ def build_round(
     frontier_rest = state.frontier.join(
         popped_raw.select("url_hash"), "url_hash", "left_anti"
     )
-    candidates = discover_links(
-        ok_slim.select("url", "priority", "depth", "out_links"), robots, params, rnd
-    )
+    links_in = ok_slim.select("url", "priority", "depth", "out_links")
+    if has_redirect:
+        # redirect targets ride the SAME discovery pipeline as hrefs, with
+        # the parent's priority/depth pre-compensated (+1.0 / -1) so
+        # discover_links' order-free max(priority)-1 / min(depth)+1 merge
+        # yields priority = parent's, depth = parent's for them — and the
+        # natural max/min when the same URL is also an href target
+        links_in = ok_slim.select(
+            "url",
+            F.when(rd.isNotNull(), F.col("priority") + 1.0)
+            .otherwise(F.col("priority"))
+            .alias("priority"),
+            F.when(rd.isNotNull(), F.col("depth") - 1)
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+            F.when(rd.isNotNull(), F.array(rd))
+            .otherwise(F.col("out_links"))
+            .alias("out_links"),
+        )
+    candidates = discover_links(links_in, robots, params, rnd)
     novel = dedup_new_urls(
         candidates,
         state.seen,
@@ -224,9 +263,14 @@ def build_round(
     )
     novel = novel.join(popped_raw.select("url_hash"), "url_hash", "left_anti")
 
+    # redirects occupy their round's politeness slot (they consumed a
+    # request) but are not articles — they never charge the per-host
+    # article cap
     counts_new = (
         state.host_counts.unionByName(
-            ok_slim.groupBy("host").agg(F.count("*").alias("fetched"))
+            ok_slim.where(rd.isNull())
+            .groupBy("host")
+            .agg(F.count("*").alias("fetched"))
         )
         .groupBy("host")
         .agg(F.sum("fetched").alias("fetched"))
@@ -371,6 +415,9 @@ def run_crawl(
             F.count(F.when(F.col("status") == "revalidated", 1)).alias(
                 "revalidated"
             ),
+            F.count(F.when(F.col("status") == "redirected", 1)).alias(
+                "redirected"
+            ),
             F.count("*").alias("n"),
         )
 
@@ -384,7 +431,13 @@ def run_crawl(
                 "popped": n_popped,
                 "fetched": int(got["fetched"]),
                 "revalidated": int(got["revalidated"]),
-                "failed": int(got["n"] - got["fetched"] - got["revalidated"]),
+                "redirected": int(got["redirected"]),
+                "failed": int(
+                    got["n"]
+                    - got["fetched"]
+                    - got["revalidated"]
+                    - got["redirected"]
+                ),
             }
 
         rewrite_tables = {

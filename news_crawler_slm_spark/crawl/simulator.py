@@ -44,7 +44,19 @@ def simulate(
     params: CrawlParams = CrawlParams(),
 ) -> SimResult:
     robots_by_host = {h: (list(d or []), list(a or []), cd) for h, d, a, cd in robots}
-    web_by_url = {canonical_url(u): (html, links or [], ok, lang, pub) for u, html, links, ok, lang, pub in web}
+    # web rows may carry an optional 7th element `redirect_to` (the 3xx
+    # Location analog); 6-tuple rows behave exactly as before
+    web_by_url = {
+        canonical_url(row[0]): (
+            row[1],
+            row[2] or [],
+            row[3],
+            row[4],
+            row[5],
+            row[6] if len(row) > 6 else None,
+        )
+        for row in web
+    }
 
     res = SimResult()
     fetched_per_host: dict[str, int] = {}
@@ -96,7 +108,28 @@ def simulate(
             if hit is None or not hit[2]:
                 res.crawl_log.append((rnd, seq, h, url, "failed"))
                 continue
-            html, links, _ok, lang, pub = hit
+            html, links, _ok, lang, pub, redirect_to = hit
+            if redirect_to is not None:
+                # 3xx: no body, no article-budget charge; the target joins
+                # discovery at the SOURCE's priority and depth (a redirect
+                # is the same document at a new address). Loops terminate
+                # via the seen set.
+                res.crawl_log.append((rnd, seq, h, url, "redirected"))
+                cu2 = canonical_url(redirect_to)
+                if is_fetchable(cu2):
+                    ch2 = host_of(cu2)
+                    dis2, allow2, _cd2 = robots_by_host.get(ch2, (None, None, None))
+                    if (
+                        not is_disallowed(cu2, dis2, allow2)
+                        and cu2 not in res.seen
+                        and cu2 not in res.frontier
+                    ):
+                        if cu2 in discovered:
+                            ph, ppr, pdep = discovered[cu2]
+                            discovered[cu2] = (ph, max(ppr, pr), min(pdep, dep))
+                        else:
+                            discovered[cu2] = (ch2, pr, dep)
+                continue
             res.crawl_log.append((rnd, seq, h, url, "fetched"))
             fetched_per_host[h] = fetched_per_host.get(h, 0) + 1
             text = clean_html(html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html)

@@ -86,6 +86,15 @@ WEB = T.StructType(
     ]
 )
 
+# WEB plus the optional redirect channel: a 3xx row carries fetch_ok=true,
+# html/out_links null, and redirect_to = the Location target. Fetchers
+# propagate the column when the web table declares it; the crawl round
+# logs such rows "redirected" and re-enqueues the target through the
+# normal discovery pipeline (crawl/rounds.py).
+WEB_REDIRECTS = T.StructType(
+    WEB.fields + [T.StructField("redirect_to", T.StringType(), True)]
+)
+
 CRAWL_LOG = T.StructType(
     [
         T.StructField("round", T.IntegerType(), False),

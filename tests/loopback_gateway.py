@@ -27,10 +27,15 @@ class Gateway:
         # when set, transient 503s carry a Retry-After header (RFC 9110
         # delta-seconds; fractional here only to keep tests fast)
         self.retry_after = retry_after
-        # corpus keyed by (host, path): url -> row fields
+        # corpus keyed by (host, path): url -> row fields; rows may carry
+        # an optional 7th element redirect_to (served as a 301 + Location)
         self.pages = {}
-        for url, html, links, ok, lang, publisher in web_rows:
-            self.pages[(host_of(url), path_of(url))] = (html, links, ok, lang, publisher)
+        for row in web_rows:
+            url, html, links, ok, lang, publisher = row[:6]
+            redirect_to = row[6] if len(row) > 6 else None
+            self.pages[(host_of(url), path_of(url))] = (
+                html, links, ok, lang, publisher, redirect_to,
+            )
         self.flaky = dict.fromkeys(flaky_urls, 0)  # url -> times 503'd so far
         self.request_log: list[tuple[str, float, str]] = []
         # conditional-GET log: (url, if_none_match_header, status_returned)
@@ -68,8 +73,10 @@ class Gateway:
                     self._respond(404, b"not found")
                 elif not page[2]:  # corpus fetch_ok=False -> permanent 5xx
                     self._respond(503, b"down")
+                elif page[5] is not None:  # redirect row: 301 + Location
+                    self._respond(301, b"", {"Location": page[5]})
                 else:
-                    html, links, _ok, lang, publisher = page
+                    html, links, _ok, lang, publisher, _rt = page
                     etag = _etag_of(html)
                     if inm is not None and inm == etag:
                         # RFC 9110 §15.4.5: empty body, validator repeated
@@ -110,8 +117,8 @@ class Gateway:
         edited between crawls, so a conditional GET sees 200 + new body."""
         key = (host_of(url), path_of(url))
         with self._lock:
-            _old, links, ok, lang, publisher = self.pages[key]
-            self.pages[key] = (html, links, ok, lang, publisher)
+            _old, links, ok, lang, publisher, redirect_to = self.pages[key]
+            self.pages[key] = (html, links, ok, lang, publisher, redirect_to)
 
     def per_host_request_times(self) -> dict[str, list[float]]:
         with self._lock:

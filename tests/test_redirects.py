@@ -1,0 +1,191 @@
+"""Redirect (3xx) crawl semantics — engine ≡ simulator on a crafted web.
+
+A crawler must NOT auto-follow redirects: the Location target lives on an
+arbitrary host whose politeness budget and robots rules apply, so the
+engine logs the source "redirected" and re-enqueues the target through the
+normal discovery pipeline (canonicalize → robots → seen/frontier dedup),
+inheriting the source's priority and depth unchanged (a redirect is the
+same document at a new address, not a deeper link). Loops and
+self-redirects terminate via the seen set. Reference parity note: the
+reference's sequential crawler delegates redirect following to its HTTP
+library (/root/reference/data_extraction/crawl_articles.py uses
+newspaper's fetch); a distributed frontier has to schedule the target
+explicitly — this is the engine's from-scratch semantics for that.
+
+The crafted corpus exercises: a same-host chain, a cross-host redirect, a
+two-node loop, a self-redirect, a robots-disallowed target, and the
+priority/depth inheritance rule (pinned directly on the mid-crawl
+frontier of both engine and simulator).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from news_crawler_slm_spark import schemas
+from news_crawler_slm_spark.crawl.rounds import run_crawl, synthetic_fetcher
+from news_crawler_slm_spark.crawl.semantics import CrawlParams
+from news_crawler_slm_spark.crawl.simulator import simulate
+from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+from tests.crawl_shared import _crawl_log
+
+A = "https://a.example.com"
+B = "https://b.example.com"
+HTML = (
+    b"<html><head><title>t</title></head>"
+    b"<body><p>hello world article body content here</p></body></html>"
+)
+
+# (url, html, out_links, fetch_ok, lang, publisher, redirect_to)
+WEB = [
+    (
+        f"{A}/start",
+        HTML,
+        [f"{A}/r1", f"{A}/r2", f"{A}/rloop", f"{A}/rdis", f"{A}/rself"],
+        True,
+        "en",
+        "PubA",
+        None,
+    ),
+    (f"{A}/r1", None, None, True, None, None, f"{A}/page1"),
+    (f"{A}/page1", HTML, [], True, "en", "PubA", None),
+    (f"{A}/r2", None, None, True, None, None, f"{B}/page2"),
+    (f"{B}/page2", HTML, [], True, "en", "PubB", None),
+    (f"{A}/rloop", None, None, True, None, None, f"{A}/rloop2"),
+    (f"{A}/rloop2", None, None, True, None, None, f"{A}/rloop"),
+    (f"{A}/rself", None, None, True, None, None, f"{A}/rself"),
+    (f"{A}/rdis", None, None, True, None, None, f"{B}/private"),
+    (f"{B}/private", HTML, [], True, "en", "PubB", None),
+]
+SEEDS = [(f"{A}/start", "a.example.com", "PubA", 1, False, 1.0)]
+ROBOTS = [
+    ("a.example.com", [], [], None),
+    ("b.example.com", ["/private"], [], None),
+]
+PARAMS = CrawlParams(round_budget=6.0, max_articles=12, max_rounds=8)
+
+
+def _frames(spark):
+    return (
+        spark.createDataFrame(WEB, schemas.WEB_REDIRECTS),
+        spark.createDataFrame(SEEDS, schemas.SEEDS),
+        spark.createDataFrame(ROBOTS, schemas.ROBOTS),
+    )
+
+
+@pytest.fixture(scope="module")
+def sim_full():
+    return simulate(SEEDS, ROBOTS, WEB, PARAMS)
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("redirect_crawl") / "cat")
+    web, seeds, robots = _frames(spark)
+    state = run_crawl(spark, root, seeds, robots, synthetic_fetcher(web), PARAMS)
+    return state, SnapshotCatalog(spark, root)
+
+
+def test_engine_matches_simulator_with_redirects(engine_run, sim_full):
+    _state, catalog = engine_run
+    assert _crawl_log(catalog) == sim_full.crawl_log
+    got_seen = {r["url"] for r in catalog.read_table("seen").collect()}
+    assert got_seen == sim_full.seen
+    got_pages = {r["url"] for r in catalog.read_table("pages").collect()}
+    assert got_pages == set(sim_full.pages)
+
+
+def test_redirect_semantics_in_the_log(sim_full):
+    by_status: dict[str, set[str]] = {}
+    for _r, _s, _h, url, status in sim_full.crawl_log:
+        by_status.setdefault(status, set()).add(url)
+    # every redirect page is logged redirected, never fetched/failed
+    assert by_status["redirected"] == {
+        f"{A}/r1", f"{A}/r2", f"{A}/rloop", f"{A}/rloop2", f"{A}/rself", f"{A}/rdis"
+    }
+    assert by_status["fetched"] == {f"{A}/start", f"{A}/page1", f"{B}/page2"}
+    # redirect sources never produce pages; targets do
+    assert set(sim_full.pages) == {f"{A}/start", f"{A}/page1", f"{B}/page2"}
+    # the loop, the self-redirect, and the disallowed target died: frontier
+    # drained and /private was never scheduled
+    assert sim_full.frontier == {}
+    assert f"{B}/private" not in sim_full.seen
+
+
+def test_target_inherits_priority_and_depth(spark, tmp_path):
+    """After round 2 (seed fetched, redirect pages popped) the pending
+    targets must carry the SOURCE's priority and depth — priority 0.0 and
+    depth 1, not the child_priority/-depth+1 a plain href would get — in
+    both engines."""
+    two = CrawlParams(round_budget=6.0, max_articles=12, max_rounds=2)
+    sim2 = simulate(SEEDS, ROBOTS, WEB, two)
+    assert sim2.frontier[f"{A}/page1"] == ("a.example.com", 0.0, 1, 2)
+    assert sim2.frontier[f"{B}/page2"] == ("b.example.com", 0.0, 1, 2)
+
+    web, seeds, robots = _frames(spark)
+    root = str(tmp_path / "cat2")
+    run_crawl(spark, root, seeds, robots, synthetic_fetcher(web), two)
+    catalog = SnapshotCatalog(spark, root)
+    rows = {
+        r["url"]: (r["host"], r["priority"], r["depth"], r["discovered_round"])
+        for r in catalog.read_table("frontier").collect()
+    }
+    assert rows[f"{A}/page1"] == ("a.example.com", 0.0, 1, 2)
+    assert rows[f"{B}/page2"] == ("b.example.com", 0.0, 1, 2)
+    assert set(rows) == set(sim2.frontier)
+
+
+def test_redirect_counters(engine_run):
+    _state, catalog = engine_run
+    per_round = {
+        s.counters["round"]: s.counters
+        for s in catalog.lineage()
+        if "round" in s.counters
+    }
+    # round 2 pops the five redirect pages discovered from the seed; round
+    # 3 pops the loop's second hop (plus the two real targets)
+    assert per_round[2]["redirected"] == 5
+    assert per_round[3]["redirected"] == 1
+    assert per_round[2]["failed"] == 0 and per_round[3]["failed"] == 0
+    assert per_round[3]["fetched"] == 2
+
+
+def test_http_fetcher_redirects_match_simulator(spark, tmp_path, sim_full):
+    """The REAL HTTP form: the gateway serves the redirect rows as genuine
+    301 + Location responses, http_fetcher captures them WITHOUT following
+    (http.client never auto-follows; the target must wait for its own
+    host's politeness slot), and the committed crawl state is identical to
+    the synthetic-join fetcher and the sequential simulator — redirect
+    handling is fetcher-implementation-independent."""
+    import dataclasses
+
+    from loopback_gateway import Gateway
+
+    from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+
+    gw = Gateway(WEB)
+    try:
+        _web, seeds, robots = _frames(spark)
+        fetcher = http_fetcher(gw.url, crawl_delays={}, timeout_s=5.0, max_retries=2)
+        params = dataclasses.replace(PARAMS, cache_fetch=True)
+        root = str(tmp_path / "http_redirect_cat")
+        run_crawl(spark, root, seeds, robots, fetcher, params)
+        catalog = SnapshotCatalog(spark, root)
+
+        assert _crawl_log(catalog) == sim_full.crawl_log
+        assert {
+            r["url"] for r in catalog.read_table("seen").collect()
+        } == sim_full.seen
+        assert {
+            r["url"] for r in catalog.read_table("pages").collect()
+        } == set(sim_full.pages)
+        # the redirect exchanges really happened over the wire: each 3xx
+        # source was requested exactly once and never re-fetched
+        reqs = [f"https://{h}{p}" for h, _t, p in gw.request_log]
+        for u in (f"{A}/r1", f"{A}/r2", f"{A}/rloop", f"{A}/rloop2", f"{A}/rself"):
+            assert reqs.count(u) == 1, u
+        # the disallowed target was never requested (robots gated it out of
+        # the frontier, so no politeness slot was ever spent on it)
+        assert f"{B}/private" not in reqs
+    finally:
+        gw.close()

@@ -113,6 +113,10 @@ class RoundDeltas:
     pages_delta: DataFrame
     log_delta: DataFrame
     host_delays: DataFrame | None = None  # full rewrite (adaptive politeness)
+    # append: (round, source_url, target_url) per redirect observed this
+    # round — the provenance the crawl_log's bare "redirected" status
+    # lacks. None when the fetcher has no redirect channel.
+    aliases_delta: DataFrame | None = None
 
 
 def _empty(spark: SparkSession, ddl: str) -> DataFrame:
@@ -304,6 +308,20 @@ def build_round(
             )
         )
 
+    aliases_delta = None
+    if has_redirect:
+        from ..functions import urls as U
+
+        # the alias FACT is the redirect itself — recorded for every 3xx
+        # row regardless of whether robots/seen gates later drop the
+        # target from the frontier; target stored CANONICALIZED so it
+        # joins the engine's url identity everywhere else
+        aliases_delta = fetched_slim.where(rd.isNotNull()).select(
+            F.lit(rnd).alias("round"),
+            F.col("url").alias("source_url"),
+            U.canonical_url(rd).alias("target_url"),
+        )
+
     deltas = RoundDeltas(
         frontier=frontier_rest.unionByName(novel),
         host_counts=counts_new,
@@ -311,6 +329,7 @@ def build_round(
         pages_delta=pages_delta,
         log_delta=log_delta,
         host_delays=delays_new,
+        aliases_delta=aliases_delta,
     )
     return deltas, popped_raw, cache_handle, n_popped, pop_latency
 
@@ -468,14 +487,17 @@ def run_crawl(
             except KeyError:
                 pass  # first round: no committed register table yet
             rewrite_tables["host_url_hll"] = new_regs
+        appends = {
+            "seen": deltas.seen_delta,
+            "pages": deltas.pages_delta,
+            "crawl_log": log_observed,
+        }
+        if deltas.aliases_delta is not None:
+            appends["url_aliases"] = deltas.aliases_delta
         snap = catalog.commit(
             rnd,
             tables=rewrite_tables,
-            appends={
-                "seen": deltas.seen_delta,
-                "pages": deltas.pages_delta,
-                "crawl_log": log_observed,
-            },
+            appends=appends,
             counters=counters_fn,
             output_partitions=output_partitions,
             # frontier/seen live bucket-partitioned on disk: per-bucket scans

@@ -35,6 +35,9 @@ class SimResult:
     frontier: dict[str, tuple[str, float, int, int]] = field(default_factory=dict)
     # url -> (host, priority, depth, discovered_round)
     rounds_run: int = 0
+    # (round, source_url, canonical target_url) per redirect observed —
+    # recorded for every 3xx regardless of later robots/seen gating
+    aliases: set[tuple[int, str, str]] = field(default_factory=set)
 
 
 def simulate(
@@ -116,6 +119,7 @@ def simulate(
                 # via the seen set.
                 res.crawl_log.append((rnd, seq, h, url, "redirected"))
                 cu2 = canonical_url(redirect_to)
+                res.aliases.add((rnd, url, cu2))
                 if is_fetchable(cu2):
                     ch2 = host_of(cu2)
                     dis2, allow2, _cd2 = robots_by_host.get(ch2, (None, None, None))

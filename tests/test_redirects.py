@@ -95,6 +95,20 @@ def test_engine_matches_simulator_with_redirects(engine_run, sim_full):
     assert got_pages == set(sim_full.pages)
 
 
+def test_url_alias_table(engine_run, sim_full):
+    """Every redirect leaves a (round, source, canonical target) row in
+    the url_aliases append table — the provenance the crawl_log's bare
+    "redirected" status lacks (recorded even when robots/seen gates drop
+    the target from the frontier, e.g. the disallowed /private hop)."""
+    _state, catalog = engine_run
+    got = {
+        (r["round"], r["source_url"], r["target_url"])
+        for r in catalog.read_table("url_aliases").collect()
+    }
+    assert got == sim_full.aliases
+    assert (2, f"{A}/rdis", f"{B}/private") in got
+
+
 def test_redirect_semantics_in_the_log(sim_full):
     by_status: dict[str, set[str]] = {}
     for _r, _s, _h, url, status in sim_full.crawl_log:

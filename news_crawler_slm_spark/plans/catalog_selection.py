@@ -192,7 +192,17 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    # the trained LM is persisted (train-once discipline): its two
+    # consumers (per-lang totals + the log-prob dim) and the scoring pass
+    # all read the vocab-sized cache instead of re-running the tokenize
+    # aggregation (3 corpus scans measured r06 before this)
+    from pyspark import StorageLevel
+
+    vocab = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = vocab.groupBy("lang").agg(F.sum("c").alias("n"))
     dim = vocab.join(F.broadcast(tot), "lang").select(
         "lang",
@@ -201,10 +211,14 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         .cast("long")
         .alias("lnp_micro"),
     )
+    # per-doc scores persist too: the size-gate's eager collect below is
+    # then the ONE materialization — without it the rank stage re-ran the
+    # whole score pipeline from parquet after the collect already had
     per = (
         toks.join(F.broadcast(dim), ["lang", "tok"])
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_tokens"), F.sum("lnp_micro").alias("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sized = per.groupBy("lang").agg(F.count("*").alias("lang_docs"))
     # size-aware dispatch (r06): the per-lang doc counts are already on
@@ -558,9 +572,19 @@ def stupid_backoff_scores(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
     norm = ws_normalize(F.lower(F.col("text")))
+    from pyspark import StorageLevel
+
     big = d.select("doc_id", "lang", F.explode(word_windows(norm, 2)).alias("g"))
     train_big = big.where(F.col("lang") == _SB_TRAIN_LANG)
-    bc = train_big.groupBy("g").agg(F.count("*").alias("c12"))
+    # both trained dims persist (train-once discipline): bc feeds the
+    # context totals AND the bigram dim, uc feeds N AND the unigram dim —
+    # left lazy each pair re-ran its training scan (6 corpus scans
+    # measured r06; 3 after: bigram train, unigram train, score pass)
+    bc = (
+        train_big.groupBy("g")
+        .agg(F.count("*").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bc = bc.withColumn("w1", F.split("g", " ").getItem(0))
     ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     bdim = bc.join(ctx, "w1").select(
@@ -572,7 +596,11 @@ def stupid_backoff_scores(spark, sf_dir):
     train_toks = d.where(F.col("lang") == _SB_TRAIN_LANG).select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
-    uc = train_toks.groupBy("tok").agg(F.count("*").alias("cu"))
+    uc = (
+        train_toks.groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n = uc.agg(F.sum("cu").alias("nt"))
     udim = uc.crossJoin(F.broadcast(n)).select(
         "tok",

@@ -328,6 +328,10 @@ def test_corpus_scan_budgets(spark):
         "cms_heavy_hitters": 2,
         # train tokenize + score tokenize + |langs|-row prior census
         "nb_lang_classifier": 3,
+        # trained LM dims persisted (train-once): per-execution scans are
+        # the score pass at most; training scans run once at cache fill
+        "ccnet_perplexity_buckets": 2,
+        "stupid_backoff_scores": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")

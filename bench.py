@@ -129,6 +129,10 @@ HEADLINE = [
     "cms_heavy_hitters",
     "image_resize_png",
     "audio_decode_wav",
+    # r06 wave 4: context-window chunking — map-only (scan → sequence/
+    # explode → project, zero Exchange), so its number is the ceiling on
+    # any "split the corpus into training sequences" pass
+    "doc_token_chunks",
 ]
 
 

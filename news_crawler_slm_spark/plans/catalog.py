@@ -1146,6 +1146,71 @@ def token_budget_packing(spark, sf_dir):
     )
 
 
+_CHUNK_TOKENS = 128  # context-window size in whitespace tokens
+_CHUNK_STRIDE = 96  # overlap = 128 - 96 = 32 tokens between neighbors
+
+
+@register(
+    "doc_token_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, tk, length(tk) AS n,
+             unnest(range(1, length(tk) + 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_TOKENS}, n - start_tok + 1) AS BIGINT) AS n_tok,
+           array_to_string(tk[start_tok:start_tok + {_CHUNK_TOKENS} - 1], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def doc_token_chunks(spark, sf_dir):
+    """Context-window chunking: split each document into overlapping
+    fixed-size token windows (128 tokens, stride 96) — the standard
+    long-document → training-sequence step (the reference tokenizes whole
+    articles on one process in finetune_model.py's dataset prep; a 100 TB
+    corpus needs the chunker itself distributed).
+
+    Chunk starts are 1, 1+stride, ... <= n_tokens, so every token is
+    covered and neighboring chunks share ``chunk - stride`` tokens; tail
+    chunks are shorter (``n_tok`` carries the actual length).
+
+    Scale shape: map-only — one scan, a per-row ``sequence``/``explode``
+    whose fan-out is n_tokens/stride, zero shuffles (the physical plan is
+    Scan → Project → Generate, asserted in tests/test_pipeline.py).
+    Output row order inherits the scan; downstream packing re-keys it.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = d.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    return s.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / F.lit(_CHUNK_STRIDE))
+        .cast("long")
+        .alias("chunk_id"),
+        F.col("start_tok").cast("long"),
+        F.least(F.lit(_CHUNK_TOKENS), F.size("tk") - F.col("start_tok") + 1)
+        .cast("long")
+        .alias("n_tok"),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("start_tok"), F.lit(_CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
+
+
 @register(
     "benchmark_decontamination",
     r"""

@@ -658,3 +658,47 @@ def test_corpus_from_crawl_incremental_cdc(spark, tmp_path):
     }
     assert not (got_docs & pre_only)
     res.docs.unpersist()
+
+
+def test_doc_token_chunks_map_only_plan_and_coverage(spark):
+    """doc_token_chunks must be map-only (Scan → Project → Generate, zero
+    Exchange — the chunker itself has no reason to shuffle at 100 TB) and
+    its chunks must tile every token: starts are 1, 1+stride, ...; each
+    chunk carries min(chunk, n - start + 1) tokens; concatenating the
+    non-overlapping prefixes (first `stride` tokens of every chunk plus
+    the last chunk's tail) reproduces the document."""
+    from news_crawler_slm_spark.plans.catalog import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        REGISTRY,
+    )
+
+    fn, _ = REGISTRY["doc_token_chunks"]
+    out = fn(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_text"])
+         for r in out.collect())
+    )
+    by_doc: dict = {}
+    for doc_id, chunk_id, start, n_tok, text in rows:
+        by_doc.setdefault(doc_id, []).append((chunk_id, start, n_tok, text))
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        n = len(toks)
+        want_starts = list(range(1, n + 1, _CHUNK_STRIDE))
+        assert [s for _, s, _, _ in chunks] == want_starts
+        assert [c for c, _, _, _ in chunks] == list(range(len(want_starts)))
+        for _, start, n_tok, text in chunks:
+            want = toks[start - 1 : start - 1 + _CHUNK_TOKENS]
+            assert n_tok == len(want) == min(_CHUNK_TOKENS, n - start + 1)
+            assert text == " ".join(want)

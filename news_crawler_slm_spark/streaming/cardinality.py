@@ -71,8 +71,18 @@ def stream_hll_registers(
         delta = hll_registers(batch_df, col, p)
         # content fingerprint (ADVICE r05): the batch's input-file set
         # when file-backed; else the m-row-max delta registers (the batch
-        # already reduces to them — one O(2^p) collect, never the keys)
-        files = sorted(batch_df.inputFiles())
+        # already reduces to them — one O(2^p) collect, never the keys).
+        # batch_df.inputFiles() is [] inside foreachBatch (the micro-batch
+        # is an internal relation, not a file scan), so the file identity
+        # comes from per-row input_file_name() — a low-cardinality
+        # map-side-combined distinct, O(#batch files) driver rows
+        files = sorted(
+            r["_f"]
+            for r in batch_df.select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()
+            if r["_f"]
+        )
         if files:
             fp = hashlib.md5("\n".join(files).encode()).hexdigest()
         else:

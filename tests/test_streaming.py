@@ -544,3 +544,76 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, tmp_path):
     assert got3 == want3
     exact3 = len({r[0] for r in _BATCH1 + _BATCH2 + batch3})
     assert abs(current_estimate(spark, root) - exact3) / exact3 < 0.05
+
+
+def test_streaming_cms_cells_equal_batch_sketch(spark, tmp_path):
+    """Streaming frequency (streaming/frequency.py): folding the files
+    through the exactly-once CMS sink must yield the IDENTICAL cell table
+    as one batch cms_table over the union — the end-to-end proof of the
+    sum-merge algebra — and estimates must be overcounts-only vs exact.
+    Because cell merge is ADDITION (not idempotent like HLL max), the
+    dedup bar is higher: a drained re-run commits nothing, a fresh
+    checkpoint over the same files folds nothing, and a fresh checkpoint
+    WITH new files folds exactly the new files' rows (the folded-file
+    ledger — re-folding history would double-count every cell)."""
+    from news_crawler_slm_spark.operators.cms import cms_table
+    from news_crawler_slm_spark.sources.tables import SnapshotCatalog
+    from news_crawler_slm_spark.streaming.frequency import (
+        CELLS_TABLE,
+        current_counts,
+        stream_cms_cells,
+    )
+
+    src = str(tmp_path / "pages")
+    root = str(tmp_path / "cms_cat")
+    ckpt = str(tmp_path / "cms_ckpt")
+    _write_pages(spark, src, _BATCH1)
+    _write_pages(spark, src, _BATCH2)
+
+    def cells(df):
+        return {(r["row"], r["col"]): r["cnt"] for r in df.collect()}
+
+    stream_cms_cells(pages_stream(spark, src).drop("html"), root, ckpt, "url").awaitTermination()
+
+    cat = SnapshotCatalog(spark, root)
+    batch = spark.createDataFrame(_BATCH1 + _BATCH2, schemas.PAGES)
+    want = cells(cms_table(batch, "url"))
+    assert cells(cat.read_table(CELLS_TABLE)) == want
+
+    # estimates: overestimate-only, and exact here (tiny key set, w >> keys)
+    items = spark.createDataFrame(
+        [("https://a/p1",), ("https://c/p1",), ("https://never/x",)], "url string"
+    )
+    got = {r["url"]: r["estimate"] for r in current_counts(spark, root, items, "url").collect()}
+    true = {}
+    for u, *_ in _BATCH1 + _BATCH2:
+        true[u] = true.get(u, 0) + 1
+    assert got["https://a/p1"] >= true["https://a/p1"]
+    assert got["https://c/p1"] >= true["https://c/p1"]
+    assert got["https://a/p1"] == 3 and got["https://c/p1"] == 1
+    assert got["https://never/x"] >= 0
+
+    # drained stream: nothing new, nothing committed
+    before = cat.current_snapshot_id()
+    stream_cms_cells(pages_stream(spark, src).drop("html"), root, ckpt, "url").awaitTermination()
+    assert cat.current_snapshot_id() == before
+
+    # fresh checkpoint, SAME files: batch 0 re-batches all of history —
+    # every file is on the ledger, so the sink folds nothing (a content-
+    # keyed HLL-style re-fold here would DOUBLE every cell count)
+    ckpt2 = str(tmp_path / "cms_ckpt2")
+    stream_cms_cells(pages_stream(spark, src).drop("html"), root, ckpt2, "url").awaitTermination()
+    assert cells(cat.read_table(CELLS_TABLE)) == want
+
+    # fresh checkpoint WITH new files: only the new files' rows fold
+    batch3 = [
+        ("https://a/p1", _ts(3, 0), None, "dup once more", "en", "A", 7),
+        ("https://d/p1", _ts(3, 5), None, "quatro", "pt", "D", 8),
+    ]
+    _write_pages(spark, src, batch3)
+    ckpt3 = str(tmp_path / "cms_ckpt3")
+    stream_cms_cells(pages_stream(spark, src).drop("html"), root, ckpt3, "url").awaitTermination()
+    all_rows = spark.createDataFrame(_BATCH1 + _BATCH2 + batch3, schemas.PAGES)
+    assert cells(cat.read_table(CELLS_TABLE)) == cells(cms_table(all_rows, "url"))
+    got3 = {r["url"]: r["estimate"] for r in current_counts(spark, root, items, "url").collect()}
+    assert got3["https://a/p1"] == 4

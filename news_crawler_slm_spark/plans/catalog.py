@@ -836,6 +836,12 @@ def unigram_perplexity(spark, sf_dir):
     # The quantization runs ONCE PER VOCAB ENTRY (inside the broadcast dim,
     # |vocab| rows), not per token occurrence — the r03->r04 fix for the
     # measured ~15% cost of the exactness pass (scripts/drift_ab.py).
+    # NOT persisted (unlike ccnet/stupid-backoff): every frame here has
+    # exactly ONE consumer, so there is no lineage fan-out to cut — a
+    # persist would add a per-execution cache fill for nothing (measured
+    # r06: 0.45 → 0.58 s at sf0.1 before this was reverted). The 3 scans
+    # are 3 distinct pipeline stages: vocab train, the column-pruned
+    # total, the score pass.
     probs = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
         F.round(F.log(F.col("c") / F.col("n")) * F.lit(1000000.0), 0)
@@ -918,8 +924,15 @@ def bigram_perplexity(spark, sf_dir):
     big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
     bc = big.groupBy("g").agg(F.count("*").alias("c12"))
     bc = bc.withColumn("w1", F.split("g", " ").getItem(0))
-    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    probs = bc.join(ctx, "w1").select(
+    # context totals as a window over the aggregated dim — ONE pipeline:
+    # the groupBy(w1)+join-back twin recomputed the whole explode+count
+    # train scan for the second consumer (3 corpus scans), and persisting
+    # the |bigrams|-row dim instead cost more than the saved scan
+    # (measured r06: 0.94 → 1.61 s at sf0.1). The window's partition key
+    # is dim-sized (rows per w1 <= |vocab|), never corpus-sized.
+    probs = bc.withColumn(
+        "c1", F.sum("c12").over(Window.partitionBy("w1"))
+    ).select(
         "g",
         F.round(F.log(F.col("c12") / F.col("c1")) * F.lit(1000000.0), 0)
         .cast("long")
@@ -1547,7 +1560,16 @@ def temperature_mixture_sample(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
     target = 250.0
-    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    from pyspark import StorageLevel
+
+    # the per-source census persists (O(#sources) rows): its two
+    # consumers (the z normalizer and the rates dim) and nothing else
+    # re-scan the corpus — per-execution work is the keep pass alone
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = counts.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"))
     rates = counts.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -362,6 +362,15 @@ def dsir_importance_weights(spark, sf_dir):
     hashed = vocab.select(
         "tok", "c_raw", "c_tgt", (rk % F.lit(B)).alias("bucket")
     )
+    from pyspark import StorageLevel
+
+    # the |vocab|-row hashed census persists (train-once discipline): its
+    # consumers — the bucket census chain (bkt → totals → log-ratio dim)
+    # and the per-token bucket mapping — read the cache instead of each
+    # re-running the tokenize+vocab training scan, leaving the score pass
+    # as the only per-execution corpus scan. dsir_resample inherits this
+    # through its call here.
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)
     bkt = hashed.groupBy("bucket").agg(
         F.sum("c_raw").alias("cr"), F.sum("c_tgt").alias("ct")
     )

@@ -332,6 +332,13 @@ def test_corpus_scan_budgets(spark):
         # the score pass at most; training scans run once at cache fill
         "ccnet_perplexity_buckets": 2,
         "stupid_backoff_scores": 3,
+        # r06 wave 4: dsir's |vocab|-row census and temperature's
+        # per-source census persisted (multi-consumer fan-out cut to the
+        # score/keep pass); bigram's context totals folded into a window
+        # over the aggregated dim (train + score scans, no cache)
+        "bigram_perplexity": 2,
+        "dsir_importance_weights": 1,
+        "temperature_mixture_sample": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")

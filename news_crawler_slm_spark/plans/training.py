@@ -4,7 +4,12 @@ The catalog exposes each training-data operator as a standalone oracle-
 checked query; this module composes them the way a real corpus job runs
 them, as one plan:
 
-    quality gate → exact dedup → near-dup dedup → shuffle → budget pack
+    quality gate → exact dedup → near-dup dedup → [chunk] → shuffle → pack
+
+(the chunk stage is opt-in via ``chunk_tokens``: survivors are re-cut
+into overlapping context windows — the ``doc_token_chunks`` shape,
+map-only — and the shuffle/pack unit becomes the chunk, keyed on
+``knuth(md5_long(doc_id:chunk_id))``)
 
 - quality gate: either the streaming-shared Column heuristics
   (streaming/quality.py, gate="heuristic" — zero-shuffle, the stream
@@ -60,6 +65,15 @@ class TrainingPrepParams:
     # flagship pipeline should actually run. Survivors still carry
     # n_tokens (attached after the gate) for the packing stage.
     gate: str = "heuristic"
+    # context-window chunking between dedup and shuffle (the
+    # doc_token_chunks stage): surviving documents are split into
+    # overlapping chunk_tokens-sized windows at chunk_stride (default =
+    # chunk_tokens, i.e. non-overlapping), and the shuffle/pack unit
+    # becomes the CHUNK — rows gain a chunk_id and shuffle_key derives
+    # from md5_long(doc_id:chunk_id) so chunk order is deterministic and
+    # decorrelated from document order. None = pack whole documents.
+    chunk_tokens: int | None = None
+    chunk_stride: int | None = None
 
 
 @contextmanager
@@ -143,9 +157,46 @@ def _build_training_data(
         keep = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
         deduped = exact_deduped.join(keep, "doc_id", "left_semi")
 
-    keyed = deduped.withColumn(
-        "shuffle_key", knuth_shuffle_key(F.col("doc_id"))
-    )
+    id_cols = ["doc_id"]
+    if params.chunk_tokens:
+        from ..functions.hashing import md5_long
+
+        C = params.chunk_tokens
+        S = params.chunk_stride or C
+        if S < 1 or C < 1:
+            raise ValueError(
+                f"bad chunking: chunk_tokens={C} chunk_stride={S}"
+            )
+        tk = F.split(F.trim(F.col("text")), r"\s+")
+        # map-only re-sequencing (the doc_token_chunks shape): zero
+        # exchanges added here — the chunk rows flow straight into the
+        # shuffle-key projection and the prefix-sum pack
+        deduped = (
+            deduped.select(
+                "doc_id",
+                tk.alias("__tk"),
+                F.explode(
+                    F.sequence(F.lit(1), F.size(tk), F.lit(S))
+                ).alias("__start"),
+            )
+            .select(
+                "doc_id",
+                ((F.col("__start") - 1) / F.lit(S)).cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(F.col("__tk"), F.col("__start"), F.lit(C)), " "
+                ).alias("text"),
+                F.least(F.lit(C), F.size("__tk") - F.col("__start") + 1)
+                .cast("long")
+                .alias("n_tokens"),
+            )
+        )
+        id_cols = ["doc_id", "chunk_id"]
+        shuffle_src = md5_long(
+            F.concat_ws(":", F.col("doc_id"), F.col("chunk_id"))
+        )
+    else:
+        shuffle_src = F.col("doc_id")
+    keyed = deduped.withColumn("shuffle_key", knuth_shuffle_key(shuffle_src))
     # the prefix sum traverses its input three times (bounds agg, bucket
     # totals, final window); persist so the dedup join runs once — the two
     # control aggregations then read the materialized partitions
@@ -158,7 +209,7 @@ def _build_training_data(
     if exact_deduped is not None:
         exact_deduped.unpersist()
     result = packed.select(
-        "doc_id",
+        *id_cols,
         "text",
         "n_tokens",
         "shuffle_key",

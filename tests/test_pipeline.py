@@ -702,3 +702,73 @@ def test_doc_token_chunks_map_only_plan_and_coverage(spark):
             want = toks[start - 1 : start - 1 + _CHUNK_TOKENS]
             assert n_tok == len(want) == min(_CHUNK_TOKENS, n - start + 1)
             assert text == " ".join(want)
+
+
+def test_prepare_training_data_chunked_matches_sequential_oracle(spark):
+    """gate → exact-dedup → context-window chunking → shuffle → pack as
+    one plan: chunks (not documents) are the shuffle/pack unit, keyed on
+    knuth(md5_long(doc_id:chunk_id)) so the epoch order is deterministic
+    and decorrelated from document order. The python oracle replays every
+    stage sequentially."""
+    from news_crawler_slm_spark.functions.hashing import md5_long_py
+    from news_crawler_slm_spark.plans.training import (
+        TrainingPrepParams,
+        prepare_training_data,
+    )
+
+    docs = []
+    for i in range(40):
+        if i % 11 == 0:
+            text = "tiny"  # fails min_tokens
+        elif i % 7 == 3:
+            text = "alpha beta gamma delta epsilon zeta eta theta"  # exact dups
+        else:
+            text = " ".join(f"w{i}t{j}" for j in range(3 + (i * 5) % 13))
+        docs.append((i, text))
+
+    params = TrainingPrepParams(
+        min_tokens=3,
+        max_punct_ratio=0.5,
+        token_budget=16,
+        neardup=False,
+        chunk_tokens=6,
+        chunk_stride=4,
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = prepare_training_data(df, params)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["text"], r["n_tokens"], r["shuffle_key"], r["cum_before"], r["batch_id"]
+        )
+        for r in out.collect()
+    }
+
+    # sequential oracle
+    import re as _re
+
+    kept, seen = [], set()
+    for i, t in docs:
+        tk = t.strip().split()
+        n_chars = len(t)
+        punct = len(_re.sub(r"[\w\s]", "", t)) / n_chars if n_chars else 0.0
+        if len(tk) < params.min_tokens or punct > params.max_punct_ratio:
+            continue
+        if t in seen:  # min doc_id survives (iteration is doc_id order)
+            continue
+        seen.add(t)
+        kept.append((i, tk))
+    chunks = []
+    for i, tk in kept:
+        for ci, start in enumerate(range(1, len(tk) + 1, params.chunk_stride)):
+            ct = tk[start - 1 : start - 1 + params.chunk_tokens]
+            key = (md5_long_py(f"{i}:{ci}") * 2654435761) % 4294967296
+            chunks.append((key, i, ci, " ".join(ct), len(ct)))
+    assert len({c[0] for c in chunks}) == len(chunks)  # no key ties in fixture
+    acc, want = 0, {}
+    for key, i, ci, text, n in sorted(chunks):
+        want[(i, ci)] = (text, n, key, acc, acc // params.token_budget)
+        acc += n
+    assert got == want
+    assert len({v[4] for v in got.values()}) > 1  # multiple batches
+    assert any(v[1] < params.chunk_tokens for v in got.values())  # short tails
+    assert any(ci > 0 for _, ci in got)  # multi-chunk docs exist

@@ -957,6 +957,121 @@ def bigram_perplexity(spark, sf_dir):
 
 
 @register(
+    "kn_bigram_perplexity",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2
+    ),
+    bc AS (
+      SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+             count(*) AS c12
+      FROM pairs GROUP BY g
+    ),
+    dim AS (
+      SELECT g, c12,
+             sum(c12) OVER (PARTITION BY w1) AS c1,
+             count(*) OVER (PARTITION BY w1) AS n1p,
+             count(*) OVER (PARTITION BY w2) AS ncont,
+             count(*) OVER () AS z
+      FROM bc
+    ),
+    probs AS (
+      SELECT g,
+             CAST(round(ln(
+                 (greatest(4 * c12 - 3, 0) * z + 3 * n1p * ncont)
+                 / (4.0 * c1 * z)) * 1000000.0, 0) AS BIGINT) AS lnp_micro
+      FROM dim
+    )
+    SELECT p.doc_id, count(*) AS n_bigrams,
+           round(exp(-(CAST(sum(pr.lnp_micro) AS DOUBLE) / 1000000.0)
+                     / count(*)), 4) AS kn_perplexity
+    FROM pairs p JOIN probs pr USING (g)
+    GROUP BY p.doc_id
+    """,
+)
+def kn_bigram_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the standard n-gram smoothing the plain
+    bigram LM lacks:
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+
+    with discount D = 3/4. Exactness discipline: with D = 3/4 the whole
+    probability is ONE integer rational —
+    num = max(4·c12-3, 0)·Z + 3·N1+(w1·)·N1+(·w2), den = 4·c1·Z —
+    so both engines feed ln the identical IEEE double num/den, and the
+    micro-nat quantization happens once per bigram TYPE inside the dim
+    (the bigram_perplexity discipline). Caveat, documented: the int64
+    intermediates bound the corpus at c12·Z < 2^63 (~10^9 occurrences ×
+    10^9 types); beyond that the dim arithmetic moves to
+    ln(num) = ln-decomposed terms.
+
+    Scale shape: one training scan (the bigram type census), then every
+    KN statistic — context totals c1, continuation fan-outs N1+(w1·) /
+    N1+(·w2), the type total Z — is a window over the aggregated
+    |bigrams|-row dim (dim-sized exchanges; the Z window is global but
+    over the dim, the documented source_ordinals exception), then one
+    score scan joining the corpus bigrams to the broadcast dim. Same
+    2-corpus-scan budget as bigram_perplexity.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+    big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
+    bc = (
+        big.groupBy("g")
+        .agg(F.count("*").alias("c12"))
+        .withColumn("w1", F.split("g", " ").getItem(0))
+        .withColumn("w2", F.split("g", " ").getItem(1))
+    )
+    w1w, w2w = Window.partitionBy("w1"), Window.partitionBy("w2")
+    dim = bc.select(
+        "g",
+        "c12",
+        F.sum("c12").over(w1w).alias("c1"),
+        F.count("*").over(w1w).alias("n1p"),
+        F.count("*").over(w2w).alias("ncont"),
+        F.count("*").over(Window.partitionBy()).alias("z"),
+    )
+    num = (
+        F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0)) * F.col("z")
+        + F.lit(3) * F.col("n1p") * F.col("ncont")
+    )
+    probs = dim.select(
+        "g",
+        F.round(
+            F.log(num / (F.lit(4.0) * F.col("c1") * F.col("z")))
+            * F.lit(1000000.0),
+            0,
+        )
+        .cast("long")
+        .alias("lnp_micro"),
+    )
+    return (
+        big.join(probs, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lnp_micro").alias("__s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.exp(
+                    -(F.col("__s").cast("double") / F.lit(1000000.0))
+                    / F.col("n_bigrams")
+                ),
+                4,
+            ).alias("kn_perplexity"),
+        )
+    )
+
+
+@register(
     "nb_lang_classifier",
     r"""
     WITH toks AS (
@@ -1161,6 +1276,79 @@ def token_budget_packing(spark, sf_dir):
 
 _CHUNK_TOKENS = 128  # context-window size in whitespace tokens
 _CHUNK_STRIDE = 96  # overlap = 128 - 96 = 32 tokens between neighbors
+
+
+@register(
+    "ks_drift_shards",
+    """
+    WITH v AS (
+      SELECT n_chars AS val,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM documents GROUP BY n_chars
+    ),
+    c AS (
+      SELECT sum(c0) OVER (ORDER BY val) AS cum0,
+             sum(c1) OVER (ORDER BY val) AS cum1,
+             sum(c0) OVER () AS n0, sum(c1) OVER () AS n1
+      FROM v
+    )
+    SELECT CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS d_scaled,
+           CAST(floor(max(abs(cum0 * n1 - cum1 * n0)) * 1000000.0
+                 / (max(n0) * max(n1)) + 0.5) AS BIGINT) AS ks_micro
+    FROM c
+    """,
+)
+def ks_drift_shards(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between two corpus
+    shards (engine addition — the distribution-drift monitor a pipeline
+    runs between snapshots, sources, or train/val splits; here the shards
+    are the deterministic doc_id parity halves and the monitored variable
+    is document length, so the expected drift is ~0 and a regression
+    planting a biased shard assignment trips it). Exact arithmetic: the
+    supremum gap is computed as max |cum0*n1 - cum1*n0| over the merged
+    support — all BIGINT, so both engines agree bit-for-bit; ks_micro is
+    the familiar D in micro units, derived from the exact integers by one
+    deterministic floor(x+0.5).
+
+    Scale shape: one corpus scan → a value-keyed aggregation (shuffle
+    bounded by |distinct values|, map-side combined) → a window over the
+    aggregated support. The window is GLOBAL by construction (a CDF needs
+    the total order of the support) but dim-sized: |distinct lengths| ≪
+    corpus rows — same documented exception as source_ordinals. The final
+    reduce is 1 row.
+    """
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 2 == 0).cast("long")
+    v = d.groupBy(F.col("n_chars").alias("val")).agg(
+        F.sum(g).alias("c0"), F.sum(1 - g).alias("c1")
+    )
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    c = v.select(
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    return c.agg(
+        F.max("n0").cast("long").alias("n0"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max(F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")))
+        .cast("long")
+        .alias("d_scaled"),
+        F.floor(
+            F.max(
+                F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
+            )
+            * F.lit(1000000.0)
+            / (F.max("n0") * F.max("n1"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ks_micro"),
+    )
 
 
 @register(

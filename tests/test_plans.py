@@ -182,3 +182,109 @@ def test_asof_join_equal_ts_tie_is_inclusive(spark, tmp_path):
     fn, _ = REGISTRY["events_asof_join"]
     got = {r["event_id"]: r["last_view_ts"] for r in fn(spark, str(tmp_path)).collect()}
     assert got == {101: t0, 102: t0, 200: None}
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """The KS statistic must read ~0 on identically-distributed parity
+    shards and large on a planted shift (odd doc_ids 3x longer) — and the
+    exact integer identity d_scaled = ks_micro-ish * n0 * n1 must hold
+    against a python twin on the planted corpus."""
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    rows = [(i, "t", "en", "s", 100 + ((i // 2) % 10)) for i in range(200)]
+    shifted = [
+        (i, "t", "en", "s", (300 if i % 2 else 100) + ((i // 2) % 10)) for i in range(200)
+    ]
+    fn, _ = REGISTRY["ks_drift_shards"]
+
+    def run(data):
+        spark.createDataFrame(
+            data, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        return fn(spark, str(tmp_path)).collect()[0]
+
+    same = run(rows)
+    assert same["n0"] == same["n1"] == 100
+    assert same["ks_micro"] == 0  # parity halves: identical CDFs
+
+    drift = run(shifted)
+    # python twin: exact supremum gap over the merged support
+    import collections
+
+    c0, c1 = collections.Counter(), collections.Counter()
+    for i, _, _, _, n in shifted:
+        (c1 if i % 2 else c0)[n] += 1
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    cum0 = cum1 = best = 0
+    for v in sorted(set(c0) | set(c1)):
+        cum0 += c0[v]
+        cum1 += c1[v]
+        best = max(best, abs(cum0 * n1 - cum1 * n0))
+    assert drift["d_scaled"] == best
+    assert drift["ks_micro"] == (best * 1000000 * 2 + n0 * n1) // (2 * n0 * n1)
+    assert drift["ks_micro"] == 1000000  # disjoint supports: D = 1
+
+
+def test_kn_bigram_matches_textbook_formula(spark, tmp_path):
+    """kn_bigram_perplexity must equal the interpolated Kneser-Ney
+    textbook formula — P(w2|w1) = max(c12-D,0)/c1 + D*N1+(w1.)/c1 *
+    N1+(.w2)/N1+(..) with D=0.75 — computed directly in python on a
+    crafted corpus (the DuckDB oracle shares the engine's integer
+    rational, so only an independent float twin can catch a formula
+    error). Also pins the smoothing property the plain bigram LM lacks:
+    every probability is strictly positive and per-context masses sum
+    to ~1 over seen continuations + the continuation share."""
+    import math
+    from collections import Counter
+
+    from news_crawler_slm_spark.plans.catalog import REGISTRY
+
+    docs = [
+        (0, "a b a b a c"),
+        (1, "b a b c a b"),
+        (2, "c a c b a a"),
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    fn, _ = REGISTRY["kn_bigram_perplexity"]
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_perplexity"])
+        for r in fn(spark, str(tmp_path)).collect()
+    }
+
+    D = 0.75
+    c12 = Counter()
+    for _, t in docs:
+        tk = t.split()
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    n1p_fw = Counter()
+    ncont = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1p_fw[a] += 1
+        ncont[b] += 1
+    z = len(c12)
+
+    def p(a, b):
+        return max(c12[(a, b)] - D, 0) / c1[a] + D * n1p_fw[a] / c1[a] * (
+            ncont[b] / z
+        )
+
+    for i, t in docs:
+        tk = t.split()
+        pairs = list(zip(tk, tk[1:]))
+        # quantization mirror: per-TYPE micro-nat rounding, then sum
+        s = sum(round(math.log(p(a, b)) * 1e6) for a, b in pairs)
+        want = round(math.exp(-(s / 1e6) / len(pairs)), 4)
+        assert got[i] == (len(pairs), want), (i, got[i], want)
+
+    # smoothing property: strictly positive mass for every seen pair,
+    # and per-context total mass over ALL vocab words is 1
+    vocab = {w for t in (t for _, t in docs) for w in t.split()}
+    for a in c1:
+        total = sum(p(a, b) for b in vocab)
+        assert abs(total - 1.0) < 1e-9, (a, total)

@@ -131,8 +131,11 @@ HEADLINE = [
     "audio_decode_wav",
     # r06 wave 4: context-window chunking — map-only (scan → sequence/
     # explode → project, zero Exchange), so its number is the ceiling on
-    # any "split the corpus into training sequences" pass
+    # any "split the corpus into training sequences" pass — and the
+    # Kneser-Ney LM, whose delta vs bigram_perplexity is the measured
+    # cost of the three dim-sized KN statistic windows
     "doc_token_chunks",
+    "kn_bigram_perplexity",
 ]
 
 

@@ -65,6 +65,7 @@ _ADDED_FIELDS = [
     T.StructField("etag", T.StringType(), True),
     T.StructField("not_modified", T.BooleanType(), False),
     T.StructField("redirect_to", T.StringType(), True),
+    T.StructField("last_modified", T.StringType(), True),
 ]
 
 
@@ -80,10 +81,13 @@ def http_fetcher(
     seconds between consecutive requests to that host (missing hosts use
     DEFAULT_CRAWL_DELAY); pass scaled-down values in tests.
 
-    ``validators`` (optional): a (url, etag) DataFrame of entity validators
-    from the previous crawl of each url — the shape ``live_pages(catalog)
-    .select("url", "etag")`` returns. Rows whose url has a validator are
-    fetched CONDITIONALLY (``If-None-Match``, RFC 9110 §13.1.2): a 304
+    ``validators`` (optional): a (url, etag[, last_modified]) DataFrame of
+    entity validators from the previous crawl of each url — the shape
+    ``live_pages(catalog).select("url", "etag", "last_modified")`` returns.
+    Rows whose url has a validator are fetched CONDITIONALLY — strong
+    validator first: ``If-None-Match`` when an etag exists (RFC 9110
+    §13.1.2), else ``If-Modified-Since`` from the stored Last-Modified
+    (§13.1.3) for the large slice of the web that serves no ETag: a 304
     answer carries no body, and the fetcher emits the row with
     ``fetch_ok=true, not_modified=true, html=null`` — the round loop then
     KEEPS the stored page (no pages append, no re-extraction) and logs the
@@ -113,12 +117,21 @@ def http_fetcher(
             # broadcast semi-join prunes validators down to the popped
             # urls (scan-side pruning of the big table), and only that
             # pruned, popped-sized slice broadcasts back onto the batch.
+            lm_col = (
+                F.col("last_modified")
+                if "last_modified" in validators.columns
+                else F.lit(None).cast("string")
+            )
             vals = validators.select(
-                F.col("url"), F.col("etag").alias("__val_etag")
+                F.col("url"),
+                F.col("etag").alias("__val_etag"),
+                lm_col.alias("__val_lm"),
             ).join(F.broadcast(popped.select("url")), "url", "left_semi")
             popped = popped.join(F.broadcast(vals), "url", "left")
         else:
-            popped = popped.withColumn("__val_etag", F.lit(None).cast("string"))
+            popped = popped.withColumn(
+                "__val_etag", F.lit(None).cast("string")
+            ).withColumn("__val_lm", F.lit(None).cast("string"))
         out_schema = T.StructType(
             [popped.schema[c] for c in in_cols] + _ADDED_FIELDS
         )
@@ -129,19 +142,28 @@ def http_fetcher(
             conn: http.client.HTTPConnection | None = None
             last_req: dict[str, float] = {}
 
-            def get(host: str, path: str, etag: str | None):
+            def get(host: str, path: str, etag: str | None, lm: str | None):
                 nonlocal conn
                 if conn is None:
                     conn = http.client.HTTPConnection(g_host, g_port, timeout=timeout_s)
-                headers = {"If-None-Match": etag} if etag else {}
+                # strong validator wins; a client SHOULD NOT send both
+                # (RFC 9110 §13.1.3)
+                if etag:
+                    headers = {"If-None-Match": etag}
+                elif lm:
+                    headers = {"If-Modified-Since": lm}
+                else:
+                    headers = {}
                 conn.request("GET", f"/{host}{path}", headers=headers)
                 resp = conn.getresponse()
                 body = resp.read()  # drain — keeps the keep-alive socket clean
                 return resp, body
 
-            def fetch_row(host: str, url: str, val_etag: str | None):
+            def fetch_row(
+                host: str, url: str, val_etag: str | None, val_lm: str | None
+            ):
                 """-> (html, out_links, ok, lang, publisher, etag,
-                not_modified, redirect_to)"""
+                not_modified, redirect_to, last_modified)"""
                 nonlocal conn
                 path = path_of(url)
                 for attempt in range(max_retries + 1):
@@ -153,7 +175,7 @@ def http_fetcher(
                         time.sleep(wait)
                     last_req[host] = time.monotonic()
                     try:
-                        resp, body = get(host, path, val_etag)
+                        resp, body = get(host, path, val_etag, val_lm)
                     except (OSError, http.client.HTTPException):
                         # timeout / reset / server-closed keep-alive: the
                         # socket is unusable — reconnect and retry
@@ -162,7 +184,7 @@ def http_fetcher(
                             conn = None
                         continue
                     if resp.status == 304:
-                        # unchanged: keep the stored copy; validator repeats
+                        # unchanged: keep the stored copy; validators repeat
                         return (
                             None,
                             None,
@@ -172,6 +194,7 @@ def http_fetcher(
                             resp.headers.get("ETag") or val_etag,
                             True,
                             None,
+                            resp.headers.get("Last-Modified") or val_lm,
                         )
                     if resp.status == 200:
                         links = json.loads(resp.headers.get("X-Out-Links") or "null")
@@ -184,6 +207,7 @@ def http_fetcher(
                             resp.headers.get("ETag"),
                             False,
                             None,
+                            resp.headers.get("Last-Modified"),
                         )
                     if resp.status in (301, 302, 303, 307, 308):
                         # NOT auto-followed: the target lives on an
@@ -206,10 +230,11 @@ def http_fetcher(
                                 None,
                                 False,
                                 urljoin(url, loc),
+                                None,
                             )
-                        return (None, None, False, None, None, None, False, None)
+                        return (None, None, False, None, None, None, False, None, None)
                     if resp.status < 500:  # 404 etc: permanent, no retry
-                        return (None, None, False, None, None, None, False, None)
+                        return (None, None, False, None, None, None, False, None, None)
                     # 5xx: transient — retry on the same (kept-alive) socket,
                     # honoring Retry-After (RFC 9110 §10.2.3) when the server
                     # names its own backoff, capped at the request timeout
@@ -219,7 +244,7 @@ def http_fetcher(
                             time.sleep(min(float(ra), timeout_s))
                         except ValueError:
                             pass  # HTTP-date form: fall back to politeness
-                return (None, None, False, None, None, None, False, None)
+                return (None, None, False, None, None, None, False, None, None)
 
             try:
                 for pdf in batches:
@@ -229,9 +254,14 @@ def http_fetcher(
                     # global order restricted to this host partition
                     pdf = pdf.sort_values("seq", kind="mergesort")
                     results = [
-                        fetch_row(h, u, (e if isinstance(e, str) and e else None))
-                        for h, u, e in zip(
-                            pdf["host"], pdf["url"], pdf["__val_etag"]
+                        fetch_row(
+                            h,
+                            u,
+                            (e if isinstance(e, str) and e else None),
+                            (m if isinstance(m, str) and m else None),
+                        )
+                        for h, u, e, m in zip(
+                            pdf["host"], pdf["url"], pdf["__val_etag"], pdf["__val_lm"]
                         )
                     ]
                     res = pd.DataFrame(
@@ -245,6 +275,7 @@ def http_fetcher(
                             "etag",
                             "not_modified",
                             "redirect_to",
+                            "last_modified",
                         ],
                         index=pdf.index,
                     )

@@ -196,6 +196,11 @@ def build_round(
     has_reval = "not_modified" in fetched_full.columns
     nm = F.col("not_modified") if has_reval else F.lit(False)
     etag_col = F.col("etag") if has_reval else F.lit(None).cast("string")
+    lm_col = (
+        F.col("last_modified")
+        if "last_modified" in fetched_full.columns
+        else F.lit(None).cast("string")
+    )
 
     # Redirect channel (3xx, not auto-followed — politeness must apply to
     # the TARGET host too): a fetcher may add `redirect_to` (the
@@ -231,6 +236,7 @@ def build_round(
         "publisher",
         F.lit(rnd).alias("fetch_round"),
         etag_col.alias("etag"),
+        lm_col.alias("last_modified"),
     )
 
     frontier_rest = state.frontier.join(

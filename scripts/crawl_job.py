@@ -169,7 +169,11 @@ def main() -> int:
             cat = SnapshotCatalog(spark, args.catalog)
             snap = cat.snapshot()
             if snap is not None and "pages" in snap.tables:
-                validators = live_pages(cat).select("url", "etag")
+                lp = live_pages(cat)
+                vcols = ["url", "etag"] + (
+                    ["last_modified"] if "last_modified" in lp.columns else []
+                )
+                validators = lp.select(*vcols)
         fetcher = http_fetcher(args.gateway, validators=validators)
         params = dataclasses.replace(params, cache_fetch=True)
 

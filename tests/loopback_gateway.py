@@ -22,8 +22,30 @@ def _etag_of(html: bytes) -> str:
     return '"' + hashlib.md5(html).hexdigest() + '"'
 
 
+_LM_EPOCH = 1767225600  # 2026-01-01T00:00:00Z — deterministic base
+
+
+def _lm_of(version: int) -> str:
+    """Deterministic Last-Modified HTTP-date: the base epoch advanced one
+    second per in-place mutation of the page."""
+    from email.utils import formatdate
+
+    return formatdate(_LM_EPOCH + version, usegmt=True)
+
+
 class Gateway:
-    def __init__(self, web_rows, flaky_urls=(), retry_after: float | None = None):
+    def __init__(
+        self,
+        web_rows,
+        flaky_urls=(),
+        retry_after: float | None = None,
+        no_etag_hosts: frozenset[str] | set[str] = frozenset(),
+    ):
+        # hosts that serve NO ETag (Last-Modified only) — exercises the
+        # If-Modified-Since revalidation path end-to-end
+        self.no_etag_hosts = frozenset(no_etag_hosts)
+        # per-page mutation counter -> Last-Modified version
+        self.versions: dict[tuple[str, str], int] = {}
         # when set, transient 503s carry a Retry-After header (RFC 9110
         # delta-seconds; fractional here only to keep tests fast)
         self.retry_after = retry_after
@@ -77,21 +99,36 @@ class Gateway:
                     self._respond(301, b"", {"Location": page[5]})
                 else:
                     html, links, _ok, lang, publisher, _rt = page
+                    serve_etag = host not in gw.no_etag_hosts
                     etag = _etag_of(html)
-                    if inm is not None and inm == etag:
+                    lm = _lm_of(gw.versions.get((host, path), 0))
+                    val_hdrs = {"Last-Modified": lm}
+                    if serve_etag:
+                        val_hdrs["ETag"] = etag
+                    ims = self.headers.get("If-Modified-Since")
+                    # RFC 9110 §13.2.2 precedence: If-None-Match, when
+                    # present, is evaluated ALONE; If-Modified-Since is
+                    # only consulted otherwise
+                    if serve_etag and inm is not None and inm == etag:
                         # RFC 9110 §15.4.5: empty body, validator repeated
                         with gw._lock:
                             gw.conditional_log.append((url, inm, 304))
-                        self._respond(304, b"", {"ETag": etag})
+                        self._respond(304, b"", val_hdrs)
+                    elif inm is None and ims is not None and gw._unmodified_since(ims, lm):
+                        with gw._lock:
+                            gw.conditional_log.append((url, f"IMS {ims}", 304))
+                        self._respond(304, b"", val_hdrs)
                     else:
-                        if inm is not None:
+                        if inm is not None or ims is not None:
                             with gw._lock:
-                                gw.conditional_log.append((url, inm, 200))
+                                gw.conditional_log.append(
+                                    (url, inm if inm is not None else f"IMS {ims}", 200)
+                                )
                         self._respond(
                             200,
                             html,
                             {
-                                "ETag": etag,
+                                **val_hdrs,
                                 "Content-Language": lang,
                                 "X-Publisher": publisher,
                                 "X-Out-Links": json.dumps(links),
@@ -113,12 +150,25 @@ class Gateway:
         self._thread.start()
 
     def mutate(self, url: str, html: bytes):
-        """Replace a page's content in place (new ETag) — models a page
-        edited between crawls, so a conditional GET sees 200 + new body."""
+        """Replace a page's content in place (new ETag, advanced
+        Last-Modified) — models a page edited between crawls, so a
+        conditional GET sees 200 + new body."""
         key = (host_of(url), path_of(url))
         with self._lock:
             _old, links, ok, lang, publisher, redirect_to = self.pages[key]
             self.pages[key] = (html, links, ok, lang, publisher, redirect_to)
+            self.versions[key] = self.versions.get(key, 0) + 1
+
+    @staticmethod
+    def _unmodified_since(ims: str, lm: str) -> bool:
+        """True when the page's Last-Modified is not later than the
+        client's If-Modified-Since (parsed comparison, RFC 9110 §13.1.3)."""
+        from email.utils import parsedate_to_datetime
+
+        try:
+            return parsedate_to_datetime(lm) <= parsedate_to_datetime(ims)
+        except (TypeError, ValueError):
+            return False
 
     def per_host_request_times(self) -> dict[str, list[float]]:
         with self._lock:

@@ -340,3 +340,99 @@ def test_retry_after_paces_the_retry(spark):
     assert gap_with >= 0.5, gap_with
     assert gap_without < 0.5, gap_without
     assert gap_with > gap_without
+
+
+def test_if_modified_since_revalidation_roundtrip(spark, tmp_path):
+    """The weak-validator twin of the If-None-Match roundtrip (RFC 9110
+    §13.1.3): hosts that serve NO ETag — a large slice of the real web —
+    must still revalidate via If-Modified-Since from the stored
+    Last-Modified. Unchanged pages come back 304/``revalidated`` with no
+    pages append; a page mutated between crawls (advanced Last-Modified)
+    comes back 200 with fresh bytes; hosts WITH ETags keep using the
+    strong validator (their conditional requests carry If-None-Match,
+    never If-Modified-Since)."""
+    import dataclasses
+
+    from loopback_gateway import Gateway
+
+    from news_crawler_slm_spark.crawl.rounds import live_pages, retire_and_requeue
+    from news_crawler_slm_spark.crawl.httpfetch import http_fetcher
+    from news_crawler_slm_spark.sources.synthetic_web import WebScale
+
+    scale = WebScale(n_hosts=4, pages_per_host_max=8, links_per_page=3, seed=11)
+    corpus = generate_web(scale)
+    no_etag = {"news0.example.com", "news2.example.com"}
+    gw = Gateway(corpus["web"], no_etag_hosts=no_etag)
+    try:
+        dfs = web_dataframes(spark, scale)
+        delays = {r[0]: r[3] / 100.0 for r in corpus["robots"]}
+        params = dataclasses.replace(PARAMS, cache_fetch=True)
+        root = str(tmp_path / "ims_cat")
+        fetcher = http_fetcher(gw.url, crawl_delays=delays, timeout_s=5.0, max_retries=2)
+        state = run_crawl(spark, root, dfs["seeds"], dfs["robots"], fetcher, params)
+        catalog = SnapshotCatalog(spark, root)
+        rounds_run = state.round
+
+        lp0 = {
+            r["url"]: (r["text"], r["etag"], r["last_modified"])
+            for r in live_pages(catalog).collect()
+        }
+        weak = {u for u in lp0 if u.split("/")[2] in no_etag}
+        strong = set(lp0) - weak
+        assert weak and strong
+        # no-etag hosts: Last-Modified only; etag hosts: both validators
+        assert all(lp0[u][1] is None and lp0[u][2] for u in weak)
+        assert all(lp0[u][1] and lp0[u][2] for u in strong)
+
+        mutated = sorted(weak)[0]
+        gw.mutate(mutated, b"<html><body><p>edited since last crawl.</p></body></html>")
+
+        validators = live_pages(catalog).select("url", "etag", "last_modified")
+        retire_and_requeue(
+            spark, root, dfs["robots"], PARAMS, ttl_rounds=0, requeue_priority=5.0
+        )
+        fetcher2 = http_fetcher(
+            gw.url, crawl_delays=delays, timeout_s=5.0, max_retries=2,
+            validators=validators,
+        )
+        run_crawl(
+            spark, root, dfs["seeds"], dfs["robots"], fetcher2, params, max_rounds=8
+        )
+
+        later = [
+            (r["url"], r["status"])
+            for r in catalog.read_table("crawl_log").collect()
+            if r["round"] > rounds_run
+        ]
+        revalidated = {u for u, s in later if s == "revalidated"}
+        refetched = {u for u, s in later if s == "fetched"}
+        assert mutated in refetched
+        assert revalidated & weak  # weak-validator 304s actually happened
+        assert revalidated <= set(lp0) - {mutated}
+
+        # the conditional channel each host class used, from the wire log
+        ims_304 = {u for u, v, st in gw.conditional_log if v.startswith("IMS ") and st == 304}
+        inm_304 = {u for u, v, st in gw.conditional_log if not v.startswith("IMS ") and st == 304}
+        assert revalidated & weak <= ims_304
+        assert revalidated & strong <= inm_304
+        assert not (ims_304 & strong)  # strong hosts never fell back to IMS
+        assert any(u == mutated and v.startswith("IMS ") and st == 200
+                   for u, v, st in gw.conditional_log)
+
+        # pages chain: 304 urls keep their single row; the mutated url has
+        # two and live_pages serves the new bytes + advanced Last-Modified
+        counts = {
+            r["url"]: r["count"]
+            for r in catalog.read_table("pages").groupBy("url").count().collect()
+        }
+        lp1 = {
+            r["url"]: (r["text"], r["etag"], r["last_modified"])
+            for r in live_pages(catalog).collect()
+        }
+        for u in revalidated:
+            assert counts[u] == 1 and lp1[u][0] == lp0[u][0], u
+        assert counts[mutated] == 2
+        assert lp1[mutated][0] != lp0[mutated][0]
+        assert lp1[mutated][2] != lp0[mutated][2]  # Last-Modified advanced
+    finally:
+        gw.close()

@@ -121,17 +121,67 @@ def test_pagerank_constant_work_per_iteration(spark):
     a constant — measured 2.03 standalone and 2.2 mid-suite on the fixed
     code."""
     s2 = _executed_stages(spark, "pr-stages-2", 2)
-    s4 = _executed_stages(spark, "pr-stages-4", 4)
     s6 = _executed_stages(spark, "pr-stages-6", 6)
-    assert s6 >= s4 >= s2, (s2, s4, s6)
-    assert s6 <= 4 * s2, (s2, s4, s6)
-    # explicit O(iters^2) signature (ADVICE r05): constant per-iteration
-    # work makes the stage count LINEAR in iters — the second difference
-    # is ~0. The replay bug's triangular growth makes the 4->6 increment
-    # strictly larger than the 2->4 increment (sums 3, 10, 21 -> diffs
-    # 7, 11), so even a future headroom bump on the ratio above cannot
-    # mask it. Slack 3 covers AQE/broadcast stage-count jitter.
-    assert (s6 - s4) <= (s4 - s2) + 3, (s2, s4, s6)
+    # LOOSE ratio bound only: executed-stage counts are scheduler-noisy
+    # even with AQE off (whether a shuffle stage is SKIPPED depends on
+    # cache/shuffle-file timing — observed mid-suite as (47, 50, 62) for
+    # iters (2, 4, 6) where standalone reads (13, 21, 29)), so the former
+    # monotonicity and second-difference assertions flaked on a busy box.
+    # Tripling iterations under the replay bug multiplies executed stages
+    # ~7x (triangular growth); constant work reads ~2.2x even through the
+    # noise. The DIRECT, scheduler-independent pin of the invariant lives
+    # in test_pagerank_successor_cached_before_unpersist below.
+    assert s6 <= 4 * s2, (s2, s6)
+
+
+def test_pagerank_successor_cached_before_unpersist(spark, monkeypatch):
+    """The replay-bug invariant, pinned DIRECTLY and deterministically:
+    whenever the loop unpersists a rank frame, its successor must already
+    be FULLY materialized in the block store — otherwise downstream jobs
+    replay the whole lineage chain (the r04 O(iters^2) bug). Unlike
+    executed-stage counts, RDD storage info is exact and independent of
+    scheduler/AQE/skip timing: if new_ranks were persisted but never
+    materialized before prev.unpersist(), the fully-cached count at that
+    moment would be the two setup dims (nodes, ek) alone."""
+    # pyspark 4: pyspark.sql.DataFrame is the abstract base; instances are
+    # the classic subclass, whose own unpersist would shadow a base patch
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark: one concrete class
+        from pyspark.sql import DataFrame
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    fully_cached_at_unpersist = []
+    orig = DataFrame.unpersist
+
+    def spy(self, blocking=False):
+        infos = sc._jsc.sc().getRDDStorageInfo()
+        n_full = sum(
+            1
+            for i in infos
+            if i.numCachedPartitions() > 0
+            and i.numCachedPartitions() == i.numPartitions()
+        )
+        fully_cached_at_unpersist.append(n_full)
+        return orig(self, blocking)
+
+    monkeypatch.setattr(DataFrame, "unpersist", spy)
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(df, iters=4)
+    monkeypatch.setattr(DataFrame, "unpersist", orig)
+    ranks.collect()
+    ranks.unpersist()
+
+    # pagerank(iters=4) unpersists one predecessor rank frame per
+    # iteration (the first 4 spy hits), then releases its setup frames on
+    # exit. At every MID-LOOP unpersist the fully-materialized set must be
+    # nodes + ek + predecessor + successor = 4: a successor persisted but
+    # never materialized (the replay bug) reads 3 here, deterministically.
+    assert len(fully_cached_at_unpersist) >= 6, fully_cached_at_unpersist
+    assert all(n >= 4 for n in fully_cached_at_unpersist[:4]), (
+        fully_cached_at_unpersist
+    )
 
 
 def test_pagerank_reprioritize_lifts_endorsed_frontier_url(spark):

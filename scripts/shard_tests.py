@@ -81,7 +81,7 @@ def harvest_costs(log_text: str) -> dict[str, float]:
 
 def main() -> int:
     args = sys.argv[1:]
-    n = 3
+    n = 4  # measured best wall at 4 (488 s vs 699 s at 3, r06)
     if args and args[0].isdigit():
         n = int(args[0])
         args = args[1:]

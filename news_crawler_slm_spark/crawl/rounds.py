@@ -562,6 +562,71 @@ def live_pages(catalog: SnapshotCatalog) -> DataFrame:
     return p.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def resolve_aliases(aliases: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Transitive closure of the ``url_aliases`` provenance table: for
+    every url that ever redirected, the FINAL url its chain lands on —
+    (source_url, final_url, terminal), where ``terminal`` is false for
+    urls trapped in a redirect cycle (a → b → a never lands anywhere).
+
+    Semantics: a source that redirected to different targets across
+    rounds takes its LATEST round's target (the web's current opinion).
+    Chains resolve by POINTER DOUBLING — f := f∘f per step — so a chain
+    of length ``max_hops`` needs only ceil(log2(max_hops)) self-joins of
+    the alias table, never a per-hop loop: the alias table is
+    O(#redirects) — orders of magnitude under the corpus — and each
+    doubling is one alias-sized join, so the closure costs ~4 small joins
+    at the default 16-hop bound (HTTP clients cap chains far lower).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source_url").orderBy(F.desc("round"))
+    f = (
+        aliases.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("source_url").alias("src"), F.col("target_url").alias("dst"))
+    )
+    hops = 1
+    while hops < max_hops:
+        nxt = f.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+        f = f.join(nxt, f.dst == nxt.m_src, "left").select(
+            "src", F.coalesce("m_dst", "dst").alias("dst")
+        )
+        hops *= 2
+    # terminal = the landing url is not itself an alias source (cycle
+    # members keep pointing inside the cycle and stay non-terminal)
+    srcs = f.select(F.col("src").alias("t_src")).distinct()
+    return f.join(srcs, f.dst == srcs.t_src, "left").select(
+        F.col("src").alias("source_url"),
+        F.col("dst").alias("final_url"),
+        F.col("t_src").isNull().alias("terminal"),
+    )
+
+
+def live_pages_resolved(catalog: SnapshotCatalog) -> DataFrame:
+    """``live_pages`` extended through redirect provenance: every alias
+    SOURCE url gains a row serving its terminal target's current page (a
+    content lookup by any historical address — 'the canonical copy for
+    url X, even though X now redirects'). Alias rows carry
+    ``via_alias=true``; direct rows pass through untouched. The alias
+    mapping is redirect-sized and broadcasts; the corpus never
+    re-shuffles."""
+    lp = live_pages(catalog)
+    try:
+        aliases = catalog.read_table("url_aliases")
+    except (KeyError, FileNotFoundError):
+        return lp.withColumn("via_alias", F.lit(False))
+    res = resolve_aliases(aliases).where(F.col("terminal"))
+    via = (
+        F.broadcast(res)
+        .join(lp, res.final_url == lp.url, "inner")
+        .drop("url", "final_url", "terminal")
+        .withColumnRenamed("source_url", "url")
+        .withColumn("via_alias", F.lit(True))
+    )
+    direct = lp.withColumn("via_alias", F.lit(False))
+    return direct.unionByName(via.select(*direct.columns))
+
+
 def change_rates(catalog: SnapshotCatalog) -> DataFrame:
     """Per-url freshness estimate from crawl history — the signal a
     Cho/Garcia-Molina-style recrawl scheduler runs on. Among a url's

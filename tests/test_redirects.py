@@ -203,3 +203,69 @@ def test_http_fetcher_redirects_match_simulator(spark, tmp_path, sim_full):
         assert f"{B}/private" not in reqs
     finally:
         gw.close()
+
+
+def test_resolve_aliases_chains_cycles_and_latest_round(spark):
+    """Pointer-doubling closure over url_aliases: chains land on their
+    terminal url, cycle members stay non-terminal, and a source whose
+    redirect target CHANGED across rounds resolves through the latest
+    round's edge."""
+    from news_crawler_slm_spark.crawl.rounds import resolve_aliases
+
+    rows = [
+        # 3-hop chain: a -> b -> c -> PAGE
+        (1, "https://h/a", "https://h/b"),
+        (1, "https://h/b", "https://h/c"),
+        (2, "https://h/c", "https://h/page"),
+        # 2-cycle: x <-> y
+        (1, "https://h/x", "https://h/y"),
+        (1, "https://h/y", "https://h/x"),
+        # self-cycle
+        (1, "https://h/self", "https://h/self"),
+        # target changed across rounds: old edge to /dead, round-3 edge wins
+        (1, "https://h/moved", "https://h/dead-end"),
+        (3, "https://h/moved", "https://h/page"),
+    ]
+    df = spark.createDataFrame(
+        rows, "round long, source_url string, target_url string"
+    )
+    got = {
+        r["source_url"]: (r["final_url"], r["terminal"])
+        for r in resolve_aliases(df).collect()
+    }
+    assert got["https://h/a"] == ("https://h/page", True)
+    assert got["https://h/b"] == ("https://h/page", True)
+    assert got["https://h/c"] == ("https://h/page", True)
+    assert got["https://h/moved"] == ("https://h/page", True)
+    assert not got["https://h/x"][1] and not got["https://h/y"][1]
+    assert got["https://h/self"] == ("https://h/self", False)
+    # cycle members resolve within the cycle, never escape it
+    assert got["https://h/x"][0] in {"https://h/x", "https://h/y"}
+
+
+def test_live_pages_resolved_serves_content_through_the_chain(engine_run):
+    """live_pages_resolved must answer a content lookup by a REDIRECTED
+    address: the crawled corpus's chain r1 -> r2 -> page1 gives r1 and r2
+    rows serving page1's exact stored text (via_alias=true), while direct
+    page rows pass through unchanged; cycle urls (rloop, rself) get no
+    row — there is nothing terminal to serve."""
+    from news_crawler_slm_spark.crawl.rounds import (
+        live_pages,
+        live_pages_resolved,
+    )
+
+    _state, catalog = engine_run
+    lp = {r["url"]: r["text"] for r in live_pages(catalog).collect()}
+    res = {
+        r["url"]: (r["text"], r["via_alias"])
+        for r in live_pages_resolved(catalog).collect()
+    }
+    # direct rows intact
+    for u, t in lp.items():
+        assert res[u] == (t, False)
+    # the chain: both hops serve page1's bytes
+    assert res[f"{A}/r1"] == (lp[f"{A}/page1"], True)
+    assert res[f"{A}/r2"] == (lp[f"{A}/page1"], True)
+    # cycles and the robots-blocked hop resolve to nothing servable
+    for u in (f"{A}/rloop", f"{A}/rloop2", f"{A}/rself", f"{A}/rdis"):
+        assert u not in res

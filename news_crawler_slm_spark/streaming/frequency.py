@@ -24,7 +24,9 @@ SnapshotCatalog as the cells, committed atomically with them:
   a sum-merge — the ledger handles both.
 
 The ledger is metadata-scale state: O(#input files), the same order as
-the streaming source's own file index, never O(rows) or O(keys). For a
+the streaming source's own file index, never O(rows) or O(keys) — and
+each batch APPENDS its delta (the Iceberg append chain), so a commit
+writes O(batch files), not O(all files ever). For a
 non-file-backed source (rate, socket, memory) there is no file identity,
 so the sink falls back to (batchId, delta-content-fingerprint) dedup:
 exact for crash replays (identical content → skip), documented
@@ -105,8 +107,11 @@ def stream_cms_cells(
                 depth,
                 width,
             )
-            folded_update = ledger.unionByName(
-                spark.createDataFrame([(f,) for f in new_files], "file string")
+            # APPEND the batch's new files, never rewrite the ledger: a
+            # full rewrite is O(total files) per commit — O(N²·F) over a
+            # stream's lifetime — while the append chain is O(batch)
+            folded_update = spark.createDataFrame(
+                [(f,) for f in new_files], "file string"
             )
             fp = hashlib.md5("\n".join(new_files).encode()).hexdigest()
         else:
@@ -145,12 +150,11 @@ def stream_cms_cells(
                 .groupBy("row", "col")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        tables = {CELLS_TABLE: merged}
-        if folded_update is not None:
-            tables[FOLDED_TABLE] = folded_update
+        appends = {FOLDED_TABLE: folded_update} if folded_update is not None else None
         cat.commit(
             sid,
-            tables=tables,  # bounded rewrite: depth·width cells + file ledger
+            tables={CELLS_TABLE: merged},  # depth·width-bounded rewrite
+            appends=appends,  # ledger delta: O(batch files), Iceberg-append
             counters={"cms_stream_batch": batch_id, "cms_batch_fp": fp},
             output_partitions=1,
         )

@@ -99,3 +99,59 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def cms_table_by(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Per-GROUP sketches: (group_cols..., row, col, cnt) — one count-min
+    per key, e.g. token frequencies per language over a 100 TB corpus.
+    Shuffle cardinality is |groups|·depth·width at most (each group's
+    cells, never its key universe) with map-side partial counts — the
+    grouped-HLL argument (operators/hll.py:hll_registers_by) applied to
+    frequency. Cells are bit-identical to running :func:`cms_table` on
+    each group's slice alone (same per-depth salted hash), so group
+    sketches merge with the global algebra."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"cms_table_by: bad dimensions depth={depth} width={width}")
+    return (
+        df.select(
+            *group_cols,
+            F.posexplode(_bucket_array(col, depth, width)).alias("row", "col"),
+        )
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_lookup_by(
+    table: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    col: str,
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Grouped point queries: for each distinct (group, value) in
+    ``items`` return the count-min estimate within that group's sketch
+    (min over rows, missing cell = 0). Probes broadcast; the sketch side
+    is |groups|·depth·width rows at most."""
+    probes = items.select(*group_cols, col).distinct().select(
+        *group_cols,
+        col,
+        F.posexplode(_bucket_array(col, depth, width)).alias("row", "col_b"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            table.withColumnRenamed("col", "col_b"),
+            [*group_cols, "row", "col_b"],
+            "left",
+        )
+        .groupBy(*group_cols, col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )

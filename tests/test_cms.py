@@ -88,3 +88,49 @@ def test_absent_key_estimates_small_and_merge_is_union(spark, sf_dir):
     import math
 
     assert 0 <= est <= math.e * sum(truth.values()) / W
+
+
+def test_grouped_cells_equal_per_group_solo_sketches(spark, sf_dir):
+    """cms_table_by must produce, for every group, exactly the cells
+    cms_table produces on that group's slice alone (same salted hash →
+    group sketches merge with the global algebra), and grouped lookups
+    must be overestimate-only per group — exact here since width >>
+    per-group vocabulary pressure is low at this scale."""
+    from collections import Counter
+
+    from news_crawler_slm_spark.operators.cms import cms_lookup_by, cms_table_by
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    grouped = {
+        (r["lang"], r["row"], r["col"]): r["cnt"]
+        for r in cms_table_by(toks, ["lang"], "tok", D, W).collect()
+    }
+    langs = [r["lang"] for r in toks.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    solo = {}
+    for lang in langs:
+        for r in cms_table(
+            toks.where(F.col("lang") == lang), "tok", D, W
+        ).collect():
+            solo[(lang, r["row"], r["col"])] = r["cnt"]
+    assert grouped == solo
+
+    # grouped lookups: >= true per-(lang, tok) count, 0 for absent pairs
+    true = Counter(
+        (r["lang"], r["tok"]) for r in toks.collect()
+    )
+    some = sorted(true)[:5] + [(langs[0], "never-seen-token-xyzzy")]
+    items = spark.createDataFrame(some, "lang string, tok string")
+    est = {
+        (r["lang"], r["tok"]): r["estimate"]
+        for r in cms_lookup_by(
+            cms_table_by(toks, ["lang"], "tok", D, W), items, ["lang"], "tok", D, W
+        ).collect()
+    }
+    for k in some:
+        assert est[k] >= true.get(k, 0), (k, est[k], true.get(k, 0))
+    assert est[(langs[0], "never-seen-token-xyzzy")] >= 0

@@ -547,8 +547,11 @@ def run_crawl(
     return state
 
 
-def live_pages(catalog: SnapshotCatalog) -> DataFrame:
-    """Latest fetch per url over the append-only pages chain.
+def live_pages(
+    catalog: SnapshotCatalog, snapshot_id: int | None = None
+) -> DataFrame:
+    """Latest fetch per url over the append-only pages chain (time-travel
+    to ``snapshot_id`` when given — "the web as we knew it then").
 
     After TTL recrawls (retire_and_requeue) a url can legitimately hold
     several pages rows — history is immutable, the recrawl APPENDS. Readers
@@ -557,7 +560,7 @@ def live_pages(catalog: SnapshotCatalog) -> DataFrame:
     scale-safe at 10^10 urls."""
     from pyspark.sql import Window
 
-    p = catalog.read_table("pages")
+    p = catalog.read_table("pages", snapshot_id)
     w = Window.partitionBy("url").orderBy(F.desc("fetch_round"))
     return p.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
@@ -625,6 +628,34 @@ def live_pages_resolved(catalog: SnapshotCatalog) -> DataFrame:
     )
     direct = lp.withColumn("via_alias", F.lit(False))
     return direct.unionByName(via.select(*direct.columns))
+
+
+def corpus_drift_ks(
+    catalog: SnapshotCatalog,
+    snapshot_a: int,
+    snapshot_b: int | None = None,
+) -> DataFrame:
+    """Distribution drift of the crawled corpus between two snapshots:
+    the exact two-sample KS statistic (operators/drift.py) over the
+    text-length distributions of ``live_pages`` at snapshot_a vs
+    snapshot_b (default: current) — "did this recrawl change what our
+    corpus looks like, or just refresh it". Returns the 1-row
+    (n0, n1, d_scaled, ks_micro) frame; n0 is the older snapshot's side.
+
+    Scale shape: two time-travel pages scans → one union → the KS core's
+    support-sized aggregation + dim-sized CDF window; nothing driver-side
+    beyond the 1-row result."""
+    from pyspark.sql import functions as F
+
+    from ..operators.drift import ks_statistic
+
+    a = live_pages(catalog, snapshot_a).select(
+        F.length("text").alias("len"), F.lit(0).alias("__g")
+    )
+    b = live_pages(catalog, snapshot_b).select(
+        F.length("text").alias("len"), F.lit(1).alias("__g")
+    )
+    return ks_statistic(a.unionByName(b), "__g", "len")
 
 
 def change_rates(catalog: SnapshotCatalog) -> DataFrame:

@@ -1319,35 +1319,13 @@ def ks_drift_shards(spark, sf_dir):
     corpus rows — same documented exception as source_ordinals. The final
     reduce is 1 row.
     """
+    from ..operators.drift import ks_statistic
+
     d = _t(spark, sf_dir, "documents")
-    g = (F.col("doc_id") % 2 == 0).cast("long")
-    v = d.groupBy(F.col("n_chars").alias("val")).agg(
-        F.sum(g).alias("c0"), F.sum(1 - g).alias("c1")
-    )
-    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    tot = Window.partitionBy()
-    c = v.select(
-        F.sum("c0").over(w).alias("cum0"),
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c0").over(tot).alias("n0"),
-        F.sum("c1").over(tot).alias("n1"),
-    )
-    return c.agg(
-        F.max("n0").cast("long").alias("n0"),
-        F.max("n1").cast("long").alias("n1"),
-        F.max(F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")))
-        .cast("long")
-        .alias("d_scaled"),
-        F.floor(
-            F.max(
-                F.abs(F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0"))
-            )
-            * F.lit(1000000.0)
-            / (F.max("n0") * F.max("n1"))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("ks_micro"),
+    return ks_statistic(
+        d.select("n_chars", (F.col("doc_id") % 2).cast("int").alias("__g")),
+        "__g",
+        "n_chars",
     )
 
 

@@ -267,3 +267,48 @@ def test_append_chain_schema_evolution_adds_nullable_column(spark, tmp_path):
     # the incremental read of the upgrade delta carries the new column
     inc = cat.read_table_incremental("pages", 1, 2)
     assert [tuple(r) for r in inc.collect()] == [("u2", "t2", '"e2"')]
+
+
+def test_corpus_drift_ks_between_snapshots(spark, tmp_path):
+    """corpus_drift_ks: exact two-sample KS between the text-length
+    distributions of live_pages at two snapshots. Snapshot 2 refreshes a
+    url without changing its length (no drift vs itself) and snapshot 3
+    appends a batch of much longer documents (real drift) — the exact
+    integers must match a python twin, and the time-travel side must see
+    the corpus as of the OLDER snapshot (refreshed rows resolved by
+    max fetch_round within each snapshot)."""
+    from news_crawler_slm_spark.crawl.rounds import corpus_drift_ks, live_pages
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "drift"))
+    schema = "url string, text string, lang string, publisher string, fetch_round long"
+    batch1 = [(f"https://h/p{i}", "x" * (50 + i % 5), "en", "P", 1) for i in range(40)]
+    cat.commit(1, appends={"pages": spark.createDataFrame(batch1, schema)})
+    # refresh one url at the same length: live corpus distribution unchanged
+    cat.commit(2, appends={"pages": spark.createDataFrame(
+        [("https://h/p0", "y" * 50, "en", "P", 2)], schema)})
+    same = corpus_drift_ks(cat, 1, 2).collect()[0]
+    assert (same["n0"], same["n1"]) == (40, 40)
+    assert same["d_scaled"] == 0 and same["ks_micro"] == 0
+
+    # a recrawl lands 10 much longer docs: distribution genuinely moves
+    batch3 = [(f"https://h/new{i}", "z" * 500, "en", "P", 3) for i in range(10)]
+    cat.commit(3, appends={"pages": spark.createDataFrame(batch3, schema)})
+    drift = corpus_drift_ks(cat, 2, 3).collect()[0]
+    assert (drift["n0"], drift["n1"]) == (40, 50)
+
+    # python twin on the exact live corpora
+    def lens(sid):
+        return sorted(len(r["text"]) for r in live_pages(cat, sid).collect())
+
+    la, lb = lens(2), lens(3)
+    support = sorted(set(la) | set(lb))
+    cum0 = cum1 = best = 0
+    for v in support:
+        cum0 += la.count(v)
+        cum1 += lb.count(v)
+        best = max(best, abs(cum0 * len(lb) - cum1 * len(la)))
+    assert drift["d_scaled"] == best
+    assert drift["ks_micro"] == (2 * best * 1000000 + len(la) * len(lb)) // (
+        2 * len(la) * len(lb)
+    )
+    assert drift["ks_micro"] == 200000  # 10 of 50 moved past the old support

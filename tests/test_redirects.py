@@ -269,3 +269,48 @@ def test_live_pages_resolved_serves_content_through_the_chain(engine_run):
     # cycles and the robots-blocked hop resolve to nothing servable
     for u in (f"{A}/rloop", f"{A}/rloop2", f"{A}/rself", f"{A}/rdis"):
         assert u not in res
+
+
+def test_resolve_aliases_random_functional_graphs(spark):
+    """Randomized closure check: 30 seeded random functional graphs (each
+    node redirects to one pseudo-random node, self-loops and long chains
+    included) resolved in ONE Spark pass over their disjoint union must
+    match a python pointer-chase with cycle detection, node for node."""
+    import random
+
+    from news_crawler_slm_spark.crawl.rounds import resolve_aliases
+
+    rows, want = [], {}
+    for case in range(30):
+        rng = random.Random(1000 + case)
+        n = 2 + rng.randrange(12)
+        nodes = [f"https://g{case}/n{i}" for i in range(n)]
+        # each node aliases ONE target; ~30% of nodes are terminal pages
+        # (no outgoing alias row), the rest point at a random node
+        edges = {}
+        for u in nodes:
+            if rng.random() < 0.7:
+                edges[u] = nodes[rng.randrange(n)]
+        for rnd_no, (u, v) in enumerate(sorted(edges.items())):
+            rows.append((rnd_no % 3 + 1, u, v))
+        for u in edges:
+            seen, cur = [], u
+            while cur in edges and cur not in seen:
+                seen.append(cur)
+                cur = edges[cur]
+            if cur in seen or (cur in edges):  # walked into a cycle
+                want[u] = None  # non-terminal: final url unspecified
+            else:
+                want[u] = cur
+
+    df = spark.createDataFrame(rows, "round long, source_url string, target_url string")
+    got = {
+        r["source_url"]: (r["final_url"], r["terminal"])
+        for r in resolve_aliases(df).collect()
+    }
+    assert set(got) == set(want)
+    for u, final in want.items():
+        if final is None:
+            assert not got[u][1], (u, got[u])
+        else:
+            assert got[u] == (final, True), (u, got[u], final)

@@ -136,6 +136,7 @@ HEADLINE = [
     # cost of the three dim-sized KN statistic windows
     "doc_token_chunks",
     "kn_bigram_perplexity",
+    "stupid_backoff_trigram_scores",
 ]
 
 

@@ -116,14 +116,15 @@ _DRIVER_FIRST = [
 # the whole r07 window, so keep r07 additions at ~0 or swap them in for
 # the most stable simple aggregations.
 #
-# NOTE (r06 wave 4, for the r07 curator): three MORE full-oracle queries
+# NOTE (r06 wave 4, for the r07 curator): FOUR more full-oracle queries
 # registered after the front froze — doc_token_chunks, ks_drift_shards,
-# kn_bigram_perplexity (all middle, driver_sim hash-green + sf0.1
-# checked). r07 priority: (a) the 50 r05-green due rotations, swapping
-# in these three for up to three trivial >=3-green aggregations under
-# the stable-aggregation cadence (candidates: lang_distribution,
-# token_count_distribution, count_over_limit — all value-checked every
-# run); (b) the r06-front set is then due r08.
+# kn_bigram_perplexity, stupid_backoff_trigram_scores (all middle,
+# driver_sim hash-green; the first three also sf0.1-checked). r07
+# priority: (a) the 50 r05-green due rotations, swapping in these four
+# for up to four trivial >=3-green aggregations under the
+# stable-aggregation cadence (candidates: lang_distribution,
+# token_count_distribution, count_over_limit, distinct_sources — all
+# value-checked every run); (b) the r06-front set is then due r08.
 #
 # r06 AMENDMENT (stable-aggregation cadence): with 102 full-oracle
 # rotating queries and a 50-row window, a strict two-round cadence is

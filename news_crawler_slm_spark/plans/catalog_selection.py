@@ -27,6 +27,9 @@ between cleaning and training):
   et al. 2007): bigram MLE backed off to 0.4x unigram, trained on the
   trusted slice, scored over everything; the backoff rate is the quality
   signal.
+- ``stupid_backoff_trigram_scores`` — the paper's full trigram form:
+  trigram MLE → 0.4·bigram → 0.4²·unigram → 0.4²·OOV, with the
+  (n_backoff, n_backoff2) cascade depths as the fluency signal.
 - ``weighted_sample`` — weighted sampling without replacement (Efraimidis
   & Spirakis 2006 A-ES): top-k by u^(1/w) with the engine's hash
   permutation as the uniform draw; inclusion ∝ weight in one pass.
@@ -37,7 +40,7 @@ between cleaning and training):
   Naive Bayes trained on the Gopher gate's verdicts as weak labels,
   scoring every document with vocabulary-level log-odds.
 
-All eight are fully DuckDB-oracle-twinned. Cross-engine float discipline
+All nine are fully DuckDB-oracle-twinned. Cross-engine float discipline
 (see the module docstrings in catalog.py): every log-probability is
 quantized to integer micro-nats INSIDE the parameter dim (O(buckets) or
 O(|vocab|·|langs|) rows) and summed as BIGINT per document — exact and
@@ -648,6 +651,228 @@ def stupid_backoff_scores(spark, sf_dir):
         .cast("long")
         .alias("avg_micro"),
         F.sum("bo").alias("n_backoff"),
+    )
+
+
+_SBT_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ),
+    triples AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a) - 1),
+               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g3
+      FROM t WHERE len(a) >= 3
+    ),
+    train_triples AS (
+      SELECT unnest(list_transform(range(1, len(a) - 1),
+               i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g3
+      FROM t WHERE len(a) >= 3 AND lang = '{_SB_TRAIN_LANG}'
+    ),
+    train_pairs AS (
+      SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]))
+               AS g
+      FROM t WHERE len(a) >= 2 AND lang = '{_SB_TRAIN_LANG}'
+    ),
+    tc AS (
+      SELECT g3,
+             split_part(g3, ' ', 1) || ' ' || split_part(g3, ' ', 2) AS b12,
+             CAST(count(*) AS BIGINT) AS c123
+      FROM train_triples GROUP BY g3
+    ),
+    bc AS (
+      SELECT g, split_part(g, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS c12
+      FROM train_pairs GROUP BY g
+    ),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    tdim AS (
+      SELECT tc.g3, CAST(round(ln(c123 / CAST(bc.c12 AS DOUBLE)) * 1000000.0, 0)
+                 AS BIGINT) AS lnt_micro
+      FROM tc JOIN bc ON bc.g = tc.b12
+    ),
+    bdim AS (
+      SELECT g, CAST(round(ln(({_SB_ALPHA} * c12) / CAST(c1 AS DOUBLE))
+                 * 1000000.0, 0) AS BIGINT) AS lnb_micro
+      FROM bc JOIN ctx USING (w1)
+    ),
+    train_toks AS (
+      SELECT unnest(a) AS tok FROM t WHERE lang = '{_SB_TRAIN_LANG}'
+    ),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM train_toks GROUP BY tok),
+    n AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uc),
+    udim AS (
+      SELECT uc.tok,
+             CAST(round(ln(({_SB_ALPHA} * {_SB_ALPHA} * uc.cu)
+                           / CAST(n.nt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS lnu_micro
+      FROM uc CROSS JOIN n
+    ),
+    oov AS (
+      SELECT CAST(round(ln(({_SB_ALPHA} * {_SB_ALPHA} * 1)
+                           / CAST(nt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+               AS oov_micro
+      FROM n
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(coalesce(td.lnt_micro, b.lnb_micro, u.lnu_micro,
+                             o.oov_micro)) AS BIGINT) AS score_micro,
+           CAST(floor(CAST(sum(coalesce(td.lnt_micro, b.lnb_micro,
+                                        u.lnu_micro, o.oov_micro)) AS DOUBLE)
+                      / count(*) + 0.5) AS BIGINT) AS avg_micro,
+           CAST(sum(CASE WHEN td.lnt_micro IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backoff,
+           CAST(sum(CASE WHEN td.lnt_micro IS NULL AND b.lnb_micro IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff2
+    FROM triples p
+    LEFT JOIN tdim td USING (g3)
+    LEFT JOIN bdim b
+      ON b.g = split_part(p.g3, ' ', 2) || ' ' || split_part(p.g3, ' ', 3)
+    LEFT JOIN udim u ON u.tok = split_part(p.g3, ' ', 3)
+    CROSS JOIN oov o
+    GROUP BY p.doc_id
+"""
+
+
+@register("stupid_backoff_trigram_scores", _SBT_ORACLE)
+def stupid_backoff_trigram_scores(spark, sf_dir):
+    """Trigram stupid backoff — the form Brants et al. 2007 actually ran
+    on web-scale n-grams (the registered bigram query is its first rung):
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)      seen trigram
+                      = 0.4 * c(w2 w3) / c(w2)       backed off to bigram
+                      = 0.4^2 * c(w3) / N            backed off to unigram
+                      = 0.4^2 * 1 / N                out-of-vocabulary
+
+    trained on the trusted slice (lang = 'en'), scored over every
+    document's trigram transitions; (n_backoff, n_backoff2) — trigram
+    miss, trigram AND bigram miss — are the fluency signal. The trigram
+    denominator is the TRAINED BIGRAM count c(w1 w2) (the paper's
+    corpus-frequency ratio), not a trigram-context rollup: every trigram
+    occurrence contains its leading-bigram occurrence, so the ratio is a
+    true conditional frequency <= 1.
+
+    Cross-engine discipline unchanged from the bigram query: all four
+    score shapes quantize to micro-nats INSIDE their dims with identical
+    ln-argument shapes on both engines; per-doc sums are exact BIGINT;
+    the average is floor(x + 0.5); every output column is integral.
+
+    Scale shape: the trigram and bigram dims shuffle on their n-gram
+    strings (honestly non-broadcastable at 100 TB, like
+    bigram_perplexity); the unigram dim and OOV scalar broadcast; dims
+    persist (train-once — the bigram dim has two consumers: the trigram
+    denominator and the backoff rung). The docstring above
+    ``stupid_backoff_scores`` covers the family's reference analog.
+    """
+    from pyspark import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    norm = ws_normalize(F.lower(F.col("text")))
+
+    tri = d.select("doc_id", "lang", F.explode(word_windows(norm, 3)).alias("g3"))
+    big_train = d.where(F.col("lang") == _SB_TRAIN_LANG).select(
+        F.explode(word_windows(norm, 2)).alias("g")
+    )
+    bc = (
+        big_train.groupBy("g")
+        .agg(F.count("*").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bc = bc.withColumn("w1", F.split("g", " ").getItem(0))
+    ctx = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+    tc = (
+        tri.where(F.col("lang") == _SB_TRAIN_LANG)
+        .groupBy("g3")
+        .agg(F.count("*").alias("c123"))
+        .withColumn(
+            "b12",
+            F.concat_ws(
+                " ", F.split("g3", " ").getItem(0), F.split("g3", " ").getItem(1)
+            ),
+        )
+    )
+    tdim = tc.join(bc.select(F.col("g").alias("b12"), "c12"), "b12").select(
+        "g3",
+        F.round(F.log(F.col("c123") / F.col("c12").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("lnt_micro"),
+    )
+    bdim = bc.join(ctx, "w1").select(
+        "g",
+        F.round(
+            F.log((F.lit(_SB_ALPHA) * F.col("c12")) / F.col("c1").cast("double"))
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("lnb_micro"),
+    )
+    train_toks = d.where(F.col("lang") == _SB_TRAIN_LANG).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    uc = (
+        train_toks.groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = uc.agg(F.sum("cu").alias("nt"))
+    udim = uc.crossJoin(F.broadcast(n)).select(
+        "tok",
+        F.round(
+            F.log(
+                (F.lit(_SB_ALPHA) * F.lit(_SB_ALPHA) * F.col("cu"))
+                / F.col("nt").cast("double")
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("lnu_micro"),
+    )
+    oov = n.select(
+        F.round(
+            F.log(
+                (F.lit(_SB_ALPHA) * F.lit(_SB_ALPHA) * F.lit(1))
+                / F.col("nt").cast("double")
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("oov_micro")
+    )
+    scored = (
+        tri.join(tdim, "g3", "left")
+        .withColumn(
+            "b23",
+            F.concat_ws(
+                " ", F.split("g3", " ").getItem(1), F.split("g3", " ").getItem(2)
+            ),
+        )
+        .join(bdim.withColumnRenamed("g", "b23"), "b23", "left")
+        .withColumn("w3", F.split("g3", " ").getItem(2))
+        .join(F.broadcast(udim), F.col("w3") == F.col("tok"), "left")
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            F.coalesce("lnt_micro", "lnb_micro", "lnu_micro", "oov_micro").alias("s"),
+            F.col("lnt_micro").isNull().cast("long").alias("bo"),
+            (F.col("lnt_micro").isNull() & F.col("lnb_micro").isNull())
+            .cast("long")
+            .alias("bo2"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("s").alias("score_micro"),
+        F.floor(F.sum("s").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_micro"),
+        F.sum("bo").alias("n_backoff"),
+        F.sum("bo2").alias("n_backoff2"),
     )
 
 

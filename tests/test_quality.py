@@ -267,3 +267,76 @@ def test_distilled_classifier_learns_the_gate_signal(spark):
     kp = lab.where("label").count()
     majority = max(kp, n - kp) / n
     assert agree > majority + 0.05, (agree, majority)
+
+
+SBT_DOCS = [
+    # training slice (en): trigrams {[a b c]: 1, [a b d]: 1},
+    # bigrams {ab: 2, bc: 1, bd: 1}, unigrams {a: 2, b: 2, c: 1, d: 1}, N=6
+    (30, "a b c", "en"),
+    (31, "a b d", "en"),
+    # scored docs (fr), one per cascade path:
+    (32, "a b c", "fr"),   # trigram hit: ln(c123/c(ab)) = ln(1/2)
+    (33, "x b c", "fr"),   # bigram backoff: ln(0.4 * c(bc)/c(b)) = ln(0.2)
+    (34, "x y a", "fr"),   # unigram backoff: ln(0.4^2 * c(a)/N)
+    (35, "a b z", "fr"),   # OOV: ln(0.4^2 * 1/N)
+]
+
+
+@pytest.fixture(scope="module")
+def sbt_fixture_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("sbt_docs"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _t, _l in SBT_DOCS], pa.int64()),
+                "text": pa.array([t for _i, t, _l in SBT_DOCS], pa.string()),
+                "lang": pa.array([lg for _i, _t, lg in SBT_DOCS]),
+                "source": pa.array(["fixture"] * len(SBT_DOCS)),
+                "n_chars": pa.array([len(t) for _i, t, _l in SBT_DOCS], pa.int32()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    return d
+
+
+def test_stupid_backoff_trigram_all_four_paths(spark, sbt_fixture_dir):
+    """Hand-computed values for every cascade rung: seen trigram (MLE over
+    the trained bigram count), bigram backoff (0.4 rung), unigram backoff
+    (0.4^2 rung), and OOV — with the two backoff-depth counters — plus the
+    production oracle row-for-row on the same fixture."""
+    import math
+
+    from news_crawler_slm_spark.plans.catalog_selection import _SBT_ORACLE
+
+    got = {
+        r["doc_id"]: (
+            r["n_transitions"], r["score_micro"], r["avg_micro"],
+            r["n_backoff"], r["n_backoff2"],
+        )
+        for r in REGISTRY["stupid_backoff_trigram_scores"][0](
+            spark, sbt_fixture_dir
+        ).collect()
+    }
+    ln_tri = round(math.log(1 / 2.0) * 1e6)            # [a b c]: c123=1, c(ab)=2
+    ln_bi = round(math.log((0.4 * 1) / 2.0) * 1e6)     # [b c]: c=1, c(b)=2
+    ln_uni = round(math.log((0.4 * 0.4 * 2) / 6.0) * 1e6)  # c(a)=2, N=6
+    ln_oov = round(math.log((0.4 * 0.4 * 1) / 6.0) * 1e6)
+    # training docs score their own seen trigram
+    assert got[30] == (1, ln_tri, ln_tri, 0, 0)
+    ln_abd = round(math.log(1 / 2.0) * 1e6)
+    assert got[31] == (1, ln_abd, ln_abd, 0, 0)
+    assert got[32] == (1, ln_tri, ln_tri, 0, 0)
+    assert got[33] == (1, ln_bi, ln_bi, 1, 0)
+    assert got[34] == (1, ln_uni, ln_uni, 1, 1)
+    assert got[35] == (1, ln_oov, ln_oov, 1, 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sbt_fixture_dir}/documents.parquet'"
+    )
+    exp = {r[0]: tuple(r[1:6]) for r in con.execute(_SBT_ORACLE).fetchall()}
+    assert got == exp

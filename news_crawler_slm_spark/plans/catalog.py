@@ -47,6 +47,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame, *by: str) -> DataFrame:
+    """Scale-ADAPTIVE parallelism restore for row-group-limited inputs
+    (optimization guide §2.5 "input skew: one huge unsplittable file ...
+    repartition immediately after the read").
+
+    A driver-generated table is ONE parquet file with ONE row group, so a
+    scan of it is a single task no matter how many cores exist — and every
+    narrow stage fused onto that scan (regex projections, explode + partial
+    aggregation, Arrow/Python batches) runs serially.  Measured at sf1.0 /
+    local[32] this left the whole per-document query family at ~1/32nd of
+    the machine (e.g. image_resize_png 56 s, composite_quality_gate 36 s).
+
+    When the scanned frame has FEWER partitions than the session's
+    parallelism, hash-repartition it on ``by`` (project to the needed
+    columns FIRST so the exchange carries only them); when the input is
+    already split — any real multi-file table at scale — this is a no-op,
+    so the 100 TB plan gains no exchange.  Results are partitioning-
+    invariant by construction (every caller matches a deterministic SQL
+    oracle), and the driver gate's sorted-row hash is order-insensitive.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if by:
+        return df.repartition(target, *[F.col(c) for c in by])
+    return df.repartition(target)
+
+
 def cents(col: F.Column) -> F.Column:
     """Deterministic order-independent money accumulator: see module doc."""
     return F.floor(col * 100 + F.lit(0.5)).cast("long")
@@ -483,9 +512,10 @@ def token_filter(spark, sf_dir):
     (step_05:37-52; thresholds config.json:21-22, scaled to this corpus).
     The reference's text-file round-trip becomes a plain predicate; the
     anti-join form is exercised in tests/test_pipeline.py."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", F.expr(_TOK_SPARK).alias("tc")
-    )
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text"),
+        "doc_id",
+    ).select("doc_id", "source", "lang", F.expr(_TOK_SPARK).alias("tc"))
     thr = F.when(F.col("lang") == "en", 90).otherwise(70)
     return d.where(~(F.col("tc") > thr)).select("doc_id", "source")
 
@@ -574,7 +604,7 @@ def repetition_filter(spark, sf_dir):
     """P9/F5 — repeated-n-gram severity ratio (omit_degeneration.py:13-30,
     n=3 for this corpus) and threshold filter (:60-68), expressed natively:
     explode n-grams → per-doc counts → ratio. Stays JVM-side end-to-end."""
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
     n = 3
@@ -630,7 +660,7 @@ _REP_RATIO_DUCK = """
 
 
 def _degen_union(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     degen = d.where(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 20000).alias("doc_id"),
@@ -723,7 +753,7 @@ def prompt_format(spark, sf_dir):
     + eos_token for training, INPUT_ONLY_PROMPT.format(input) for inference.
     Input stand-in = text, output stand-in = the sanitized title (documents
     has no html column); '</s>' plays the tokenizer eos. Pure JVM concat."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     title = F.regexp_replace(F.lower(F.substring("text", 1, 16)), "[^a-z0-9 ]", "")
     return d.select(
         "doc_id",
@@ -752,7 +782,7 @@ def quality_features(spark, sf_dir):
     """Text-quality scoring (engine addition; C4/Gopher-style heuristics):
     token count, char count, punctuation ratio, stopword ratio — all as
     built-in Column expressions (no Python in the hot path)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     stop = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
     return d.select(
@@ -814,7 +844,7 @@ def unigram_perplexity(spark, sf_dir):
     parquet scans of at most (doc_id, text); cache ``toks`` if scans
     dominate.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
@@ -919,7 +949,7 @@ def bigram_perplexity(spark, sf_dir):
     (|bigrams| rows, not per occurrence) then summed as BIGINT — the same
     order-independent exactness discipline as unigram_perplexity.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     norm = ws_normalize(F.lower(F.col("text")))
     big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
     bc = big.groupBy("g").agg(F.count("*").alias("c12"))
@@ -1021,7 +1051,7 @@ def kn_bigram_perplexity(spark, sf_dir):
     score scan joining the corpus bigrams to the broadcast dim. Same
     2-corpus-scan budget as bigram_perplexity.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     norm = ws_normalize(F.lower(F.col("text")))
     big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
     bc = (
@@ -1155,7 +1185,9 @@ def nb_lang_classifier(spark, sf_dir):
     """
     from pyspark import StorageLevel
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         "lang",
@@ -1261,7 +1293,7 @@ def token_budget_packing(spark, sf_dir):
     """
     from ..operators.prefix_sum import running_sum_by_key
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = d.select(
         "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens")
     )
@@ -1366,7 +1398,7 @@ def doc_token_chunks(spark, sf_dir):
     Scan → Project → Generate, asserted in tests/test_pipeline.py).
     Output row order inherits the scan; downstream packing re-keys it.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     s = d.select(
         "doc_id",
@@ -1429,7 +1461,7 @@ def benchmark_decontamination(spark, sf_dir):
     regexp_extract_all stays inside whole-stage codegen — measured 6.8x
     faster at sf0.1 with byte-identical windows.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     norm = ws_normalize(F.lower(F.col("text")))
     toks = F.split(norm, " ")
     wins = F.when(F.size(toks) < 4, F.array(norm)).otherwise(word_windows(norm, 4))
@@ -1501,7 +1533,7 @@ def vocab_topk(spark, sf_dir):
     (tokenizer-training prep).  Map-side partial counts shuffle only
     (token, count); the global top-50 compiles to TakeOrderedAndProject —
     per-partition heaps merged on the driver, never a full sort."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return (
         d.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
@@ -1535,7 +1567,7 @@ def token_idf(spark, sf_dir):
     explode — row-local dedup, no extra shuffle), idf = ln(N/df) with the
     1-row corpus count broadcast.  Top-50 by df for a bounded result."""
     d = _t(spark, sf_dir, "documents")
-    per_doc = d.select(
+    per_doc = _spread(d.select("doc_id", "text"), "doc_id").select(
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         ).alias("tok")
@@ -1588,7 +1620,7 @@ def unicode_normalize(spark, sf_dir):
     """
     from ..functions.udfs import strip_accents_nfc_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     dtext = F.translate(F.col("text"), "aeiou", "àéîöü")
     return d.select(
         "doc_id",
@@ -1650,7 +1682,7 @@ def pii_scrub(spark, sf_dir):
     Scrub order is fixed (email → phone → IP → addr) so the md5 is
     well-defined.  Pure regexp Column expressions — shuffle-free
     projection, linear at any scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     aug = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import md5_long, md5_long_duck
-from .catalog import _t, register, word_windows, ws_normalize
+from .catalog import _spread, _t, register, word_windows, ws_normalize
 
 # ===========================================================================
 # Dedup family
@@ -39,7 +39,7 @@ _DUP_UNION_DUCK = """
 
 
 def _dup_union(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     redup = d.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
@@ -276,7 +276,7 @@ def minhash_lsh_candidates(spark, sf_dir, bucket_cap: int = 64):
     # (4 corpus scans measured r06) — persist the O(docs x 4 bands) frame,
     # the same materialized-sketch discipline as minhash_jaccard_estimates
     banded = minhash_bands(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return _lsh_candidate_pairs(banded, bucket_cap)
 
@@ -349,7 +349,9 @@ def simhash_fingerprints(spark, sf_dir):
     (bit_count(a ^ b)) — pair generation at scale is
     `simhash_neardup_pairs` (banded Hamming join). Full DuckDB value
     oracle (same hash, same votes); pure-Python twin in test_dedup.py."""
-    return simhash_fingerprints_of(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash_fingerprints_of(
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    )
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
@@ -495,8 +497,11 @@ def ann_cosine_topk(spark, sf_dir):
     double precision (deterministic left-to-right fold — bit-identical to
     the oracle), per-query top-k via window. The scale path is
     ann_lsh_topk (bucketed)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        ),
+        "vec_id",
     )
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -694,7 +699,10 @@ def frontier_pop_topk(spark, sf_dir):
     budget (4/host/round) with the engine's canonical total order
     (priority DESC, ts, url) — SURVEY.md §1.4-4. Synthesized from events so
     the DuckDB oracle can check it."""
-    e = _t(spark, sf_dir, "events")
+    e = _spread(
+        _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts"),
+        "event_id",
+    )
     host = F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string"))
     url = F.concat(F.lit("https://"), host, F.lit("/e"), F.col("event_id").cast("string"))
     frontier = e.select(
@@ -909,7 +917,7 @@ def doc_fingerprints_rolling(spark, sf_dir):
     truncated window (mirrors functions.text.shingles); empty text hashes
     to 0 in both engines.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     hashes = rolling_window_hashes(F.col("text"))
     return d.select(
         "doc_id",
@@ -1358,7 +1366,7 @@ def substring_dup_stats(spark, sf_dir, w: int = _SUBSTR_W):
     sorted, and the explode is W x token count — linear in corpus bytes,
     the standard trade vs the paper's single-node suffix array.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     wins = d.select(
         "doc_id",
         F.posexplode(word_windows(ws_normalize(F.col("text")), w)).alias("p0", "g"),
@@ -1416,7 +1424,7 @@ def substring_dedup_clean(spark, sf_dir, w: int = _SUBSTR_W):
     sorted collect bounded by document length (same discipline as
     paragraph_dedup). All shuffles key on the window hash or doc_id.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = d.select("doc_id", F.split(ws_normalize(F.col("text")), " ").alias("t"))
     wins = toks.select(
         "doc_id",
@@ -1628,7 +1636,9 @@ def _hll_oracle_sql(
 def _hll_token_hashes(spark, sf_dir, keys=()):
     """(keys..., h) — md5_long over the lowercased whitespace token
     stream; the shared scan for every HLL variant."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", *keys, "text"), "doc_id"
+    )
     toks = d.select(
         *keys,
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
@@ -1834,7 +1844,9 @@ def cms_token_frequency(spark, sf_dir, depth: int = _CMS_D, width: int = _CMS_W)
 
 def _cms_token_stream(spark, sf_dir):
     """The lowered whitespace token stream every CMS query sketches."""
-    d_t = _t(spark, sf_dir, "documents")
+    d_t = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     return d_t.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
@@ -2076,7 +2088,7 @@ def minhash_jaccard_estimates(spark, sf_dir, bucket_cap: int = 64):
 
     from ..operators.incremental_dedup import minhash_bands_of, minhash_signatures
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     cand = _lsh_candidate_pairs(minhash_bands_of(sigs), bucket_cap).persist(
         StorageLevel.MEMORY_AND_DISK

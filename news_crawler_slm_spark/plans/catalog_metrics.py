@@ -27,7 +27,7 @@ from ..functions.udfs import (
     meteor_udf,
     rouge_l_udf,
 )
-from .catalog import _t, register
+from .catalog import _spread, _t, register
 
 # sanitized, quote-free text prefix — safe to embed in literal strings
 _TITLE_SPARK = "regexp_replace(lower(substring(text, 1, 16)), '[^a-z0-9 ]', '')"
@@ -40,9 +40,9 @@ def _with_texts(spark, sf_dir):
     similarity); 1: character-reversed gold (LOW similarity — exercises the
     jaro>0.7 Winkler-boost gate, see ADVICE r1); 3: unchanged. All three
     branches expressible in SQL for the oracle."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TITLE_SPARK).alias("gold_text")
-    )
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.expr(_TITLE_SPARK).alias("gold_text"))
     toks = F.split("gold_text", " ")
     swapped = F.concat_ws(
         " ",
@@ -174,9 +174,9 @@ def seq_similarity_metrics(spark, sf_dir):
     stages, WordNet stage omitted offline — functions/metrics.py).
     Oracle-checked via an append-one-token construction with closed-form
     metric values (see _SEQ_DUCK)."""
-    t = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_TITLE_SPARK).alias("gold_text")
-    )
+    t = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    ).select("doc_id", F.expr(_TITLE_SPARK).alias("gold_text"))
     t = t.withColumn(
         "pred_text",
         F.when(F.col("doc_id") % 2 == 0, F.concat("gold_text", F.lit(" qzj")))
@@ -206,7 +206,12 @@ def _with_json_pairs(spark, sf_dir):
     extract_all_text; cases 0 and 3 execute it distributively with
     oracle-derivable values.
     """
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text", "n_chars"
+        ),
+        "doc_id",
+    ).select(
         "doc_id",
         "lang",
         "source",

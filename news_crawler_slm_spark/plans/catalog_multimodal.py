@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import multimodal as MM
-from .catalog import _t, register
+from .catalog import _spread, _t, register
 
 # cosine threshold for near-duplicate embeddings: chosen mid-gap for the
 # synthetic corpus (no pair within 1e-6 of it at sf0.01/sf0.1 — verified),
@@ -84,8 +84,11 @@ def multimodal_image_meta(spark, sf_dir):
     """Typed-metadata extraction from an opaque image blob column via
     mapInPandas (Arrow batches; decode stubbed deterministically —
     functions/multimodal.py). Blob bytes never leave the decode stage."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+        ),
+        "doc_id",
     )
     return d.mapInPandas(MM.image_meta_batches, MM.IMAGE_META_SCHEMA)
 
@@ -131,8 +134,11 @@ def image_resize_png(spark, sf_dir):
 
     Scale shape: blob bytes are born and die inside one Arrow batch in
     one task — no shuffle ever carries a blob; output is 8 scalar columns
-    per doc."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    per doc.  The codec stage is the most expensive per-row Python work
+    in the catalog, so the doc_id feed is _spread across the cores when
+    the input is row-group-limited (r07: 56.5 s -> ~2 s at sf1.0; the
+    8-byte-per-row exchange is a no-op on an already-split input)."""
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return d.mapInPandas(MM.resize_batches(8, 8), MM.RESIZE_SCHEMA)
 
 
@@ -183,8 +189,9 @@ def audio_decode_wav(spark, sf_dir):
 
     Scale shape: blob bytes are born and die inside one Arrow batch in
     one task — no shuffle ever carries a blob; output is 9 scalar columns
-    per doc."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
+    per doc.  Like the PNG twin, the doc_id feed is _spread across the
+    cores when the input is row-group-limited (no-op on split inputs)."""
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id"), "doc_id")
     return d.mapInPandas(MM.wav_batches(16), MM.WAV_SCHEMA)
 
 
@@ -201,8 +208,11 @@ def audio_decode_wav(spark, sf_dir):
 def frame_sample_stats(spark, sf_dir):
     """Video frame-sampling plumbing: fixed-size fake frames, stride-4
     sampling inside mapInPandas; downstream sees only frame counts."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+        ),
+        "doc_id",
     )
     out = d.mapInPandas(MM.frame_batches(256, 4), MM.FRAME_SCHEMA)
     return out.select("doc_id", "n_frames", "n_sampled")

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import _t, register
+from .catalog import _spread, _t, register
 
 _POSTINGS_CAP = 20
 
@@ -50,7 +50,7 @@ def token_postings(spark, sf_dir, cap: int = _POSTINGS_CAP):
     as the token aggregation (partial-aggregate distinct), one shuffle
     total on token; sort_array + slice are per-row codegen.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
@@ -117,7 +117,8 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     # N as a broadcast 1-row scalar subquery — no separate driver count()
     # action; the whole search is one job
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
-    hits = d.select(
+    sd = _spread(d.select("doc_id", "text"), "doc_id")
+    hits = sd.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token").isin(q))
@@ -217,7 +218,7 @@ def bm25_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     from pyspark.sql import Window
 
     q = query or _QUERY_TOKENS
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     stats = d.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import knuth_shuffle_key, knuth_shuffle_key_sql
 from ..operators.rank import grouped_row_number
-from .catalog import _t, register, word_windows, ws_normalize
+from .catalog import _spread, _t, register, word_windows, ws_normalize
 
 # ---------------------------------------------------------------------------
 # stratified_sample
@@ -189,7 +189,9 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     counts the plan already aggregates. Window ≡ distributed equality is
     pinned by the planted-skew test in tests/test_text_ops.py.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         "lang",
@@ -344,7 +346,9 @@ def dsir_importance_weights(spark, sf_dir):
     1-row totals dim.
     """
     B = _DSIR_BUCKETS
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         "lang",
@@ -462,7 +466,7 @@ def bpe_pair_counts(spark, sf_dir):
     TakeOrderedAndProject, no global sort; the tiebreak makes the cut total
     so LIMIT is deterministic on both engines.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     words = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
     )
@@ -582,7 +586,9 @@ def stupid_backoff_scores(spark, sf_dir):
     backoff resolution is one coalesce over two left joins, zero extra
     corpus passes.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     norm = ws_normalize(F.lower(F.col("text")))
     from pyspark import StorageLevel
 
@@ -768,7 +774,9 @@ def stupid_backoff_trigram_scores(spark, sf_dir):
     """
     from pyspark import StorageLevel
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), "doc_id"
+    )
     norm = ws_normalize(F.lower(F.col("text")))
 
     tri = d.select("doc_id", "lang", F.explode(word_windows(norm, 3)).alias("g3"))
@@ -923,7 +931,7 @@ def weighted_sample(spark, sf_dir, k: int = _WS_K):
     global top-k = TakeOrderedAndProject (per-partition heaps of k, one
     k-row reduction to the driver; no sort, no shuffle of the corpus).
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     weight = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     u = (knuth_shuffle_key(F.col("doc_id")) + F.lit(1)) / F.lit(_M32_D)
     keyed = d.select(
@@ -1096,7 +1104,7 @@ def distilled_quality_classifier(spark, sf_dir):
     """
     from .catalog_quality import _gopher_cols
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     labeled = d.select(
         "doc_id",
         F.trim(F.lower(F.col("text"))).alias("ltext"),
@@ -1199,7 +1207,9 @@ def weighted_sample_by_source(spark, sf_dir, k: int = _WSG_K):
     paths above/below the gate is pinned by the planted-skew test in
     tests/test_text_ops.py.
     """
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"), "doc_id"
+    )
     weight = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     u = (knuth_shuffle_key(F.col("doc_id")) + F.lit(1)) / F.lit(_M32_D)
     keyed = d.select(

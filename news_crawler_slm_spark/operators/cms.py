@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 DEFAULT_DEPTH = 4
 DEFAULT_WIDTH = 2048
 
-__all__ = ["cms_table", "cms_lookup", "cms_merge", "DEFAULT_DEPTH", "DEFAULT_WIDTH"]
+__all__ = [
+    "cms_table",
+    "cms_table_by",
+    "cms_lookup",
+    "cms_lookup_by",
+    "cms_merge",
+    "DEFAULT_DEPTH",
+    "DEFAULT_WIDTH",
+]
 
 
 def _bucket_array(col: str, depth: int, width: int) -> F.Column:

@@ -57,8 +57,23 @@ def get_spark(
         # maxPartitionBytes, so at 100 TB this floor is a no-op.  NOTE a
         # single ROW GROUP still cannot split — those scans are respread
         # explicitly where the downstream work is heavy (plans/catalog._spread).
-        .config("spark.sql.files.minPartitionNum", str(cores))
+        .config(
+            "spark.sql.files.minPartitionNum",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_NUM", str(cores)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # join strategy (guide §3.1 / §9): let the planner pick shuffled
+        # HASH join over sort-merge when its size conditions hold, and let
+        # AQE rewrite SMJ->SHJ when every post-shuffle partition is under
+        # 64 MB — skips the sort of both sides.  Measured r07 (sf1.0,
+        # local[32], interleaved pairs): stupid_backoff_trigram 5.4->3.4 s,
+        # q5 3.3->1.9 s, kn_bigram 2.7->1.7 s, bm25 2.4->1.0 s.  The
+        # 64 MB per-partition build bound is what keeps this safe at any
+        # scale (a build side over the bound stays sort-merge).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "67108864"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

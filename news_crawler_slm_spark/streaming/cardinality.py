@@ -88,27 +88,35 @@ def stream_hll_registers(
         else:
             regs = sorted((r["register"], r["rank"]) for r in delta.collect())
             fp = hashlib.md5(repr(regs).encode()).hexdigest()
-        lineage = cat.lineage()
+        # crash replays re-deliver one of the most recent commits, so the
+        # (batch, fp) dedup check walks a BOUNDED lineage suffix — the
+        # unbounded walk was O(#snapshots) manifest reads per batch,
+        # O(N²) over the stream (the frequency.py fix, ADVICE r06, applied
+        # to this sink too).  Missing an OLDER fp hit is harmless here:
+        # HLL max-merge is idempotent, so re-folding replayed content is a
+        # no-op by algebra, not by dedup.
         if any(
             s.counters.get("hll_stream_batch") == batch_id
             and s.counters.get("hll_batch_fp") == fp
-            for s in lineage
+            for s in cat.lineage(limit=16)
         ):
             return  # true replay (same batch, same CONTENT): durably done
         sid = base_id + batch_id
-        committed = {s.snapshot_id for s in lineage}
-        if sid in committed:
-            # reused batchId with NEW content — a replaced checkpoint
-            # re-batched history + fresh files as batch 0. Fold under the
-            # next free id: max-merge makes re-folding the old subset a
-            # no-op while the new files' values land.
-            sid = max(committed | {sid}) + 1
-        else:
-            manifest = os.path.join(
-                catalog_root, "manifests", f"snap-{sid}.json"
-            )
-            if os.path.exists(manifest):
-                os.remove(manifest)  # orphan from a crash mid-commit
+        # committed-id SET from one directory listing, no manifest reads;
+        # the reachability walk runs only on an actual collision
+        on_disk = cat.committed_snapshot_ids_on_disk()
+        if sid in on_disk:
+            reachable = {s.snapshot_id for s in cat.lineage()}
+            if sid in reachable:
+                # reused batchId with NEW content — a replaced checkpoint
+                # re-batched history + fresh files as batch 0. Fold under
+                # the next free id: max-merge makes re-folding the old
+                # subset a no-op while the new files' values land.
+                sid = max(on_disk | reachable) + 1
+            else:
+                os.remove(
+                    os.path.join(catalog_root, "manifests", f"snap-{sid}.json")
+                )  # orphan from a crash mid-commit
         try:
             prev = cat.read_table(REGISTER_TABLE)
         except (KeyError, FileNotFoundError):  # first batch: no table yet

@@ -115,7 +115,14 @@ def stream_cms_cells(
             )
             fp = hashlib.md5("\n".join(new_files).encode()).hexdigest()
         else:
-            # no file identity: dedup on the delta's own content
+            # no file identity: dedup on the delta's own content.  A true
+            # crash replay re-delivers one of the most recent commits, so
+            # the (batch, fp) check walks a BOUNDED lineage suffix — the
+            # unbounded walk here was O(#snapshots) manifest reads per
+            # batch, O(N²) over the stream's lifetime (ADVICE r06); the
+            # replaced-checkpoint-with-overlapping-data corner this bound
+            # re-opens was already documented at-least-once for non-file
+            # sources (module doc).
             delta = cms_table(batch_df, col, depth, width)
             cells = sorted(
                 (r["row"], r["col"], r["cnt"]) for r in delta.collect()
@@ -124,22 +131,29 @@ def stream_cms_cells(
             if any(
                 s.counters.get("cms_stream_batch") == batch_id
                 and s.counters.get("cms_batch_fp") == fp
-                for s in cat.lineage()
+                for s in cat.lineage(limit=16)
             ):
                 return  # true replay (same batch, same content): durably done
 
-        lineage = cat.lineage()
-        committed = {s.snapshot_id for s in lineage}
+        # sid allocation needs only the committed-id SET: one directory
+        # listing (no manifest reads) instead of a full lineage walk per
+        # batch (ADVICE r06).  The expensive reachability walk now runs
+        # only on an actual id collision (replay/crash), never steady-state.
+        on_disk = cat.committed_snapshot_ids_on_disk()
         sid = base_id + batch_id
-        if sid in committed:
-            # reused batchId (replaced checkpoint) — the ledger already
-            # confined the delta to genuinely-new files; commit under the
-            # next free id so lineage stays append-only
-            sid = max(committed | {sid}) + 1
-        else:
-            manifest = os.path.join(catalog_root, "manifests", f"snap-{sid}.json")
-            if os.path.exists(manifest):
-                os.remove(manifest)  # orphan from a crash mid-commit
+        if sid in on_disk:
+            reachable = {s.snapshot_id for s in cat.lineage()}
+            if sid in reachable:
+                # reused batchId (replaced checkpoint) — the ledger already
+                # confined the delta to genuinely-new files; commit under
+                # the next free id so lineage stays append-only
+                sid = max(on_disk | reachable) + 1
+            else:
+                # manifest present but unreachable: orphan from a crash
+                # mid-commit
+                os.remove(
+                    os.path.join(catalog_root, "manifests", f"snap-{sid}.json")
+                )
         try:
             prev = cat.read_table(CELLS_TABLE)
         except (KeyError, FileNotFoundError):  # first batch: no table yet

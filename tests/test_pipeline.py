@@ -661,12 +661,17 @@ def test_corpus_from_crawl_incremental_cdc(spark, tmp_path):
 
 
 def test_doc_token_chunks_map_only_plan_and_coverage(spark):
-    """doc_token_chunks must be map-only (Scan → Project → Generate, zero
-    Exchange — the chunker itself has no reason to shuffle at 100 TB) and
-    its chunks must tile every token: starts are 1, 1+stride, ...; each
+    """doc_token_chunks must stay map-only past its input: the chunker
+    itself has no reason to shuffle at 100 TB, so the only Exchange allowed
+    is the adaptive input spread (catalog._spread — a doc_id hash
+    repartition of the pruned scan that fires only on row-group-limited
+    inputs and is a no-op on any already-split table).  Chunks must tile
+    every token: starts are 1, 1+stride, ...; each
     chunk carries min(chunk, n - start + 1) tokens; concatenating the
     non-overlapping prefixes (first `stride` tokens of every chunk plus
     the last chunk's tail) reproduces the document."""
+    import re as _re
+
     from news_crawler_slm_spark.plans.catalog import (
         _CHUNK_STRIDE,
         _CHUNK_TOKENS,
@@ -676,7 +681,10 @@ def test_doc_token_chunks_map_only_plan_and_coverage(spark):
     fn, _ = REGISTRY["doc_token_chunks"]
     out = fn(spark, "/root/testdata/sf0.001")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    exchanges = _re.findall(r"Exchange [^\n]*", plan)
+    assert len(exchanges) <= 1, plan
+    for ex in exchanges:  # the spread, never a chunk/gram shuffle
+        assert "hashpartitioning(doc_id" in ex, ex
 
     docs = {
         r["doc_id"]: r["text"].strip().split()

@@ -312,3 +312,32 @@ def test_corpus_drift_ks_between_snapshots(spark, tmp_path):
         2 * len(la) * len(lb)
     )
     assert drift["ks_micro"] == 200000  # 10 of 50 moved past the old support
+
+
+def test_ks_statistic_guards_empty_side(spark):
+    """ADVICE r06: an empty side must raise a clear error when the result
+    is evaluated, never emit a null/0-division ks_micro row — and the
+    guard is lazy (building the frame runs no job and raises nothing)."""
+    import pytest
+
+    from news_crawler_slm_spark.operators.drift import ks_statistic
+
+    df = spark.createDataFrame([(0, 1.0), (0, 2.0)], "g int, v double")
+    frame = ks_statistic(df, "g", "v")  # lazy: must not raise here
+    with pytest.raises(Exception, match="non-empty"):
+        frame.collect()
+
+
+def test_committed_ids_on_disk_and_bounded_lineage(spark, tmp_path):
+    """The streaming sinks' per-batch id allocation reads ONE directory
+    listing (committed_snapshot_ids_on_disk) and the replay-dedup check a
+    BOUNDED lineage suffix (lineage(limit=N)) — pin that both agree with
+    the full manifest walk."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "ids"))
+    for sid in (5, 9, 11):
+        cat.commit(sid, tables={"t": spark.createDataFrame([(sid,)], "x long")})
+    assert cat.committed_snapshot_ids_on_disk() == {5, 9, 11}
+    full = [s.snapshot_id for s in cat.lineage()]
+    assert full == [11, 9, 5]
+    assert [s.snapshot_id for s in cat.lineage(limit=2)] == [11, 9]
+    assert [s.snapshot_id for s in cat.lineage(limit=0)] == []

@@ -52,62 +52,65 @@ from .catalog import REGISTRY  # noqa: F401
 # then the 42 r04-green queries due back by the two-round rule. The two
 # r06-changed queries (weighted_sample_by_source, ccnet_perplexity_buckets
 # — size-aware hot-group rank dispatch) are already inside this window.
+# Round 7 front (exactly 50) — per the r06 wave-4 note below: the FOUR
+# queries that have never had a driver row (registered after the r06
+# front froze) lead, followed by the 46 r05-green due rotations; the
+# four displaced r05 entries (q1_pricing_summary, hourly_event_counts,
+# prf1_rollup, value_histogram) are trivial stable aggregations with
+# >= 3 green rows, moved to the three-round stable-aggregation cadence
+# (due r08) and value-checked every run by tests/test_plans.py.  The
+# r06-front 50 are due back r08 by the two-round rule.
 _DRIVER_FIRST = [
-    "bm25_search",  # new r05, never driver-checked
-    "hll_distinct_tokens",  # new r05, never driver-checked
-    "cms_token_frequency",  # new r05, never driver-checked
-    "weighted_sample_by_source",  # new r05, never checked; r06: auto-gated rank
-    "hll_distinct_tokens_probe",  # new r06: production shape, no exact branch
-    "cms_token_frequency_probe",  # new r06: production shape, no exact branch
-    "hll_distinct_tokens_by_source",  # new r06: grouped HLL, full oracle
-    "minhash_jaccard_estimates",  # new r06: signature-based estimate, full oracle
-    "image_resize_png",  # new r06: REAL stdlib PNG codec, full oracle
-    "cms_heavy_hitters",  # new r06: broadcast-sketch semi-filter, full oracle
-    "audio_decode_wav",  # new r06: REAL stdlib WAV codec, full oracle
-    # --- the 42 r04-green queries, due by the two-round rule ---
-    "stratified_sample",
-    "ccnet_perplexity_buckets",  # r06: auto-gated hot-group rank dispatch
-    "dsir_importance_weights",
-    "bpe_pair_counts",
-    "dup_line_stats",
-    "composite_quality_gate",
-    "stupid_backoff_scores",
-    "weighted_sample",
-    "dsir_resample",
-    "corpus_datacard",
-    "distilled_quality_classifier",
-    "gopher_quality_flags",
-    "top_ngram_char_fraction",
-    "c4_line_filter",
-    "tfidf_search",
-    "token_count_quantiles",
-    "dup_ngram_char_fraction",
-    "events_sliding_counts",
-    "substring_dup_stats",
-    "substring_dedup_clean",
-    "bigram_perplexity",
-    "unicode_normalize",
-    "nb_lang_classifier",
-    "ngram_jaccard_pairs",
-    "langid_heuristic",
-    "unigram_perplexity",
-    "lang_distribution",
-    "token_count_distribution",
-    "max_tokens_with_ties",
-    "count_over_limit",
-    "value_histogram_fd",
-    # distinct_sources / split_sizes: displaced by cms_heavy_hitters /
-    # audio_decode_wav under the stable-aggregation swap rule (see the
-    # r06 amendment below) — both green r01–r04 and value-checked every
-    # run by tests/test_plans.py; due back r07.
-    "shrink_first_n",
-    "source_ordinals",
-    "complete_sources",
-    "prompt_format",
-    "sample_inspector",
-    "repetition_rejects",
-    "token_stats_summary",
-    "value_stats_pop",
+    "doc_token_chunks",
+    "kn_bigram_perplexity",
+    "ks_drift_shards",
+    "stupid_backoff_trigram_scores",
+    "token_postings",
+    "doc_fingerprints",
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "minhash_lsh_candidates",
+    "ann_lsh_topk",
+    "split_assign",
+    "schema_align",
+    "token_filter",
+    "repetition_filter",
+    "repetition_split_counts",
+    "quality_features",
+    "token_budget_packing",
+    "benchmark_decontamination",
+    "vocab_topk",
+    "token_idf",
+    "exact_dedup",
+    "ann_cosine_topk",
+    "frontier_pop_topk",
+    "seen_anti_join",
+    "url_canonicalization",
+    "doc_fingerprints_rolling",
+    "orders_without_lineitems",
+    "top_customers_per_nation",
+    "sessionization",
+    "events_running_rank",
+    "q3_shipping_priority",
+    "json_key_set_ops",
+    "events_asof_join",
+    "json_eval_scores",
+    "json_eval_rollup",
+    "edit_distance_metrics",
+    "seq_similarity_metrics",
+    "skewed_hot_key_join",
+    "paragraph_dedup",
+    "pii_scrub",
+    "training_shuffle",
+    "temperature_mixture_sample",
+    "neardup_clusters",
+    "neardup_survivors_count",
+    "embedding_neardup_pairs",
+    "multimodal_image_meta",
+    "dedup_survivors_count",
+    "frame_sample_stats",
+    "audio_duration_by_lang",
+    "q5_local_supplier_volume",
 ]
 
 # NOTE (r06): front = 4 never-checked r05 queries + 6 r06-new + the 40
@@ -143,63 +146,66 @@ _DRIVER_FIRST = [
 # no_oracle err (learned k-means cells; value oracles are numpy/python
 # twins in tests/test_similarity.py / test_dedup.py / test_multimodal.py).
 _DRIVER_LAST = [
-    "token_postings",
-    "doc_fingerprints",
-    "simhash_fingerprints",
-    "simhash_neardup_pairs",
-    "minhash_lsh_candidates",
-    "ann_lsh_topk",
+    # the r06-checked set (fresh r06 hash-green rows; due r08) plus the
+    # four aggregations displaced to the three-round cadence this round
+    "bm25_search",
+    "hll_distinct_tokens",
+    "cms_token_frequency",
+    "weighted_sample_by_source",
+    "hll_distinct_tokens_probe",
+    "cms_token_frequency_probe",
+    "hll_distinct_tokens_by_source",
+    "minhash_jaccard_estimates",
+    "image_resize_png",
+    "cms_heavy_hitters",
+    "audio_decode_wav",
+    "stratified_sample",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "bpe_pair_counts",
+    "dup_line_stats",
+    "composite_quality_gate",
+    "stupid_backoff_scores",
+    "weighted_sample",
+    "dsir_resample",
+    "corpus_datacard",
+    "distilled_quality_classifier",
+    "gopher_quality_flags",
+    "top_ngram_char_fraction",
+    "c4_line_filter",
+    "tfidf_search",
+    "token_count_quantiles",
+    "dup_ngram_char_fraction",
+    "events_sliding_counts",
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "bigram_perplexity",
+    "unicode_normalize",
+    "nb_lang_classifier",
+    "ngram_jaccard_pairs",
+    "langid_heuristic",
+    "unigram_perplexity",
+    "lang_distribution",
+    "token_count_distribution",
+    "max_tokens_with_ties",
+    "count_over_limit",
+    "value_histogram_fd",
+    "shrink_first_n",
+    "source_ordinals",
+    "complete_sources",
+    "prompt_format",
+    "sample_inspector",
+    "repetition_rejects",
+    "token_stats_summary",
+    "value_stats_pop",
+    "q1_pricing_summary",
+    "hourly_event_counts",
     "prf1_rollup",
     "value_histogram",
-    "split_assign",
-    "schema_align",
-    "token_filter",
-    "repetition_filter",
-    "repetition_split_counts",
-    "quality_features",
-    "token_budget_packing",
-    "benchmark_decontamination",
-    "vocab_topk",
-    "token_idf",
-    "exact_dedup",
-    "ann_cosine_topk",
-    "frontier_pop_topk",
-    "seen_anti_join",
-    "url_canonicalization",
-    "doc_fingerprints_rolling",
-    "orders_without_lineitems",
-    "top_customers_per_nation",
-    "sessionization",
-    "events_running_rank",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "hourly_event_counts",
-    "json_key_set_ops",
-    "events_asof_join",
-    "json_eval_scores",
-    "json_eval_rollup",
-    "edit_distance_metrics",
-    "seq_similarity_metrics",
-    "skewed_hot_key_join",
-    "paragraph_dedup",
-    "pii_scrub",
-    "training_shuffle",
-    "temperature_mixture_sample",
-    "neardup_clusters",
-    "neardup_survivors_count",
-    "embedding_neardup_pairs",
-    "multimodal_image_meta",
-    "dedup_survivors_count",
-    "frame_sample_stats",
-    "audio_duration_by_lang",
-    "q5_local_supplier_volume",
-    # displaced one round by image_resize_png (r06 front was full): the
-    # most-checked trivial aggregation, green r01/r02/r03/r04 — due r07
     "count_per_source",
     # permanently past the cap: guaranteed no_oracle driver rows
     # (learned k-means cells; their value oracles are numpy twins in
-    # tests/). image_resize_stub retired in r06 — replaced by the
-    # full-oracle image_resize_png over the real stdlib PNG codec.
+    # tests/)
     "semdedup_prune",
     "ann_ivf_topk",
 ]

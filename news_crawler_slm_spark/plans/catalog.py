@@ -512,10 +512,11 @@ def token_filter(spark, sf_dir):
     (step_05:37-52; thresholds config.json:21-22, scaled to this corpus).
     The reference's text-file round-trip becomes a plain predicate; the
     anti-join form is exercised in tests/test_pipeline.py."""
-    d = _spread(
-        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "text"),
-        "doc_id",
-    ).select("doc_id", "source", "lang", F.expr(_TOK_SPARK).alias("tc"))
+    # NOT _spread: one regex split per row is too cheap to pay a text
+    # exchange for (measured r07: 0.42 -> 0.49 s with the spread at sf1.0)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.expr(_TOK_SPARK).alias("tc")
+    )
     thr = F.when(F.col("lang") == "en", 90).otherwise(70)
     return d.where(~(F.col("tc") > thr)).select("doc_id", "source")
 
@@ -753,7 +754,9 @@ def prompt_format(spark, sf_dir):
     + eos_token for training, INPUT_ONLY_PROMPT.format(input) for inference.
     Input stand-in = text, output stand-in = the sanitized title (documents
     has no html column); '</s>' plays the tokenizer eos. Pure JVM concat."""
-    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # NOT _spread: a 16-char regex + concat per row is too cheap to pay a
+    # text exchange for (measured r07: 0.17 -> 0.33 s with the spread)
+    d = _t(spark, sf_dir, "documents")
     title = F.regexp_replace(F.lower(F.substring("text", 1, 16)), "[^a-z0-9 ]", "")
     return d.select(
         "doc_id",

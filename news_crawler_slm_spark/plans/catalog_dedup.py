@@ -39,7 +39,11 @@ _DUP_UNION_DUCK = """
 
 
 def _dup_union(spark, sf_dir):
-    d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # NOT _spread here: exact_dedup's md5+agg is too cheap to pay a text
+    # exchange for (measured r07: 0.26 -> 0.62 s WITH the spread at sf1.0);
+    # the explode-heavy consumer (simhash_neardup_pairs) spreads at its
+    # own call site instead
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     redup = d.where(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
@@ -402,7 +406,9 @@ def simhash_neardup_pairs(spark, sf_dir, hamming_max: int = 3, bucket_cap: int =
     # join) would re-run it 4x through lineage fan-out (measured r06:
     # 8 corpus scans) — persist the O(docs)x2-column frame instead, the
     # materialized fingerprint-table step of a production simhash dedup
-    fps = simhash_fingerprints_of(_dup_union(spark, sf_dir)).persist(
+    fps = simhash_fingerprints_of(
+        _spread(_dup_union(spark, sf_dir), "doc_id")
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     band_cols = [

@@ -193,10 +193,14 @@ def top_ngram_char_fraction(spark, sf_dir):
 
     Plan shape: bigrams come from the codegen regexp window (word_windows,
     k=2 — no per-token explode), counted per (doc_id, gram) with map-side
-    partial aggregation, then ONE window over doc_id picks the argmax with
-    a total (count DESC, gram ASC) tie-break that both engines share. The
-    per-doc char denominator rides the rows (computed in the same scan),
-    so no join back to the documents table.
+    partial aggregation, then the argmax is a second AGGREGATE —
+    min(struct(-c, g)) per doc, the nb_lang_classifier idiom ≡ the
+    oracle's row_number ORDER BY c DESC, g — not a window: the partial
+    min folds map-side, so the doc-keyed exchange carries one row per doc
+    per map partition instead of every distinct gram, and nothing sorts
+    (r07: was Sort+WindowGroupLimit+Window). The per-doc char denominator
+    rides the rows (computed in the same scan), so no join back to the
+    documents table.
     """
     return top_ngram_char_fraction_of(_docs(spark, sf_dir))
 
@@ -214,21 +218,22 @@ def top_ngram_char_fraction_of(d):
         F.explode(word_windows(norm, 2)).alias("g"),
     )
     gc = grams.groupBy("doc_id", "nonspace_chars", "g").agg(F.count("*").alias("c"))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), "g")
-    return (
-        gc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("g").alias("top_gram"),
-            F.col("c").alias("top_count"),
-            F.round(
-                F.col("c")
-                * F.length(F.regexp_replace("g", " ", ""))
-                / F.col("nonspace_chars").cast("double"),
-                6,
-            ).alias("top_gram_char_frac"),
-        )
+    # argmax by (c DESC, g ASC) == min over struct(-c, g): grams are
+    # distinct per doc after the count agg, so the key is total and the
+    # row_number()==1 twin is exact.
+    top = gc.groupBy("doc_id", "nonspace_chars").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("g"))).alias("m")
+    )
+    return top.select(
+        "doc_id",
+        F.col("m.g").alias("top_gram"),
+        (-F.col("m.nc")).alias("top_count"),
+        F.round(
+            (-F.col("m.nc"))
+            * F.length(F.regexp_replace(F.col("m.g"), " ", ""))
+            / F.col("nonspace_chars").cast("double"),
+            6,
+        ).alias("top_gram_char_frac"),
     )
 
 

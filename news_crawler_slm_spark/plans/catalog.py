@@ -1046,14 +1046,20 @@ def kn_bigram_perplexity(spark, sf_dir):
     10^9 types); beyond that the dim arithmetic moves to
     ln(num) = ln-decomposed terms.
 
-    Scale shape: one training scan (the bigram type census), then every
-    KN statistic — context totals c1, continuation fan-outs N1+(w1·) /
-    N1+(·w2), the type total Z — is a window over the aggregated
-    |bigrams|-row dim (dim-sized exchanges; the Z window is global but
-    over the dim, the documented source_ordinals exception), then one
+    Scale shape: one training scan (the bigram type census, persisted —
+    the stupid_backoff train-once idiom), then the per-context KN
+    statistics — context totals c1, continuation fan-outs N1+(w1·) /
+    N1+(·w2) — are windows over the aggregated |bigrams|-row dim
+    (dim-sized exchanges), while the type total Z = N1+(··) is a 1-row
+    aggregate of the persisted census broadcast back (r07: it was a
+    zero-key window, which funnels the ENTIRE dim through one partition —
+    fine at sf0.1, a single-task wall on a 100 TB bigram dim), then one
     score scan joining the corpus bigrams to the broadcast dim. Same
-    2-corpus-scan budget as bigram_perplexity.
+    2-corpus-scan budget as bigram_perplexity: the Z aggregate reads the
+    census cache, not the corpus.
     """
+    from pyspark import StorageLevel
+
     d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     norm = ws_normalize(F.lower(F.col("text")))
     big = d.select("doc_id", F.explode(word_windows(norm, 2)).alias("g"))
@@ -1062,7 +1068,9 @@ def kn_bigram_perplexity(spark, sf_dir):
         .agg(F.count("*").alias("c12"))
         .withColumn("w1", F.split("g", " ").getItem(0))
         .withColumn("w2", F.split("g", " ").getItem(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    zdim = bc.agg(F.count("*").alias("z"))
     w1w, w2w = Window.partitionBy("w1"), Window.partitionBy("w2")
     dim = bc.select(
         "g",
@@ -1070,8 +1078,7 @@ def kn_bigram_perplexity(spark, sf_dir):
         F.sum("c12").over(w1w).alias("c1"),
         F.count("*").over(w1w).alias("n1p"),
         F.count("*").over(w2w).alias("ncont"),
-        F.count("*").over(Window.partitionBy()).alias("z"),
-    )
+    ).crossJoin(F.broadcast(zdim))
     num = (
         F.greatest(F.lit(4) * F.col("c12") - F.lit(3), F.lit(0)) * F.col("z")
         + F.lit(3) * F.col("n1p") * F.col("ncont")

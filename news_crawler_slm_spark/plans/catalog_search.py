@@ -112,6 +112,8 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     top-k is a global TakeOrdered with (score DESC, doc_id) tie-break, no
     full sort.
     """
+    from pyspark import StorageLevel
+
     q = query or _QUERY_TOKENS
     d = _t(spark, sf_dir, "documents")
     # N as a broadcast 1-row scalar subquery — no separate driver count()
@@ -122,16 +124,21 @@ def tfidf_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
     ).where(F.col("token").isin(q))
-    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    # df(token) = number of tf rows sharing the token, via a window over
-    # the ALREADY-AGGREGATED tf relation — single lineage, so the corpus
-    # is scanned exactly once (a separate idf aggregation joined back
-    # would re-derive the whole explode: AQE does not reuse the branch)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("token")
+    # tf (the query-pruned postings) is PERSISTED so its two consumers —
+    # the |query|-row df census and the scoring pass — read the cache and
+    # the corpus is still scanned exactly once (AQE does not reuse the
+    # branch).  r07: df was a count(*) window PARTITION BY token over tf,
+    # which funnels every hit row through at most |query| tasks — the
+    # straggler shape for a common query term at scale; the census +
+    # broadcast join keeps the df exchange at |query| x mappers rows.
+    tf = (
+        hits.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfdim = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
-        tf.withColumn("df", F.count("*").over(w))
+        tf.join(F.broadcast(dfdim), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf_micro",
@@ -211,11 +218,12 @@ def bm25_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     Plan shape (same as tfidf_search): doc length dl rides the hits rows
     out of the SAME scan as the explode (no join back to documents); the
     isin(query) filter prunes before the (doc, token) shuffle; df comes
-    from a window over the already-aggregated tf relation; (n_docs,
-    avgdl) is a broadcast 1-row dim; top-k is a TakeOrdered, no full
-    sort.
+    from a |query|-row census of the persisted tf postings broadcast back
+    (r07: was a PARTITION BY token window — a ≤|query|-task funnel of
+    every hit row at scale); (n_docs, avgdl) is a broadcast 1-row dim;
+    top-k is a TakeOrdered, no full sort.
     """
-    from pyspark.sql import Window
+    from pyspark import StorageLevel
 
     q = query or _QUERY_TOKENS
     d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
@@ -229,9 +237,13 @@ def bm25_search(spark, sf_dir, query: list[str] | None = None, k: int = 20):
     hits = d.select(
         "doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("token")
     ).where(F.col("token").isin(q))
-    tf = hits.groupBy("doc_id", "dl", "token").agg(F.count("*").alias("tf"))
-    w = Window.partitionBy("token")
-    dfx = tf.withColumn("df", F.count("*").over(w)).crossJoin(F.broadcast(stats))
+    tf = (
+        hits.groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfdim = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dfx = tf.join(F.broadcast(dfdim), "token").crossJoin(F.broadcast(stats))
     idf_micro = F.round(
         F.log(
             (F.col("n_docs") - F.col("df") + F.lit(0.5))

@@ -1094,25 +1094,37 @@ def paragraph_dedup(spark, sf_dir):
     engines — the boilerplate survives only in the smallest doc_id.
 
     Scale shape: the shuffle key is md5(paragraph) (fixed width, uniform —
-    never the document body); first-occurrence is one window over that
-    hash; reconstruction is a per-doc groupBy with a sorted collect of the
-    kept units (bounded by document size, not corpus size).  Linear at any
-    corpus scale — the same plan C4 ran over Common Crawl.
+    never the document body); first-occurrence is a min(struct(doc_id,
+    pos)) CENSUS per hash joined back to the persisted unit table (r07:
+    it was a row_number window PARTITION BY the hash — but a boilerplate
+    paragraph shared by millions of documents is exactly the hot key
+    this query exists to remove, and a window partition cannot be split,
+    while the census partial-aggregates map-side and AQE skew-splits the
+    join); reconstruction is a per-doc groupBy with a sorted collect of
+    the kept units (bounded by document size, not corpus size).  Linear
+    at any corpus scale — the same plan C4 ran over Common Crawl.
     """
+    from pyspark import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
     aug = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(F.lit(_BOILER + ". "), F.col("text")),
     ).otherwise(F.col("text"))
     paras = d.select(
-        "doc_id", F.posexplode(F.split(aug, r"\.\s+")).alias("pos", "para")
+        "doc_id",
+        F.posexplode(F.split(aug, r"\.\s+")).alias("pos", "para"),
+    ).withColumn("h", F.md5("para")).persist(StorageLevel.MEMORY_AND_DISK)
+    keeper = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
     )
-    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
-    r = paras.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "para"))
+    r = paras.join(keeper, "h").withColumn(
+        "is_first", F.col("k") == F.struct("doc_id", "pos")
+    )
+    kept_struct = F.when(F.col("is_first"), F.struct("pos", "para"))
     return r.groupBy("doc_id").agg(
         F.count("*").alias("n_paras"),
-        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_first"), 1)).alias("n_kept"),
         F.md5(
             F.array_join(
                 F.transform(
@@ -1363,15 +1375,21 @@ def substring_dup_stats(spark, sf_dir, w: int = _SUBSTR_W):
     W-gram shared by millions of docs would funnel its every occurrence
     through one row_number() partition. Instead: (1) partial-aggregate
     occurrences to one row per (window-hash, doc) with a count and the
-    doc's min pos — map-side combine eats the within-doc repetition; (2)
-    pick the global keeper per hash with an unordered min(struct) window
-    over the doc-level rows; (3) re-aggregate per doc. Every shuffle key
-    is the 8-byte xxhash64 window hash (a long, narrower to shuffle than a
-    32-char md5 string; the oracle keys on raw window text, so the hash
+    doc's min pos — map-side combine eats the within-doc repetition, and
+    the table persists (two consumers, one corpus scan); (2) pick the
+    global keeper per hash with a min(struct) CENSUS joined back (r07:
+    was an unordered window PARTITION BY h — a boilerplate W-gram shared
+    by millions of docs is an unsplittable hot window partition, while
+    the census partial-aggregates map-side and AQE skew-splits the
+    join); (3) re-aggregate per doc. Every shuffle key is the 8-byte
+    xxhash64 window hash (a long, narrower to shuffle than a 32-char md5
+    string; the oracle keys on raw window text, so the hash
     representation is free) or doc_id; per-occurrence rows are never
     sorted, and the explode is W x token count — linear in corpus bytes,
     the standard trade vs the paper's single-node suffix array.
     """
+    from pyspark import StorageLevel
+
     d = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     wins = d.select(
         "doc_id",
@@ -1379,12 +1397,16 @@ def substring_dup_stats(spark, sf_dir, w: int = _SUBSTR_W):
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), F.xxhash64("g").alias("h"))
     per_doc = wins.groupBy("h", "doc_id").agg(
         F.count("*").alias("cnt"), F.min("pos").alias("min_pos")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    keeper = per_doc.groupBy("h").agg(
+        F.min(F.struct("doc_id", "min_pos")).alias("k")
     )
-    keeper = F.min(F.struct("doc_id", "min_pos")).over(Window.partitionBy("h"))
-    flagged = per_doc.withColumn(
+    flagged = per_doc.join(keeper, "h").withColumn(
         "dup_cnt",
         F.col("cnt")
-        - F.when(keeper == F.struct("doc_id", "min_pos"), F.lit(1)).otherwise(F.lit(0)),
+        - F.when(
+            F.col("k") == F.struct("doc_id", "min_pos"), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     return flagged.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_windows"),

@@ -45,7 +45,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import knuth_shuffle_key
@@ -137,12 +137,22 @@ def _build_training_data(
     else:  # pragma: no cover - guarded upstream
         raise ValueError(f"unknown gate {params.gate!r}")
 
-    w = Window.partitionBy("__h").orderBy("doc_id")
+    # exact dedup keeper = min doc_id per content hash, as an AGGREGATE
+    # carrying the whole row (r07: was a row_number window PARTITION BY
+    # __h — a mass-duplicated page is a hot hash, and a window partition
+    # cannot be split, while min(struct) partial-aggregates map-side so
+    # the hash-keyed exchange ships ONE surviving row per (hash, mapper)
+    # instead of every duplicate's full text).  doc_id is unique, so the
+    # struct order equals the window's (doc_id ASC) keeper rule exactly.
+    gcols = gated.columns
     deduped = (
-        gated.withColumn("__h", F.md5("text"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+        gated.groupBy(F.md5("text").alias("__h"))
+        .agg(
+            F.min(
+                F.struct(F.col("doc_id"), F.struct(*gcols).alias("r"))
+            ).alias("m")
+        )
+        .select("m.r.*")
     )
 
     exact_deduped = None

@@ -610,8 +610,13 @@ def ann_lsh_topk(spark, sf_dir, bands: int = 8, bits: int = 8, k: int = 5):
     can recover near-orthogonal "neighbors" there without scanning
     ~everything; the same test pins the measured recall floor on that
     corpus too)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    from pyspark import StorageLevel
+
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        ),
+        "vec_id",
     )
 
     # hyperplane constants precomputed driver-side (O(bands·bits·dim)
@@ -638,11 +643,17 @@ def ann_lsh_topk(spark, sf_dir, bands: int = 8, bits: int = 8, k: int = 5):
             bucket = bit if bucket is None else bucket.bitwiseOR(bit)
         return F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
 
+    # persisted (r07): the self-join consumes banded on BOTH sides, and a
+    # lazy frame re-runs the bands x bits interpreted hyperplane folds —
+    # the query's dominant cost — once per side; the cache is bounded at
+    # bands x |vectors| rows
     banded = emb.select(
         "vec_id",
         "e",
         F.explode(F.array(*[band_bucket(b) for b in range(bands)])).alias("bb"),
-    ).select("vec_id", "e", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "vec_id", "e", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     a = banded.alias("a")
     b_ = banded.alias("b")

@@ -43,25 +43,36 @@ def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate detection (dedup family): label-
     blocked self-join + JVM-side cosine (zip_with/aggregate — no Python in
     the hot path). Blocking key = label (stand-in for an IVF/LSH bucket)."""
+    # norms are precomputed ONCE per vector before the join (r07): inside
+    # the pair stage each vector's norm was re-folded once per pair it
+    # appears in — ~|block| redundant interpreted HOF folds per vector;
+    # sqrt(fold(v)) is the identical expression over the identical array,
+    # so dot/(na*nb) is bit-for-bit the previous value
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     a = e.select(
-        F.col("vec_id").alias("id_a"), "label", F.col("v").alias("va")
+        F.col("vec_id").alias("id_a"),
+        "label",
+        F.col("v").alias("va"),
+        norm(F.col("v")).alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        "label",
+        F.col("v").alias("vb"),
+        norm(F.col("v")).alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     pairs = (
         a.join(b, ["label"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim_raw", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .withColumn("cos_sim_raw", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim_raw") >= NEARDUP_TAU)
     )
     return pairs.select(

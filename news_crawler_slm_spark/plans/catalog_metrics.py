@@ -421,14 +421,17 @@ def json_eval_rollup(spark, sf_dir):
         "f1",
         F.when(F.col("p") + F.col("r") > 0, 2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))).otherwise(0.0),
     )
-    valid = prf.where(F.col("valid_json") == 1)
-    agg = valid.agg(
-        F.round(F.avg("p"), 6).alias("mean_precision"),
-        F.round(F.avg("r"), 6).alias("mean_recall"),
-        F.round(F.avg("f1"), 6).alias("mean_f1"),
-        F.round(F.stddev_pop("p"), 6).alias("std_precision"),
-        F.round(F.stddev_pop("r"), 6).alias("std_recall"),
-        F.round(F.stddev_pop("f1"), 6).alias("std_f1"),
+    # ONE aggregation pass (r07): the valid-rows stats and the all-rows
+    # valid-JSON rate were two separate aggregates cross-joined, so the
+    # JSON-parsing upstream ran twice; avg/stddev_pop skip NULLs, so
+    # when(valid, x) inside one agg is exactly the filtered aggregate.
+    v = F.col("valid_json") == 1
+    return prf.agg(
+        F.round(F.avg(F.when(v, F.col("p"))), 6).alias("mean_precision"),
+        F.round(F.avg(F.when(v, F.col("r"))), 6).alias("mean_recall"),
+        F.round(F.avg(F.when(v, F.col("f1"))), 6).alias("mean_f1"),
+        F.round(F.stddev_pop(F.when(v, F.col("p"))), 6).alias("std_precision"),
+        F.round(F.stddev_pop(F.when(v, F.col("r"))), 6).alias("std_recall"),
+        F.round(F.stddev_pop(F.when(v, F.col("f1"))), 6).alias("std_f1"),
+        F.round(F.avg("valid_json"), 6).alias("valid_json_rate"),
     )
-    rate = prf.agg(F.round(F.avg("valid_json"), 6).alias("valid_json_rate"))
-    return agg.crossJoin(rate)

@@ -92,15 +92,48 @@ def test_gopher_quality_flags_is_shuffle_free(spark):
 
 def test_top_ngram_single_shuffle_no_doc_join_back(spark):
     """The repetition rule's plan budget: the gram count shuffles once on
-    (doc_id, chars, gram) and the argmax window repartitions on doc_id —
-    but there is NO join back to the documents table (the char denominator
-    rides the rows), so exactly one scan and zero join nodes."""
+    (doc_id, chars, gram) and the per-doc argmax is an AGGREGATE
+    (min(struct(-c, g)), r07 — not a window, which would sort every gram
+    row and could not partial-fold map-side) — and there is NO join back
+    to the documents table (the char denominator rides the rows), so
+    exactly one scan, zero join nodes, zero window nodes."""
     from news_crawler_slm_spark.plans import REGISTRY
 
     df = REGISTRY["top_ngram_char_fraction"][0](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "Join" not in plan
+    assert "Window" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_keeper_rules_are_censuses_not_hash_windows(spark):
+    """The first-occurrence keeper rules (r07): a window partitioned by a
+    content hash cannot split a hot key — one boilerplate unit shared by
+    millions of docs funnels through one task — so the keeper must be a
+    partial-aggregatable census joined back. Pins: no Window node in the
+    plan, and the persisted unit table keeps the per-execution corpus
+    scans at <= 1."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    for name in ("substring_dup_stats", "paragraph_dedup"):
+        df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
+        assert "Window" not in _plan(df), name
+        n = _count_file_scans(df._jdf.queryExecution().executedPlan())
+        assert n <= 1, f"{name}: {n} per-execution scans"
+    spark.catalog.clearCache()
+
+
+def test_ann_lsh_band_table_is_persisted_and_spread(spark):
+    """ann_lsh_topk (r07): the bands x bits interpreted hyperplane folds
+    are the query's dominant cost, and the candidate self-join consumes
+    the band table on BOTH sides — it must be persisted (<= 1
+    per-execution scan; a lazy frame re-runs the folds once per side)."""
+    from news_crawler_slm_spark.plans import REGISTRY
+
+    df = REGISTRY["ann_lsh_topk"][0](spark, "/root/testdata/sf0.001")
+    n = _count_file_scans(df._jdf.queryExecution().executedPlan())
+    assert n <= 1, f"ann_lsh_topk: {n} per-execution scans"
+    spark.catalog.clearCache()
 
 
 def test_tfidf_search_scans_the_corpus_once(spark):
@@ -354,6 +387,11 @@ def test_corpus_scan_budgets(spark):
         "bigram_perplexity": 2,
         "dsir_importance_weights": 1,
         "temperature_mixture_sample": 1,
+        # r07: KN's type total Z is a 1-row aggregate of the PERSISTED
+        # bigram census broadcast back (was a zero-key window funneling
+        # the whole dim through one partition); the Z branch must read
+        # the cache, keeping the budget at train + score scans
+        "kn_bigram_perplexity": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name][0](spark, "/root/testdata/sf0.001")
